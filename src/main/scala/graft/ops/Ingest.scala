@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Part-A operators: the reference's entire dataflow re-expressed as a
+  * declarative Spark pipeline (SURVEY.md §2A).
+  *
+  * Reference behavior being reproduced (file:line into /root/reference/):
+  *  - 7-field event envelope + required-field validation:
+  *    ConsumerMultiThread.java:27-34,130-132
+  *  - EVENT_TYPES-gated regex numeric extraction ("(\d+\.\d+|\d+)"):
+  *    ConsumerMultiThread.java:26,117-127
+  *  - fixed-order projection: ConsumerMultiThread.java:135-138
+  *  - per-event-type routing + partitioned sink:
+  *    ConsumerMultiThread.java:140,163-201 (intent: one dwd_<type> table
+  *    per event type — we use write.partitionBy, the columnar upgrade)
+  *
+  * The Kafka topic is modeled by the driver fixture events.parquet
+  * (FIXTURES.md §2); the envelope below maps fixture columns onto the
+  * reference's 7 TEXT fields deterministically so a DuckDB oracle can
+  * reproduce every value bit-for-bit:
+  *  - numeric→string renderings avoid raw double→varchar casts (engine
+  *    formatting differs); EventDetails uses printf-style "%.2f" which
+  *    is identical in java.util.Formatter and DuckDB printf for
+  *    2-decimal fixture values (ties at x.xx5 cannot arise).
+  *  - timestamps render via an explicit microsecond pattern on both
+  *    sides (Spark date_format SSSSSS ≡ DuckDB strftime %f).
+  *  - DeviceType/Location don't exist in the fixture; they are derived
+  *    with integer modulo so both engines agree, and Location is null
+  *    for every 97th event so A7 validation really drops rows.
+  *
+  * Scale notes (100 TB): the whole pipeline is a single narrow stage —
+  * no shuffle at all until the partitioned sink, which shuffles once on
+  * event_type (low cardinality → AQE coalesces). Filters and the
+  * 7-column projection are pushed into the parquet scan by Catalyst.
+  */
+object Ingest {
+
+  /** Fixture analog of EVENT_TYPES = {InAppPurchase, SessionEnd}
+    * (ConsumerMultiThread.java:26): gates the A6 numeric rewrite only,
+    * NOT persistence (see SURVEY.md §1.1).
+    */
+  val GatedTypes: Seq[String] = Seq("purchase", "view")
+
+  val EventFields: Seq[String] = Seq(
+    "EventID", "PlayerID", "EventTimestamp", "EventType",
+    "EventDetails", "DeviceType", "Location")
+
+  /** First numeric in the free-text details — reference's extraction
+    * regex, ConsumerMultiThread.java:121.
+    */
+  val NumRegex = "(\\d+\\.\\d+|\\d+)"
+
+  /** A1: bounded scan of the event log mapped onto the 7-field envelope. */
+  def envelope(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id").cast("string").as("EventID"),
+      col("user_id").cast("string").as("PlayerID"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("EventTimestamp"),
+      col("event_type").as("EventType"),
+      format_string("amount %.2f usd", col("value")).as("EventDetails"),
+      when(col("event_id") % 3 === 0, "ios")
+        .when(col("event_id") % 3 === 1, "android")
+        .otherwise("web").as("DeviceType"),
+      when(col("event_id") % 97 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("geo_"), (col("user_id") % 7).cast("string")))
+        .as("Location"))
+
+  private def eid: Column = col("EventID").cast("long")
+
+  def a1_scan(spark: SparkSession, d: String): DataFrame =
+    envelope(spark, d).orderBy(eid)
+
+  /** A3: JSON payload parse — both the schema-full (from_json) and the
+    * path-extraction (get_json_object) forms over the props column
+    * (reference: JSON.parseObject, ConsumerMultiThread.java:114).
+    */
+  def a3_parseJson(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d).select(
+      col("event_id"),
+      from_json(col("props"), lit("k INT")).getField("k").cast("long").as("k"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+      .orderBy(col("event_id"))
+
+  /** A5: membership gate (ConsumerMultiThread.java:117). */
+  def a5_filterIsin(spark: SparkSession, d: String): DataFrame =
+    envelope(spark, d).filter(col("EventType").isin(GatedTypes: _*)).orderBy(eid)
+
+  /** A6: gated regex numeric extraction (ConsumerMultiThread.java:121-126). */
+  def a6_regexpExtract(spark: SparkSession, d: String): DataFrame =
+    envelope(spark, d).select(
+      col("EventID"), col("EventType"), col("EventDetails"),
+      when(col("EventType").isin(GatedTypes: _*),
+        regexp_extract(col("EventDetails"), NumRegex, 1).cast("float"))
+        .as("extracted"))
+      .orderBy(eid)
+
+  /** A7: required-field validation — drop rows missing any of the 7
+    * envelope fields (ConsumerMultiThread.java:130-132).
+    */
+  def a7_validate(spark: SparkSession, d: String): DataFrame =
+    envelope(spark, d).na.drop("any", EventFields).orderBy(eid)
+
+  /** The validated + rewritten + projected frame (A6∘A7∘A8): the
+    * reference overwrites EventDetails with the extracted numeric for
+    * gated types (ConsumerMultiThread.java:125) then projects the 7
+    * fields in fixed order (:135-138). The rewrite keeps the matched
+    * substring (a string) rather than round-tripping through float
+    * formatting, so both engines agree bit-for-bit.
+    */
+  def dwdFrame(spark: SparkSession, d: String): DataFrame =
+    envelope(spark, d)
+      .withColumn("EventDetails",
+        when(col("EventType").isin(GatedTypes: _*),
+          regexp_extract(col("EventDetails"), NumRegex, 1))
+          .otherwise(col("EventDetails")))
+      .na.drop("any", EventFields)
+      .select(EventFields.map(col): _*)
+
+  def a8_project(spark: SparkSession, d: String): DataFrame =
+    dwdFrame(spark, d).orderBy(eid)
+
+  /** A9: per-type routing — the groupable check of the partition-by-key
+    * buffering (ConsumerMultiThread.java:36,140).
+    */
+  def a9_partitionByType(spark: SparkSession, d: String): DataFrame =
+    dwdFrame(spark, d).groupBy(col("EventType"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("EventType"))
+
+  /** A12: partitioned dwd sink + read-back (ConsumerMultiThread.java:
+    * 163-201 — transactional batch insert into dwd_<type>; here the
+    * parquet commit protocol provides the atomicity and partitionBy
+    * provides the table-per-type layout).
+    */
+  def a12_sinkDwd(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/dwd"
+    dwdFrame(spark, d).write.mode("overwrite")
+      .partitionBy("EventType").parquet(out)
+    spark.read.parquet(out).select(EventFields.map(col): _*).orderBy(eid)
+  }
+
+  /** A14: the whole reference program as one declarative chain. */
+  def a14_pipeline(spark: SparkSession, d: String): DataFrame =
+    a8_project(spark, d)
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  /** DuckDB twin of [[envelope]] — used as a CTE by every part-A oracle. */
+  val envSql: String =
+    """WITH env AS (
+      |  SELECT
+      |    CAST(event_id AS VARCHAR) AS EventID,
+      |    CAST(user_id AS VARCHAR) AS PlayerID,
+      |    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS EventTimestamp,
+      |    event_type AS EventType,
+      |    printf('amount %.2f usd', value) AS EventDetails,
+      |    CASE WHEN event_id % 3 = 0 THEN 'ios'
+      |         WHEN event_id % 3 = 1 THEN 'android'
+      |         ELSE 'web' END AS DeviceType,
+      |    CASE WHEN event_id % 97 = 0 THEN NULL
+      |         ELSE 'geo_' || CAST(user_id % 7 AS VARCHAR) END AS Location
+      |  FROM events)
+      |""".stripMargin
+
+  private val dwdSql: String =
+    envSql +
+      """, dwd AS (
+        |  SELECT EventID, PlayerID, EventTimestamp, EventType,
+        |    CASE WHEN EventType IN ('purchase','view')
+        |         THEN regexp_extract(EventDetails, '(\d+\.\d+|\d+)', 1)
+        |         ELSE EventDetails END AS EventDetails,
+        |    DeviceType, Location
+        |  FROM env
+        |  WHERE EventID IS NOT NULL AND PlayerID IS NOT NULL
+        |    AND EventTimestamp IS NOT NULL AND EventType IS NOT NULL
+        |    AND EventDetails IS NOT NULL AND DeviceType IS NOT NULL
+        |    AND Location IS NOT NULL)
+        |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "a1_scan_events" ->
+      (envSql + "SELECT * FROM env ORDER BY CAST(EventID AS BIGINT)"),
+    "a3_parse_json" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_path
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a5_filter_isin" ->
+      (envSql + """SELECT * FROM env WHERE EventType IN ('purchase','view')
+        |ORDER BY CAST(EventID AS BIGINT)""".stripMargin),
+    "a6_regexp_extract" ->
+      (envSql + """SELECT EventID, EventType, EventDetails,
+        |  CASE WHEN EventType IN ('purchase','view')
+        |       THEN CAST(regexp_extract(EventDetails, '(\d+\.\d+|\d+)', 1) AS REAL)
+        |       END AS extracted
+        |FROM env ORDER BY CAST(EventID AS BIGINT)""".stripMargin),
+    "a7_validate_notnull" ->
+      (envSql + """SELECT * FROM env
+        |WHERE EventID IS NOT NULL AND PlayerID IS NOT NULL
+        |  AND EventTimestamp IS NOT NULL AND EventType IS NOT NULL
+        |  AND EventDetails IS NOT NULL AND DeviceType IS NOT NULL
+        |  AND Location IS NOT NULL
+        |ORDER BY CAST(EventID AS BIGINT)""".stripMargin),
+    "a8_project" ->
+      (dwdSql + "SELECT * FROM dwd ORDER BY CAST(EventID AS BIGINT)"),
+    "a9_partition_by_type" ->
+      (dwdSql + """SELECT EventType, COUNT(*) AS cnt FROM dwd
+        |GROUP BY EventType ORDER BY EventType""".stripMargin),
+    "a12_sink_dwd" ->
+      (dwdSql + "SELECT * FROM dwd ORDER BY CAST(EventID AS BIGINT)"),
+    "a14_pipeline_e2e" ->
+      (dwdSql + "SELECT * FROM dwd ORDER BY CAST(EventID AS BIGINT)"),
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_scan_events"       -> a1_scan _,
+    "a3_parse_json"        -> a3_parseJson _,
+    "a5_filter_isin"       -> a5_filterIsin _,
+    "a6_regexp_extract"    -> a6_regexpExtract _,
+    "a7_validate_notnull"  -> a7_validate _,
+    "a8_project"           -> a8_project _,
+    "a9_partition_by_type" -> a9_partitionByType _,
+    "a12_sink_dwd"         -> a12_sinkDwd _,
+    "a14_pipeline_e2e"     -> a14_pipeline _,
+  )
+}

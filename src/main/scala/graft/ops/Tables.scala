@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table readers shared by every operator (TESTDATA.md /
+  * FIXTURES.md). All inputs are the driver-generated parquet tables;
+  * at 100 TB these would be the same `spark.read.parquet` calls over a
+  * partitioned lake layout — nothing here assumes local files.
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    // default; read nanos as long and convert explicitly (below).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events with ts as a proper TimestampType (µs): nanos→µs via integer
+    * division, which truncates exactly like DuckDB's ns→µs cast.
+    */
+  def events(spark: SparkSession, d: String): DataFrame =
+    t(spark, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def lineitem(spark: SparkSession, d: String): DataFrame  = t(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame    = t(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame  = t(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = t(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = t(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame    = t(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame    = t(spark, d, "region")
+  def documents(spark: SparkSession, d: String): DataFrame = t(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = t(spark, d, "embeddings")
+
+  /** Scratch dir for sink/streaming outputs — kept inside the repo
+    * (target/ is build scratch) so nothing outside /root/repo is touched.
+    */
+  val scratch = "/root/repo/target/scratch"
+}
