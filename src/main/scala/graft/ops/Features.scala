@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Part-B feature-store operators (SURVEY.md §2B): per-user feature
+  * vectors, distinct counts, rollups, window functions, sessionization,
+  * and the point-in-time (as-of) join.
+  *
+  * Determinism: window orderings always include event_id as the final
+  * tie-break (unique), time arithmetic is integer microseconds
+  * (unix_micros ≡ DuckDB epoch_us), sums of doubles go through
+  * DECIMAL(18,2).
+  *
+  * Scale notes (100 TB): every operator here is one shuffle on its
+  * natural key (user_id / event_type); window functions sort within
+  * partitions only. The as-of join uses the union-merge formulation —
+  * features and probes are co-shuffled once on user_id and resolved by
+  * a single ordered window pass (no range-join blowup, no driver
+  * collection); with a bucketed/sorted lake layout on user_id the
+  * shuffle disappears entirely.
+  */
+object Features {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** b1: per-user feature vector via conditional aggregation (the
+    * shuffle-once, map-side-combinable form of pivot).
+    */
+  def b1_userFeatures(spark: SparkSession, d: String): DataFrame = {
+    val aggs = EventTypes.flatMap { t =>
+      Seq(
+        count(when(col("event_type") === t, 1)).as(s"${t}_cnt"),
+        sum(when(col("event_type") === t, col("value").cast("decimal(18,2)")))
+          .cast("double").as(s"${t}_sum"))
+    } :+ count(lit(1)).as("total_cnt")
+    Tables.events(spark, d).groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** b2: exact distinct counts per event type (the approx variant is
+    * x_approx_distinct, oracled rows-only because HLL sketches differ
+    * across engines).
+    */
+  def b2_aggDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d).groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+      .orderBy(col("event_type"))
+
+  /** approx_count_distinct (HLL++) — no cross-engine oracle by design. */
+  def approxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** b3: rollup over (event_type, day). */
+  def b3_rollup(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("vsum"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** b4: ranking window functions. row_number/ntile order by the unique
+    * (ts, event_id); rank/dense_rank order by ts alone (tie-stable).
+    */
+  def b4_windowRank(spark: SparkSession, d: String): DataFrame = {
+    val unique = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, d).select(
+      col("event_id"), col("user_id"),
+      row_number().over(unique).cast("long").as("rn"),
+      rank().over(byTs).cast("long").as("rnk"),
+      dense_rank().over(byTs).cast("long").as("drnk"),
+      ntile(4).over(unique).cast("long").as("nt"))
+      .orderBy(col("event_id"))
+  }
+
+  /** b5: analytic frames — rolling count/sum over the last 4 rows,
+    * lag/lead, first_value in frame.
+    */
+  def b5_windowFrame(spark: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = ord.rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(frame).as("roll_cnt"),
+        (sum(col("cents")).over(frame) / 100.0).as("roll_sum"),
+        lag(col("value"), 1).over(ord).as("prev_value"),
+        lead(col("value"), 1).over(ord).as("next_value"),
+        first(col("event_id")).over(frame).as("first_eid"))
+      .orderBy(col("event_id"))
+  }
+
+  /** b6: 30-minute-gap sessionization; one row per session with
+    * microsecond-exact bounds.
+    */
+  def b6_sessionize(spark: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(ord))
+      .withColumn("flag",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("flag")).over(run).cast("long"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
+  /** b7: point-in-time (as-of) join — for each purchase event, the
+    * latest 'view' event of the same user at or before the purchase
+    * timestamp (ties: largest event_id; purchases with no prior view
+    * are dropped, i.e. inner as-of).
+    *
+    * Implementation is the union-merge form: features and probes are
+    * unioned, shuffled ONCE on user_id, and resolved with a single
+    * last(ignoreNulls) ordered window — the shape that survives 100 TB
+    * (vs. a range join that explodes, or per-key collects).
+    */
+  def b7_asofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val feat = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
+    // features sort before probes at equal ts (kind 0 < 1); among equal-ts
+    // features the largest event_id wins because last() takes the latest.
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val resolved = feat.unionAll(probe)
+      .withColumn("feat_eid",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(ord))
+      .filter(col("kind") === 1 && col("feat_eid").isNotNull)
+      .select(col("event_id").as("probe_eid"), col("user_id"), col("feat_eid"))
+    val featVals = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("feat_eid"), col("value").as("feat_value"))
+    resolved.join(featVals, "feat_eid")
+      .select(col("probe_eid"), col("user_id"), col("feat_eid"), col("feat_value"))
+      .orderBy(col("probe_eid"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "b1_agg_user_features" -> {
+      val cols = EventTypes.flatMap { t =>
+        Seq(
+          s"COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_cnt",
+          s"CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_sum")
+      }.mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols,
+         |  COUNT(*) AS total_cnt
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "b2_agg_distinct" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b3_groupsets_rollup" ->
+      """SELECT event_type, day, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "b4_window_rank" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS nt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "b5_window_frame" ->
+      """WITH c AS (SELECT *, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w4 AS roll_cnt,
+        |  CAST(SUM(cents) OVER w4 AS BIGINT) / 100.0 AS roll_sum,
+        |  lag(value, 1) OVER wo AS prev_value,
+        |  lead(value, 1) OVER wo AS next_value,
+        |  first_value(event_id) OVER w4 AS first_eid
+        |FROM c
+        |WINDOW
+        |  wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w4 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "b6_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS flag FROM o),
+        |s AS (SELECT *, CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, sess, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS dur_us
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "b7_asof_join" ->
+      """SELECT p.event_id AS probe_eid, p.user_id, f.event_id AS feat_eid, f.value AS feat_value
+        |FROM events p JOIN events f
+        |  ON f.user_id = p.user_id AND f.event_type = 'view' AND f.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY f.ts DESC, f.event_id DESC) = 1
+        |ORDER BY probe_eid""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_agg_user_features" -> b1_userFeatures _,
+    "b2_agg_distinct"      -> b2_aggDistinct _,
+    "x_approx_distinct"    -> approxDistinct _,
+    "b3_groupsets_rollup"  -> b3_rollup _,
+    "b4_window_rank"       -> b4_windowRank _,
+    "b5_window_frame"      -> b5_windowFrame _,
+    "b6_sessionize"        -> b6_sessionize _,
+    "b7_asof_join"         -> b7_asofJoin _,
+  )
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Part-B relational core (SURVEY.md §2B): join suite, top-k, set ops,
+  * scalar-function suite, and the TPC-H-Q1-shaped bench workhorse.
+  *
+  * Determinism rules shared with every oracle in this repo:
+  *  - money/measure aggregates go through DECIMAL(18,2) so Spark and
+  *    DuckDB both sum exactly and cast to the identical double;
+  *  - derived integers are cast to BIGINT on both sides;
+  *  - every output carries a total-order ORDER BY.
+  *
+  * Scale notes (100 TB): b12 is a single hash-aggregate with map-side
+  * partials over a pruned parquet scan (only 7 of 11 lineitem columns
+  * read, shipdate filter pushed down). b8's dimension joins broadcast
+  * the small side; the theta join is a broadcast nested-loop of two
+  * dimension tables (never fact×fact). b9 is TakeOrderedAndProject —
+  * per-partition top-k then a k-row merge on the driver, no global sort.
+  */
+object Relational {
+
+  /** b12: TPC-H Q1-shaped aggregation over lineitem. */
+  def b12_tpchQ1(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
+        expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)""")
+          .as("sum_disc_price"),
+        expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+                (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)""")
+          .as("sum_charge"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_price"),
+        expr("CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** b8: join suite — each join flavor contributes one tagged count row.
+    * Small dimensions are broadcast explicitly; the non-equi (theta)
+    * join stays dimension×dimension so the nested loop is bounded.
+    */
+  def b8_joinSuite(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    val on = o("o_custkey") === c("c_custkey")
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(lit(name).as("join_kind"), col("cnt"))
+    tag("01_inner", o.join(broadcast(c), on))
+      .unionAll(tag("02_left_unmatched", c.join(o, on, "left").filter(o("o_orderkey").isNull)))
+      .unionAll(tag("03_full", c.join(o, on, "full")))
+      .unionAll(tag("04_semi", c.join(o, on, "left_semi")))
+      .unionAll(tag("05_anti", c.join(o, on, "left_anti")))
+      .unionAll(tag("06_cross", n.crossJoin(r)))
+      .unionAll(tag("07_theta", s.join(broadcast(c), s("s_acctbal") < c("c_acctbal"))))
+      .unionAll(tag("08_star4", o.join(broadcast(c), on)
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))))
+      .orderBy(col("join_kind"))
+  }
+
+  /** b9: global top-k — planner picks TakeOrderedAndProject (no full sort). */
+  def b9_sortTopk(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  /** b10: set operations over keyed projections, tagged per op. */
+  def b10_setops(spark: SparkSession, d: String): DataFrame = {
+    val buyers = Tables.orders(spark, d).select(col("o_custkey").as("k"))
+    val rich = Tables.customer(spark, d)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("op"), col("k"))
+    tag("union", buyers.union(rich).distinct())
+      .unionAll(tag("union_all", buyers.unionAll(rich)))
+      .unionAll(tag("intersect", buyers.intersect(rich)))
+      .unionAll(tag("except", rich.except(buyers)))
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** b11: scalar-function suite — string/date/math/array/map/json in one
+    * wide, fully codegen'd projection over events.
+    */
+  def b11_scalarSuite(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d).select(
+      col("event_id"),
+      upper(col("event_type")).as("up"),
+      concat(col("event_type"), lit("-"), col("user_id").cast("string")).as("tag"),
+      substring(col("event_type"), 1, 3).as("sub3"),
+      col("event_type").like("%ck%").as("is_ck"),
+      to_date(col("ts")).as("day"),
+      to_date(date_trunc("month", col("ts"))).as("mon"),
+      year(col("ts")).cast("long").as("yr"),
+      hour(col("ts")).cast("long").as("hr"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("days_since"),
+      round(col("value")).cast("long").as("v_round"),
+      abs(col("value") - 100.0).as("v_absdev"),
+      sqrt(col("value")).as("v_sqrt"),
+      floor(col("value")).cast("long").as("v_floor"),
+      ceil(col("value")).cast("long").as("v_ceil"),
+      size(split(concat(col("event_type"), lit("-"), col("user_id").cast("string")), "-"))
+        .cast("long").as("arr_n"),
+      element_at(split(concat(col("event_type"), lit("-"), col("user_id").cast("string")), "-"), 1)
+        .as("arr_first"),
+      element_at(map(col("event_type"), col("value")), "click").as("map_click"),
+      get_json_object(col("props"), "$.k").cast("long").as("json_k"))
+      .orderBy(col("event_id"))
+
+  val oracles: Map[String, String] = Map(
+    "b12_tpch_q1like" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b8_join_suite" ->
+      """SELECT '01_inner' AS join_kind, COUNT(*) AS cnt FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL SELECT '02_left_unmatched', COUNT(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL SELECT '03_full', COUNT(*) FROM customer c FULL JOIN orders o ON o.o_custkey = c.c_custkey
+        |UNION ALL SELECT '04_semi', COUNT(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL SELECT '05_anti', COUNT(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL SELECT '06_cross', COUNT(*) FROM nation, region
+        |UNION ALL SELECT '07_theta', COUNT(*) FROM supplier s JOIN customer c ON s.s_acctbal < c.c_acctbal
+        |UNION ALL SELECT '08_star4', COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY join_kind""".stripMargin,
+    "b9_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "b10_setops" ->
+      """WITH buyers AS (SELECT o_custkey AS k FROM orders),
+        |rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union' AS op, k FROM (SELECT k FROM buyers UNION SELECT k FROM rich)
+        |UNION ALL SELECT 'union_all', k FROM (SELECT k FROM buyers UNION ALL SELECT k FROM rich)
+        |UNION ALL SELECT 'intersect', k FROM (SELECT k FROM buyers INTERSECT SELECT k FROM rich)
+        |UNION ALL SELECT 'except', k FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers)
+        |ORDER BY op, k""".stripMargin,
+    "b11_scalar_suite" ->
+      """SELECT event_id,
+        |  upper(event_type) AS up,
+        |  event_type || '-' || CAST(user_id AS VARCHAR) AS tag,
+        |  substr(event_type, 1, 3) AS sub3,
+        |  event_type LIKE '%ck%' AS is_ck,
+        |  CAST(ts AS DATE) AS day,
+        |  CAST(date_trunc('month', ts) AS DATE) AS mon,
+        |  CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+        |  CAST(ROUND(value) AS BIGINT) AS v_round,
+        |  ABS(value - 100.0) AS v_absdev,
+        |  SQRT(value) AS v_sqrt,
+        |  CAST(FLOOR(value) AS BIGINT) AS v_floor,
+        |  CAST(CEIL(value) AS BIGINT) AS v_ceil,
+        |  CAST(len(str_split(event_type || '-' || CAST(user_id AS VARCHAR), '-')) AS BIGINT) AS arr_n,
+        |  str_split(event_type || '-' || CAST(user_id AS VARCHAR), '-')[1] AS arr_first,
+        |  CASE WHEN event_type = 'click' THEN value END AS map_click,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS json_k
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b8_join_suite"    -> b8_joinSuite _,
+    "b9_sort_topk"     -> b9_sortTopk _,
+    "b10_setops"       -> b10_setops _,
+    "b11_scalar_suite" -> b11_scalarSuite _,
+    "b12_tpch_q1like"  -> b12_tpchQ1 _,
+  )
+}
