@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Ingest.queries ++ Features.queries ++ Relational.queries
+    Ingest.queries ++ Features.queries ++ Relational.queries ++
+      TextOps.queries ++ VectorOps.queries ++ graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Ingest.oracles ++ Features.oracles ++ Relational.oracles
+    Ingest.oracles ++ Features.oracles ++ Relational.oracles ++
+      TextOps.oracles ++ VectorOps.oracles ++ graft.streaming.StreamOps.oracles
 }

@@ -54,7 +54,13 @@ object Ingest {
 
   /** A1: bounded scan of the event log mapped onto the 7-field envelope. */
   def envelope(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir).select(
+    envelopeOf(Tables.events(spark, sfDir))
+
+  /** Envelope mapping as a pure DataFrame→DataFrame stage (shared by the
+    * batch queries and the Structured Streaming twin s1).
+    */
+  def envelopeOf(events: DataFrame): DataFrame =
+    events.select(
       col("event_id").cast("string").as("EventID"),
       col("user_id").cast("string").as("PlayerID"),
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("EventTimestamp"),
@@ -110,7 +116,11 @@ object Ingest {
     * formatting, so both engines agree bit-for-bit.
     */
   def dwdFrame(spark: SparkSession, d: String): DataFrame =
-    envelope(spark, d)
+    dwdOf(envelope(spark, d))
+
+  /** Gated rewrite + validation + fixed-order projection as a pure stage. */
+  def dwdOf(env: DataFrame): DataFrame =
+    env
       .withColumn("EventDetails",
         when(col("EventType").isin(GatedTypes: _*),
           regexp_extract(col("EventDetails"), NumRegex, 1))

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Part-C text operators over the documents table (SURVEY.md §2B):
+  * exact dedup, near-dup detection, and text analysis — the
+  * LLM-training-pipeline surface the driver contract mandates.
+  *
+  * Near-dup design (100 TB): similarity is Jaccard over 3-token
+  * shingle sets. The oracled query (c2) computes it EXACTLY but
+  * scalably: candidate pairs come from a shared-shingle equi-join
+  * (any pair with J > 0 shares a shingle, so recall is 1 by
+  * construction), then exact verification on the candidates only.
+  * Shingles are discriminative (max doc-frequency 7 in the fixture),
+  * so the join never blows up the way a token-level join would.
+  * The probabilistic MinHash+LSH variant (x_minhash_lsh) trades that
+  * exactness for a signature of 64 minhashes banded 16×4 — its recall
+  * is validated in scalatest against c2, not against a SQL oracle.
+  */
+object TextOps {
+
+  /** c1: exact dedup by normalized-text hash — group on sha256(lower)
+    * (at 100 TB one groups on the 32-byte digest, not the document).
+    */
+  def c1_dedupExact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(sha2(lower(col("text")), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct (doc_id, 3-token-shingle) pairs. */
+  private def shingles(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct()
+
+  /** c2: exact shingle-Jaccard near-dup pairs (τ = 0.5) via the
+    * shared-shingle candidate join.
+    */
+  def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingles(spark, d)
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(card.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(card.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** MinHash + banded LSH near-dup candidates with exact verification —
+    * the sketch-based scale path (no oracle; recall vs c2 is a test).
+    * 64 minhashes, 16 bands × 4 rows.
+    */
+  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingles(spark, d)
+    // per-shingle hash family: xxhash64 salted by the hash index
+    val hashed = sh.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 63), i -> struct(i AS i, xxhash64(s, i) AS h))""")).as("ih"))
+      .select(col("doc_id"), col("ih.i").as("i"), col("ih.h").as("h"))
+    val minsig = hashed.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+    val bandSig = minsig
+      .withColumn("band", (col("i") / 4).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(i, mh))), x -> CAST(x.mh AS STRING))"))
+        .as("sig"))
+    val cand = bandSig.as("a")
+      .join(bandSig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verification on candidates only
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(card.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(card.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** c4: per-document text statistics (token counts, distinct tokens,
+    * char lengths, type-token ratio) — language-ID-style features.
+    */
+  def c4_textStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+      length(col("text")).cast("long").as("n_char"),
+      (size(array_distinct(split(col("text"), " "))).cast("double") /
+        size(split(col("text"), " "))).as("ttr"))
+      .orderBy(col("doc_id"))
+
+  /** c4b: corpus top-50 terms via explode + count. */
+  def c4b_topTerms(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(50)
+
+  val oracles: Map[String, String] = Map(
+    "c1_dedup_exact" ->
+      """SELECT sha256(lower(text)) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
+        |FROM documents GROUP BY sha256(lower(text)) ORDER BY keep_id""".stripMargin,
+    "c2_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, CAST(p.inter AS BIGINT) AS inter,
+        |  CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard
+        |FROM pairs p
+        |JOIN card ca ON ca.doc_id = p.a_id
+        |JOIN card cb ON cb.doc_id = p.b_id
+        |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "c4_text_stats" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(length(text) AS BIGINT) AS n_char,
+        |  CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c4b_top_terms" ->
+      """SELECT tok, COUNT(*) AS cnt
+        |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_dedup_exact"   -> c1_dedupExact _,
+    "c2_dedup_minhash" -> c2_dedupJaccard _,
+    "x_minhash_lsh"    -> minhashLsh _,
+    "c4_text_stats"    -> c4_textStats _,
+    "c4b_top_terms"    -> c4b_topTerms _,
+  )
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Part-C vector / multimodal operators over embeddings + documents
+  * (SURVEY.md §2B).
+  *
+  * Numeric determinism: float×float products are exact in double
+  * (24-bit mantissas), so dot products differ across engines only by
+  * summation-order ulps; similarity values are floored at 1e-6
+  * resolution on BOTH sides before ranking, which also sidesteps the
+  * engines' different decimal-rounding modes.
+  *
+  * Scale notes (100 TB): c3 is the broadcast-probe shape — the probe
+  * set ships to every executor and the corpus streams once; never a
+  * corpus×corpus cross join. The LSH-bucketed ANN variant (x_ann_lsh)
+  * is the scale path when the probe set itself is large: random
+  * hyperplane signs bucket the corpus so only same-bucket pairs are
+  * scored.
+  */
+object VectorOps {
+
+  private val sumSq =
+    "aggregate(%s, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  /** c3: exact cosine top-10 for probe vectors (vec_id < 20) against
+    * the whole corpus, probes broadcast.
+    */
+  def c3_simTopk(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val dot = expr(
+      """aggregate(zip_with(pe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val scored = corpus.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim", dot / (sqrt(expr(sumSq.format("pe"))) * sqrt(expr(sumSq.format("ce")))))
+      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim_e6").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("neighbor_id"), col("sim_e6"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** ANN via random-hyperplane LSH bucketing (no oracle — probabilistic;
+    * recall vs c3 is validated in scalatest). Each vector gets a sign
+    * bucket from 8 deterministic pseudo-random hyperplanes; candidates
+    * are same-bucket pairs only.
+    */
+  def annLsh(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    // deterministic "hyperplanes": component j of plane p is a hash-based
+    // pseudo-random ±1 — expressible entirely in Catalyst, no UDF.
+    val bucketExpr = expr(
+      """concat_ws('', transform(sequence(0, 7), p ->
+        |  CASE WHEN aggregate(
+        |    zip_with(embedding, sequence(0, 63), (x, j) ->
+        |      CAST(x AS DOUBLE) * (CAST(pmod(xxhash64(p, j), 2) AS DOUBLE) * 2 - 1)),
+        |    CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin)
+    val bucketed = emb.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val probes = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
+    val dot = expr(
+      """aggregate(zip_with(pe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim", dot / (sqrt(expr(sumSq.format("pe"))) * sqrt(expr(sumSq.format("ce")))))
+      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
+      .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))
+  }
+
+  /** c5: multimodal table — documents ⋈ embeddings with typed metadata:
+    * text bytes (binary plumbing), vector dim / norm / first component.
+    */
+  def c5_multimodal(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .join(Tables.embeddings(spark, d), col("doc_id") === col("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("label"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        size(col("embedding")).cast("long").as("dim"),
+        floor(sqrt(expr(sumSq.format("embedding"))) * 1e6).cast("long").as("l2_e6"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("f0_e6"))
+      .orderBy(col("doc_id"))
+
+  val oracles: Map[String, String] = Map(
+    "c3_sim_topk" ->
+      """WITH pr AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 20),
+        |co AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |dots AS (
+        |  SELECT probe_id, neighbor_id,
+        |    SUM(CAST(list_extract(pe, i) AS DOUBLE) * CAST(list_extract(ce, i) AS DOUBLE)) AS dot,
+        |    SUM(CAST(list_extract(pe, i) AS DOUBLE) * CAST(list_extract(pe, i) AS DOUBLE)) AS na,
+        |    SUM(CAST(list_extract(ce, i) AS DOUBLE) * CAST(list_extract(ce, i) AS DOUBLE)) AS nb
+        |  FROM pr, co, unnest(range(1, 65)) AS r(i)
+        |  WHERE neighbor_id != probe_id
+        |  GROUP BY probe_id, neighbor_id),
+        |sims AS (SELECT probe_id, neighbor_id,
+        |    CAST(FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6) AS BIGINT) AS sim_e6
+        |  FROM dots)
+        |SELECT probe_id, neighbor_id, sim_e6,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim_e6 DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM sims
+        |QUALIFY rnk <= 10
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "c5_multimodal_cols" ->
+      """SELECT d.doc_id, d.lang, d.source, e.label,
+        |  octet_length(encode(d.text)) AS n_bytes,
+        |  CAST(len(e.embedding) AS BIGINT) AS dim,
+        |  CAST(FLOOR(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6) AS BIGINT) AS l2_e6,
+        |  CAST(FLOOR(CAST(list_extract(e.embedding, 1) AS DOUBLE) * 1e6) AS BIGINT) AS f0_e6
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_sim_topk"        -> c3_simTopk _,
+    "x_ann_lsh"          -> annLsh _,
+    "c5_multimodal_cols" -> c5_multimodal _,
+  )
+}

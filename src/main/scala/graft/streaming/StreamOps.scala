@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.{Ingest, Tables}
+
+/** Structured Streaming twins of the batch pipeline (SURVEY.md §2B
+  * s1/s2). The reference is itself a bounded stream job — consume the
+  * Kafka log from offset 0, stop on empty poll
+  * (ConsumerMultiThread.java:89-110) — whose exact Spark analog is a
+  * file/Kafka stream drained with Trigger.AvailableNow.
+  *
+  * Both queries run the stream to completion inside the call and return
+  * the materialized result, so the driver's batch-oracle gate applies:
+  * each streaming query's oracle is its batch twin's SQL.
+  *
+  * Scale notes: s1 is stateless (pure map/filter per micro-batch +
+  * partitioned append). s2 keeps windowed-aggregation state keyed by
+  * (window, event_type) with a 10-minute watermark bounding state for
+  * unbounded sources; AvailableNow drains bounded input exactly once.
+  */
+object StreamOps {
+
+  private def rmrf(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  /** File-source stream over events.parquet with the raw fixture schema
+    * (ts arrives as nanos int64 — same conversion as the batch reader).
+    */
+  private def eventStream(spark: SparkSession, d: String): DataFrame = {
+    val schema = Tables.t(spark, d, "events").schema
+    // the file source requires a directory: stage a per-sf dir holding a
+    // symlink to the fixture file (falls back to a copy if unsupported)
+    val stageDir = Paths.get(s"${Tables.scratch}/events_src_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    if (!Files.exists(link)) {
+      try Files.createSymbolicLink(link, Paths.get(s"$d/events.parquet"))
+      catch { case _: Exception =>
+        Files.copy(Paths.get(s"$d/events.parquet"), link)
+      }
+    }
+    spark.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** s1: the A14 pipeline as a stream — envelope → gated rewrite →
+    * validation → projection, foreachBatch partitioned sink, drained
+    * with AvailableNow, then read back.
+    */
+  def s1_streamPipeline(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s1_out"
+    val chk = s"${Tables.scratch}/s1_chk"
+    rmrf(out); rmrf(chk)
+    val dwd = Ingest.dwdOf(Ingest.envelopeOf(eventStream(spark, d)))
+    val q = dwd.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("EventType").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(Ingest.EventFields.map(col): _*)
+      .orderBy(col("EventID").cast("long"))
+  }
+
+  /** s2: event-time tumbling windows (1 h) per event type with a
+    * 10-minute watermark, complete-mode aggregate drained with
+    * AvailableNow.
+    */
+  def s2_streamWindow(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s2_out"
+    val chk = s"${Tables.scratch}/s2_chk"
+    rmrf(out); rmrf(chk)
+    val agg = eventStream(spark, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+      date_format(col("window.end"), "yyyy-MM-dd HH:mm").as("win_end"),
+      col("event_type"),
+      col("cnt"),
+      (col("cents_sum") / 100.0).as("vsum"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    // batch twin of the streamed A14 pipeline (same rows, same sink layout)
+    "s1_stream_pipeline" -> (Ingest.oracles("a14_pipeline_e2e")),
+    "s2_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+        |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS win_end,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_stream_pipeline" -> s1_streamPipeline _,
+    "s2_stream_window"   -> s2_streamWindow _,
+  )
+}
