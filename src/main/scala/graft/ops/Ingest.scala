@@ -98,7 +98,7 @@ object Ingest {
     envelope(spark, d).select(
       col("EventID"), col("EventType"), col("EventDetails"),
       when(col("EventType").isin(GatedTypes: _*),
-        regexp_extract(col("EventDetails"), NumRegex, 1).cast("float"))
+        regexp_extract(col("EventDetails"), NumRegex, 1).try_cast("float"))
         .as("extracted"))
       .orderBy(eid)
 
@@ -203,7 +203,7 @@ object Ingest {
     "a6_regexp_extract" ->
       (envSql + """SELECT EventID, EventType, EventDetails,
         |  CASE WHEN EventType IN ('purchase','view')
-        |       THEN CAST(regexp_extract(EventDetails, '(\d+\.\d+|\d+)', 1) AS REAL)
+        |       THEN TRY_CAST(regexp_extract(EventDetails, '(\d+\.\d+|\d+)', 1) AS REAL)
         |       END AS extracted
         |FROM env ORDER BY CAST(EventID AS BIGINT)""".stripMargin),
     "a7_validate_notnull" ->

@@ -39,15 +39,33 @@ object TextOps {
         .as("s"))
       .distinct()
 
-  /** c2: exact shingle-Jaccard near-dup pairs (τ = 0.5) via the
-    * shared-shingle candidate join.
+  /** Document-frequency cap for candidate generation: shingles shared by
+    * more than this many documents are stop-shingles and generate no
+    * candidate pairs. Applied identically in the oracle SQL, and far
+    * above the fixture's max df (7) — it exists as the 100 TB safety
+    * valve against quadratic blowup on boilerplate shingles.
+    */
+  val DfCap = 1000
+
+  /** c2: exact shingle-Jaccard near-dup pairs (τ = 0.5).
+    *
+    * Shape: group by shingle → in-group pair expansion (bounded by
+    * [[DfCap]]) → per-pair intersection counts → exact Jaccard. No
+    * self-join and no wide broadcast: the heavy relation (doc_id,
+    * shingle) is aggregated once in each direction, and candidate
+    * pairs (which share ≥1 shingle — exactly the pairs with J > 0)
+    * stay tiny relative to the corpus.
     */
   def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
     val sh = shingles(spark, d)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val pairs = sh.groupBy(col("s")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, DfCap))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS a_id, b AS b_id))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(card.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
@@ -62,35 +80,41 @@ object TextOps {
     * the sketch-based scale path (no oracle; recall vs c2 is a test).
     * 64 minhashes, 16 bands × 4 rows.
     */
+  val NumHashes = 64
+  val NumBands = 16 // × 4 rows per band
+
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
     val sh = shingles(spark, d)
-    // per-shingle hash family: xxhash64 salted by the hash index
-    val hashed = sh.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 63), i -> struct(i AS i, xxhash64(s, i) AS h))""")).as("ih"))
-      .select(col("doc_id"), col("ih.i").as("i"), col("ih.h").as("h"))
-    val minsig = hashed.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-    val bandSig = minsig
-      .withColumn("band", (col("i") / 4).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(i, mh))), x -> CAST(x.mh AS STRING))"))
-        .as("sig"))
-    val cand = bandSig.as("a")
-      .join(bandSig.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    // exact verification on candidates only
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(card.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(card.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+    // signature = 64 wide min-aggregate columns over codegen'd xxhash64
+    // (one shuffle of the (doc, shingle) relation; no interpreted
+    // higher-order lambdas in the hot path)
+    val minCols = (0 until NumHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // band signatures: 16 compact strings per doc
+    val bands = sig.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band,
+         |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING))) AS bsig))"""
+        .stripMargin)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    // candidate pairs: same (band, band-signature) bucket
+    val cand = bands
+      .groupBy(col("band"), col("bsig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, DfCap))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS a_id, b AS b_id))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.*")).dropDuplicates("a_id", "b_id")
+    // exact verification via array intersection on per-doc shingle sets
+    val docSh = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+    cand
+      .join(docSh.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
+      .join(docSh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ssa")) + size(col("ssb")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -126,8 +150,10 @@ object TextOps {
         |sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
         |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT p.a_id, p.b_id, CAST(p.inter AS BIGINT) AS inter,
         |  CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard
         |FROM pairs p

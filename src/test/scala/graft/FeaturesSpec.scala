@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.Features
+
+/** Property-style invariants for the two genuinely tricky part-B
+  * semantics (SURVEY.md §5 item 3): sessionization gaps and the
+  * point-in-time join's no-future guarantee + tie-breaks.
+  */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("b6 sessionize: intra-session gaps <= 30 min, inter-session gaps > 30 min") {
+    val sessions = Features.b6_sessionize(spark, sf0001).collect()
+    val byUser = sessions.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("sess"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = b.getAs[Long]("start_us") - a.getAs[Long]("end_us")
+          assert(gap > 1800000000L, s"adjacent sessions closer than 30min: $gap us")
+        case _ =>
+      }
+    }
+    assert(sessions.length > 0)
+  }
+
+  test("b7 as-of join never reads the future and picks the latest feature") {
+    // hand-built case: probe at 10:00 must pick the 09:59 view (eid 2),
+    // not the 08:00 view (eid 1) nor the 10:01 view (eid 3); equal-ts
+    // tie (eid 4 vs 5 at 07:00 for user 2) resolves to the larger eid.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 08:00:00"), "view", 1.0),
+      (2L, 1L, ts("2024-01-01 09:59:00"), "view", 2.0),
+      (3L, 1L, ts("2024-01-01 10:01:00"), "view", 3.0),
+      (10L, 1L, ts("2024-01-01 10:00:00"), "purchase", 9.0),
+      (4L, 2L, ts("2024-01-01 07:00:00"), "view", 4.0),
+      (5L, 2L, ts("2024-01-01 07:00:00"), "view", 5.0),
+      (11L, 2L, ts("2024-01-01 07:00:00"), "purchase", 9.0),
+      (12L, 3L, ts("2024-01-01 06:00:00"), "purchase", 9.0) // no prior view → dropped
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.createOrReplaceTempView("asof_case")
+
+    // run the same union-merge logic against the literal frame by
+    // writing it to scratch as events.parquet
+    val dir = s"${graft.ops.Tables.scratch}/asof_case"
+    // Tables.events expects the fixture's on-disk shape: ts as int64 nanos
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Features.b7_asofJoin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_eid"), r.getAs[Long]("feat_eid"))).toMap
+    assert(out === Map(10L -> 2L, 11L -> 5L))
+  }
+
+  test("b7 on fixture: every matched feature is at or before its probe") {
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"))
+    val res = Features.b7_asofJoin(spark, sf0001)
+    val bad = res
+      .join(ev.withColumnsRenamed(Map("event_id" -> "probe_eid", "ts" -> "pts")), "probe_eid")
+      .join(ev.withColumnsRenamed(Map("event_id" -> "feat_eid", "ts" -> "fts")), "feat_eid")
+      .filter(col("fts") > col("pts"))
+    assert(bad.count() === 0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Ingest
+
+/** A6/A7/A8 semantics mirroring the reference's worked examples
+  * (/root/reference/README.md:115-116: "Purchased 4.99 USD" → 4.99,
+  * session-duration text → numeric; ConsumerMultiThread.java:121-132).
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(s: String): Option[Float] = {
+    val df = Seq(s).toDF("EventDetails")
+      .select(regexp_extract(col("EventDetails"), Ingest.NumRegex, 1)
+        .try_cast("float").as("x"))
+    Option(df.collect()(0).getAs[java.lang.Float]("x")).map(_.floatValue)
+  }
+
+  test("A6 extracts the first numeric, decimals preferred") {
+    assert(extract("Purchased 4.99 USD") === Some(4.99f))
+    assert(extract("Session lasted 300 seconds") === Some(300f))
+    assert(extract("no digits here") === None)
+    assert(extract("v2 costs 10.50") === Some(2f)) // first match wins, as in the reference
+  }
+
+  test("A7 drops rows missing any required field") {
+    val env = Ingest.envelope(spark, sf0001)
+    val validated = Ingest.dwdFrame(spark, sf0001)
+    val nullLoc = env.filter(col("Location").isNull).count()
+    assert(nullLoc > 0, "fixture must exercise the null branch")
+    assert(validated.count() === env.count() - nullLoc)
+    assert(validated.filter(col("Location").isNull).count() === 0)
+  }
+
+  test("A8 projects the 7 envelope fields in fixed order") {
+    assert(Ingest.dwdFrame(spark, sf0001).columns.toSeq === Ingest.EventFields)
+  }
+
+  test("A6 rewrite only applies to gated event types") {
+    val dwd = Ingest.dwdFrame(spark, sf0001)
+    val gated = dwd.filter(col("EventType").isin(Ingest.GatedTypes: _*))
+    val passthrough = dwd.filter(!col("EventType").isin(Ingest.GatedTypes: _*))
+    assert(gated.filter(!col("EventDetails").rlike("^\\d+\\.?\\d*$")).count() === 0)
+    assert(passthrough.filter(!col("EventDetails").startsWith("amount ")).count() === 0)
+  }
+}

