@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** c6: SimHash near-duplicate detection over documents.
+  *
+  * 60-bit SimHash from md5-derived token hashes (md5 is identical in
+  * Spark and DuckDB, so the oracle reproduces the signatures exactly;
+  * 60 bits = 15 hex chars keeps the value inside a signed BIGINT for
+  * both engines). Per-document signature: for each bit b, sum +cnt/-cnt
+  * over tokens by whether bit b of the token hash is set; the sign of
+  * the sum is the signature bit.
+  *
+  * Near-dup pairs = hamming distance ≤ [[HamMax]]. The Spark side finds
+  * candidates by the pigeonhole banding trick — 4 chunks of 15 bits;
+  * any pair within distance 3 must agree on ≥1 whole chunk — so the
+  * equi-join on chunks is exhaustive (recall 1), never O(n²). The
+  * oracle brute-forces all pairs, which is exactly equivalent.
+  */
+object Simhash {
+
+  val Bits = 60
+  val Chunks = 4 // 15 bits each; exhaustive for hamming <= Chunks-1
+  val HamMax: Int = Chunks - 1
+
+  /** token-hash → 60-bit bigint, shared with the oracle via md5. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def signatures(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h60(col("tok")))
+    val weightCols = (0 until Bits).map { b =>
+      sum(col("cnt") * when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"w$b")
+    }
+    // assemble the signature through a binary string (concat is
+    // non-commutative, so Catalyst canonicalization stays linear — a
+    // 60-term Add chain sends the planner's orderCommutative into
+    // minutes of sorting)
+    val bitStr = concat((Bits - 1 to 0 by -1)
+      .map(b => when(col(s"w$b") >= 0, "1").otherwise("0")): _*)
+    toks.groupBy(col("doc_id"))
+      .agg(weightCols.head, weightCols.tail: _*)
+      .select(col("doc_id"), conv(bitStr, 2, 10).cast("long").as("simhash"))
+  }
+
+  def c6_simhash(spark: SparkSession, d: String): DataFrame = {
+    val sig = signatures(spark, d)
+    val chunked = sig.select(col("doc_id") +: col("simhash") +:
+      (0 until Chunks).map(j =>
+        shiftright(col("simhash"), 15 * j).bitwiseAND(lit(32767L)).as(s"c$j")): _*)
+    val cand = (0 until Chunks).map { j =>
+      chunked.as("a").join(chunked.as("b"),
+        col(s"a.c$j") === col(s"b.c$j") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+    }.reduce(_ unionAll _).dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("ham") <= HamMax)
+      .select(col("a_id"), col("b_id"), col("ham"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Oracle: identical signatures, brute-force pair scan. */
+  private val sigSql: String = {
+    val weights = (0 until Bits).map(b =>
+      s"SUM(cnt * CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w$b").mkString(",\n    ")
+    val bits = (Bits - 1 to 0 by -1).map(b =>
+      s"(CASE WHEN w$b >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, COUNT(*) AS cnt,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |w AS (
+       |  SELECT doc_id,
+       |    $weights
+       |  FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST('0b' || ($bits) AS BIGINT) AS simhash FROM w)
+       |""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "c6_simhash" ->
+      (sigSql +
+        s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMax
+           |ORDER BY a_id, b_id""".stripMargin),
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c6_simhash" -> c6_simhash _,
+  )
+}

@@ -91,6 +91,33 @@ object VectorOps {
         floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("f0_e6"))
       .orderBy(col("doc_id"))
 
+  /** c7: embedding-cosine near-dup pairs (sim ≥ 0.4).
+    *
+    * The embedding is flattened to 64 scalar columns so the pair scan
+    * runs entirely in whole-stage codegen (no interpreted lambdas).
+    * Exact all-pairs is the oracle-matched form; at 100 TB the same
+    * verify step runs over LSH/IVF candidates instead (x_ann_lsh),
+    * trading bounded recall for linear cost.
+    */
+  def c7_cosineNeardup(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    // norms precomputed per row (not per pair); the pair scan evaluates
+    // one zip_with dot per candidate. (Building the dot as a 64-term
+    // column Add chain stalls Catalyst canonicalization — see Simhash.)
+    def side(p: String): DataFrame = emb.select(
+      col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}e"),
+      sqrt(expr(sumSq.format("embedding"))).as(s"${p}_norm"))
+    val dot = expr(
+      """aggregate(zip_with(ae, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    side("a").join(side("b"), col("a_id") < col("b_id"))
+      .withColumn("sim_e6", floor(dot / (col("a_norm") * col("b_norm")) * 1e6).cast("long"))
+      .filter(col("sim_e6") >= 400000)
+      .select(col("a_id"), col("b_id"), col("sim_e6"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "c3_sim_topk" ->
       """WITH pr AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 20),
@@ -111,6 +138,20 @@ object VectorOps {
         |FROM sims
         |QUALIFY rnk <= 10
         |ORDER BY probe_id, rnk""".stripMargin,
+    "c7_cosine_neardup" ->
+      """WITH un AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS dot,
+        |    SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(a.embedding, i) AS DOUBLE)) AS na,
+        |    SUM(CAST(list_extract(b.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |       unnest(range(1, 65)) AS r(i)
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6) AS BIGINT) AS sim_e6
+        |FROM un
+        |WHERE FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6) >= 400000
+        |ORDER BY a_id, b_id""".stripMargin,
     "c5_multimodal_cols" ->
       """SELECT d.doc_id, d.lang, d.source, e.label,
         |  octet_length(encode(d.text)) AS n_bytes,
@@ -125,5 +166,6 @@ object VectorOps {
     "c3_sim_topk"        -> c3_simTopk _,
     "x_ann_lsh"          -> annLsh _,
     "c5_multimodal_cols" -> c5_multimodal _,
+    "c7_cosine_neardup"  -> c7_cosineNeardup _,
   )
 }
