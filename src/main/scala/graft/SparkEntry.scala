@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Ingest.queries ++ Features.queries ++ Relational.queries ++
       TextOps.queries ++ VectorOps.queries ++ Simhash.queries ++
-      TextQuality.queries ++ graft.streaming.StreamOps.queries
+      TextQuality.queries ++ Multimodal.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Ingest.oracles ++ Features.oracles ++ Relational.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ Simhash.oracles ++
-      TextQuality.oracles ++ graft.streaming.StreamOps.oracles
+      TextQuality.oracles ++ Multimodal.oracles ++
+      graft.streaming.StreamOps.oracles
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed Aggregator: element-wise centroid of embedding vectors
+  * (SURVEY.md §2B UDAF surface). Buffer is a mutable running sum +
+  * count; merge is associative, so Spark applies it map-side first —
+  * the shuffle carries one 64-double buffer per (partition, group)
+  * instead of the raw vectors.
+  */
+object VectorCentroid extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+
+  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    val acc = if (b._1.isEmpty) Array.fill(v.length)(0.0) else b._1
+    var i = 0
+    while (i < v.length) { acc(i) += v(i); i += 1 }
+    (acc, b._2 + 1)
+  }
+
+  override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+    if (x._1.isEmpty) y
+    else if (y._1.isEmpty) x
+    else {
+      var i = 0
+      while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+  }
+
+  override def finish(b: (Array[Double], Long)): Seq[Double] =
+    if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    Encoders.tuple(ExpressionEncoder[Array[Double]](), Encoders.scalaLong)
+
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (driver-contract extension surface):
+  * image/audio/video as opaque binary columns with typed metadata, and
+  * partition-wise batched "decode" — the Scala/Dataset analog of a
+  * Pandas-UDF `mapInPandas` decode stage.
+  *
+  * The container has no image/audio codecs, so [[ImageDecodeStub]] is a
+  * STUB: it computes deterministic fake features (byte histogram + a
+  * size-derived "resolution") with the real decode path clearly marked.
+  * Everything around it — the binary schema, the per-partition batch
+  * shape, the partitioning, the feature schema — is real and tested.
+  */
+object Multimodal {
+
+  case class BinaryDoc(doc_id: Long, payload: Array[Byte], fmt: String)
+  case class ImageFeatures(doc_id: Long, n_bytes: Int, fmt: String,
+      width: Int, height: Int, hist: Array[Long])
+
+  /** Deterministic fake "image decoder".
+    *
+    * REAL IMPLEMENTATION WOULD: decode payload with an image codec
+    * (e.g. javax.imageio / libjpeg bindings), extract true dimensions,
+    * resize, and emit pixel statistics. Not available in this
+    * container, so dimensions derive from the payload length and the
+    * "histogram" is a 4-bucket byte histogram — deterministic, so tests
+    * can pin exact values.
+    */
+  object ImageDecodeStub {
+    def decode(d: BinaryDoc): ImageFeatures = {
+      val n = d.payload.length
+      val hist = new Array[Long](4)
+      var i = 0
+      while (i < n) { hist((d.payload(i) & 0xff) / 64) += 1; i += 1 }
+      ImageFeatures(d.doc_id, n, d.fmt, width = (n % 640) + 1, height = (n % 480) + 1, hist)
+    }
+  }
+
+  /** documents → opaque binary payloads with typed metadata (in a real
+    * lake these bytes come from the storage layer, not from text).
+    */
+  def binaryTable(spark: SparkSession, d: String): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        concat(lit("img/"), element_at(lit(Array("png", "jpg", "webp")),
+          (col("doc_id") % 3 + 1).cast("int"))).as("fmt"))
+      .as[BinaryDoc]
+  }
+
+  /** Partition-wise batched decode — mapPartitions so a real decoder
+    * could amortize per-batch setup (codec init, model load), exactly
+    * like the arrow-batch shape of mapInPandas. Stays a narrow
+    * transformation: no shuffle, scales with input splits.
+    */
+  def decodeFeatures(spark: SparkSession, d: String): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    binaryTable(spark, d).mapPartitions { batch =>
+      // per-partition setup would go here (decoder/codec init)
+      batch.map(ImageDecodeStub.decode)
+    }
+  }
+
+  /** Queryable view: decoded features flattened to columns. */
+  def multimodalDecode(spark: SparkSession, d: String): DataFrame =
+    decodeFeatures(spark, d).toDF()
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("fmt"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        element_at(col("hist"), 1).as("h0"), element_at(col("hist"), 2).as("h1"),
+        element_at(col("hist"), 3).as("h2"), element_at(col("hist"), 4).as("h3"))
+      .orderBy(col("doc_id"))
+
+  /** The decode stub is JVM-side logic, but its fake feature definition
+    * is simple enough to oracle: byte-bucket counts over the UTF-8
+    * payload, dimensions from byte length. This pins the whole
+    * mapPartitions path to a cross-engine check.
+    */
+  val oracles: Map[String, String] = Map(
+    // exact because the fixture text is pure ASCII [a-z ]: UTF-8 bytes
+    // == character ordinals, so the stub's byte buckets are char buckets
+    "c9_multimodal_decode" ->
+      """WITH ch AS (
+        |  SELECT doc_id, ord(substr(text, i, 1)) AS o
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS r(i)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN o < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |    CAST(SUM(CASE WHEN o >= 64 AND o < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(0 AS BIGINT) AS h2,
+        |    CAST(0 AS BIGINT) AS h3
+        |  FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |  'img/' || CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+        |  CAST(length(d.text) % 640 + 1 AS BIGINT) AS width,
+        |  CAST(length(d.text) % 480 + 1 AS BIGINT) AS height,
+        |  a.h0, a.h1, a.h2, a.h3
+        |FROM documents d JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c9_multimodal_decode" -> multimodalDecode _,
+  )
+}

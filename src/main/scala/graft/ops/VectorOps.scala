@@ -118,6 +118,20 @@ object VectorOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Per-label embedding centroids via the typed [[graft.functions.VectorCentroid]]
+    * Aggregator (map-side combinable; no oracle — double-sum order is
+    * partition-dependent, so equality is asserted in scalatest with a
+    * tolerance instead).
+    */
+  def labelCentroids(spark: SparkSession, d: String): DataFrame = {
+    val centroid = udaf(graft.functions.VectorCentroid,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    Tables.embeddings(spark, d)
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("centroid"), count(lit(1)).as("n"))
+      .orderBy(col("label"))
+  }
+
   val oracles: Map[String, String] = Map(
     "c3_sim_topk" ->
       """WITH pr AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 20),
@@ -167,5 +181,6 @@ object VectorOps {
     "x_ann_lsh"          -> annLsh _,
     "c5_multimodal_cols" -> c5_multimodal _,
     "c7_cosine_neardup"  -> c7_cosineNeardup _,
+    "x_label_centroids"  -> labelCentroids _,
   )
 }

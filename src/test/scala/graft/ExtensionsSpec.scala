@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ExtractNumeric
+
+/** Catalyst extension machinery: the native extract_numeric expression
+  * (eval + codegen), the optimizer substitution rule, and the typed
+  * centroid Aggregator.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extract_numeric native expression matches the portable idiom") {
+    ExtractNumeric.register(spark)
+    val df = Seq("Purchased 4.99 USD", "dur 300s", "none", "v2 is 10.50").toDF("s")
+      .select(
+        expr("extract_numeric(s)").as("native"),
+        regexp_extract(col("s"), graft.ops.Ingest.NumRegex, 1).try_cast("float").as("portable"))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.get(0) === r.get(1)))
+    assert(rows.map(_.get(0)).toSeq === Seq(4.99f, 300f, null, 2f))
+  }
+
+  test("optimizer rule rewrites the regexp_extract+cast idiom to the native expression") {
+    val df = graft.ops.Ingest.envelope(spark, sf0001)
+      .select(regexp_extract(col("EventDetails"), graft.ops.Ingest.NumRegex, 1)
+        .try_cast("float").as("x"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("extract_numeric"),
+      s"expected native substitution in plan:\n$optimized")
+    assert(df.filter(col("x").isNotNull).count() > 0)
+  }
+
+  test("a6 results are unchanged under the extension rewrite") {
+    val out = graft.ops.Ingest.a6_regexpExtract(spark, sf0001)
+      .filter(col("extracted").isNotNull).count()
+    assert(out > 0)
+  }
+
+  test("VectorCentroid aggregator matches a driver-side mean") {
+    val rows = graft.ops.VectorOps.labelCentroids(spark, sf0001).collect()
+    val emb = graft.ops.Tables.embeddings(spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("label"), r.getSeq[Float](1)))
+    val byLabel = emb.groupBy(_._1)
+    rows.foreach { r =>
+      val label = r.getAs[Int]("label")
+      val centroid = r.getSeq[Double](1)
+      val vs = byLabel(label).map(_._2)
+      assert(r.getAs[Long]("n") === vs.length)
+      val expected = (0 until 64).map(i => vs.map(_(i).toDouble).sum / vs.length)
+      centroid.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+    assert(rows.length === 10)
+  }
+}
