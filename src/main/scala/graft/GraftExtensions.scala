@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("extract_numeric"),
       new ExpressionInfo(classOf[ExtractNumeric].getName, "extract_numeric"),
       (children: Seq[Expression]) => ExtractNumeric(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[graft.functions.DotF32].getName, "dot_f32"),
+      (children: Seq[Expression]) => graft.functions.DotF32(children.head, children(1))))
     ext.injectOptimizerRule(_ => ExtractNumericRewrite)
   }
 }

@@ -83,3 +83,16 @@ object ExtractNumeric {
       "extract_numeric", (children: Seq[Expression]) => ExtractNumeric(children.head),
       "built-in")
 }
+
+/** Runtime registration of all graft native functions on any session —
+  * used by queries so they work under the driver's plain session as
+  * well as extension-configured ones.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    ExtractNumeric.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f32", (children: Seq[Expression]) => DotF32(children.head, children(1)),
+      "built-in")
+  }
+}

@@ -21,22 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  private val sumSq =
-    "aggregate(%s, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  /** Self-dot via the native codegen'd kernel (see
+    * [[graft.functions.DotF32]]) — same left-to-right double fold as the
+    * portable aggregate/zip_with form, ~100× faster interpreted-vs-JIT.
+    */
+  private val sumSq = "dot_f32(%s, %s)"
+  private def sumSqOf(c: String) = expr(sumSq.format(c, c))
 
   /** c3: exact cosine top-10 for probe vectors (vec_id < 20) against
     * the whole corpus, probes broadcast.
     */
   def c3_simTopk(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val dot = expr(
-      """aggregate(zip_with(pe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val dot = expr("dot_f32(pe, ce)")
     val scored = corpus.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", dot / (sqrt(expr(sumSq.format("pe"))) * sqrt(expr(sumSq.format("ce")))))
+      .withColumn("sim", dot / (sqrt(sumSqOf("pe")) * sqrt(sumSqOf("ce"))))
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim_e6").desc, col("neighbor_id"))
@@ -53,6 +56,7 @@ object VectorOps {
     * are same-bucket pairs only.
     */
   def annLsh(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
     // deterministic "hyperplanes": component j of plane p is a hash-based
     // pseudo-random ±1 — expressible entirely in Catalyst, no UDF.
@@ -65,13 +69,11 @@ object VectorOps {
     val bucketed = emb.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
     val probes = bucketed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
-    val dot = expr(
-      """aggregate(zip_with(pe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val dot = expr("dot_f32(pe, ce)")
     bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", dot / (sqrt(expr(sumSq.format("pe"))) * sqrt(expr(sumSq.format("ce")))))
+      .withColumn("sim", dot / (sqrt(sumSqOf("pe")) * sqrt(sumSqOf("ce"))))
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
       .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))
@@ -80,16 +82,18 @@ object VectorOps {
   /** c5: multimodal table — documents ⋈ embeddings with typed metadata:
     * text bytes (binary plumbing), vector dim / norm / first component.
     */
-  def c5_multimodal(spark: SparkSession, d: String): DataFrame =
+  def c5_multimodal(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, d)
       .join(Tables.embeddings(spark, d), col("doc_id") === col("vec_id"))
       .select(
         col("doc_id"), col("lang"), col("source"), col("label"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         size(col("embedding")).cast("long").as("dim"),
-        floor(sqrt(expr(sumSq.format("embedding"))) * 1e6).cast("long").as("l2_e6"),
+        floor(sqrt(sumSqOf("embedding")) * 1e6).cast("long").as("l2_e6"),
         floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("f0_e6"))
       .orderBy(col("doc_id"))
+  }
 
   /** c7: embedding-cosine near-dup pairs (sim ≥ 0.4).
     *
@@ -100,17 +104,16 @@ object VectorOps {
     * trading bounded recall for linear cost.
     */
   def c7_cosineNeardup(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
-    // norms precomputed per row (not per pair); the pair scan evaluates
-    // one zip_with dot per candidate. (Building the dot as a 64-term
-    // column Add chain stalls Catalyst canonicalization — see Simhash.)
+    // norms precomputed per row (not per pair); each candidate pair costs
+    // one native dot_f32. (Building the dot as a 64-term column Add
+    // chain stalls Catalyst canonicalization — see Simhash.)
     def side(p: String): DataFrame = emb.select(
       col("vec_id").as(s"${p}_id"),
       col("embedding").as(s"${p}e"),
-      sqrt(expr(sumSq.format("embedding"))).as(s"${p}_norm"))
-    val dot = expr(
-      """aggregate(zip_with(ae, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      sqrt(sumSqOf("embedding")).as(s"${p}_norm"))
+    val dot = expr("dot_f32(ae, be)")
     side("a").join(side("b"), col("a_id") < col("b_id"))
       .withColumn("sim_e6", floor(dot / (col("a_norm") * col("b_norm")) * 1e6).cast("long"))
       .filter(col("sim_e6") >= 400000)

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops._
+
+/** Physical-plan shape assertions — the 100 TB safety properties the
+  * scaladocs promise, pinned so a refactor can't silently regress them:
+  * filters/projections reach the parquet scan, small dims broadcast,
+  * top-k never global-sorts, and nothing cartesian-joins by accident.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("b12: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan(Relational.b12_tpchQ1(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // only the 7 needed columns are read, not all 11
+    assert(!p.contains("l_orderkey"), "scan should prune unused lineitem columns")
+  }
+
+  test("b8: dimension joins broadcast; no shuffle join for small dims") {
+    val p = plan(Relational.b8_joinSuite(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("b9: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.b9_sortTopk(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("c3: probe side is broadcast — corpus never shuffles for the cross score") {
+    val p = plan(VectorOps.c3_simTopk(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$p")
+  }
+
+  test("a14: single narrow stage — no shuffle before the sort") {
+    val p = plan(Ingest.dwdFrame(spark, sf0001))
+    assert(!p.contains("Exchange"), s"ingest pipeline must not shuffle:\n$p")
+  }
+
+  test("a1/a8: envelope projection prunes the events scan to used columns") {
+    val p = plan(Ingest.envelope(spark, sf0001))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.toLowerCase.contains("props"), "props must be pruned from the envelope scan")
+  }
+}
