@@ -67,6 +67,17 @@ object Features {
       .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("vsum"))
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
+  /** b3b: cube over (event_type, device bucket) — the remaining
+    * grouping-sets flavor (rollup is b3).
+    */
+  def b3b_cube(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"), (col("user_id") % 3).cast("long").as("cohort"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .cube(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("vsum"))
+      .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)
+
   /** b4: ranking window functions. row_number/ntile order by the unique
     * (ts, event_id); rank/dense_rank order by ts alone (tie-stable).
     */
@@ -178,6 +189,12 @@ object Features {
         |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
         |GROUP BY ROLLUP(event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "b3b_cube" ->
+      """SELECT event_type, cohort, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM (SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort, value FROM events)
+        |GROUP BY CUBE(event_type, cohort)
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
     "b4_window_rank" ->
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
@@ -222,6 +239,7 @@ object Features {
     "b2_agg_distinct"      -> b2_aggDistinct _,
     "x_approx_distinct"    -> approxDistinct _,
     "b3_groupsets_rollup"  -> b3_rollup _,
+    "b3b_cube"             -> b3b_cube _,
     "b4_window_rank"       -> b4_windowRank _,
     "b5_window_frame"      -> b5_windowFrame _,
     "b6_sessionize"        -> b6_sessionize _,

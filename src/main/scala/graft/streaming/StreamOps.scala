@@ -106,9 +106,84 @@ object StreamOps {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  // public: Catalyst-generated encoder code must access these
+  case class SessEv(user_id: Long, us: Long, event_id: Long)
+  case class SessState(nextSess: Long, lastEndUs: Long)
+  case class SessOut(user_id: Long, sess: Long, n_events: Long,
+      start_us: Long, end_us: Long, dur_us: Long)
+
+  /** s3: sessionization via flatMapGroupsWithState — the custom-state
+    * streaming surface (KeyValueGroupedDataset, GroupState). Exactly the
+    * b6 semantics: new session when the gap exceeds 30 minutes, ties
+    * broken by event_id. With AvailableNow over the bounded fixture the
+    * whole log arrives in one micro-batch, so emitted sessions are
+    * final; the carried GroupState (next session ordinal + last end)
+    * is what makes the same code continue correctly on an unbounded
+    * source. Oracle = the b6 batch SQL.
+    */
+  def s3_streamSessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val chk = s"${Tables.scratch}/s3_chk"
+    val out = s"${Tables.scratch}/s3_out"
+    rmrf(out); rmrf(chk)
+    val gapUs = 1800000000L
+    val evs = eventStream(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[SessEv]
+    def sessionize(key: Long, it: Iterator[SessEv], state: GroupState[SessState]): Iterator[SessOut] = {
+      val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      // sess ordinals start at 1, matching b6's running sum of flags
+      val st = state.getOption.getOrElse(SessState(1L, Long.MinValue))
+      var sess = st.nextSess
+      var curStart = -1L; var curEnd = -1L; var curN = 0L
+      val res = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      sorted.foreach { e =>
+        if (curN == 0L) {
+          curStart = e.us; curEnd = e.us; curN = 1L
+        } else if (e.us - curEnd > gapUs) {
+          res += SessOut(key, sess, curN, curStart, curEnd, curEnd - curStart)
+          sess += 1
+          curStart = e.us; curEnd = e.us; curN = 1L
+        } else {
+          curEnd = e.us; curN += 1
+        }
+      }
+      res += SessOut(key, sess, curN, curStart, curEnd, curEnd - curStart)
+      state.update(SessState(sess + 1, curEnd))
+      res.iterator
+    }
+    val q = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessOut], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(col("user_id"), col("sess"), col("n_events"),
+        col("start_us"), col("end_us"), col("dur_us"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
   val oracles: Map[String, String] = Map(
     // batch twin of the streamed A14 pipeline (same rows, same sink layout)
     "s1_stream_pipeline" -> (Ingest.oracles("a14_pipeline_e2e")),
+    "s3_stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS flag FROM o),
+        |s AS (SELECT *, CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, sess, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS dur_us
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
     "s2_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
         |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS win_end,
@@ -122,5 +197,6 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_pipeline" -> s1_streamPipeline _,
     "s2_stream_window"   -> s2_streamWindow _,
+    "s3_stream_sessionize" -> s3_streamSessionize _,
   )
 }
