@@ -117,7 +117,67 @@ object Relational {
       get_json_object(col("props"), "$.k").cast("long").as("json_k"))
       .orderBy(col("event_id"))
 
+  /** b13: TPC-H Q5-shaped star join — revenue per nation through
+    * lineitem⋈orders⋈customer⋈nation⋈region with broadcast dimensions
+    * (one fact-table scan, all dims broadcast; single final shuffle on
+    * the 25-key group).
+    */
+  def b13_q5like(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)""")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** b14: the SQL surface — CTE + window + join, executed via spark.sql
+    * over registered views (top order per customer segment).
+    */
+  def b14_sqlCte(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, d).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH ranked AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY c_mktsegment, rn""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "b13_q5like" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "b14_sql_cte" ->
+      """WITH ranked AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY c_mktsegment, rn""".stripMargin,
     "b12_tpch_q1like" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -182,5 +242,7 @@ object Relational {
     "b10_setops"       -> b10_setops _,
     "b11_scalar_suite" -> b11_scalarSuite _,
     "b12_tpch_q1like"  -> b12_tpchQ1 _,
+    "b13_q5like"       -> b13_q5like _,
+    "b14_sql_cte"      -> b14_sqlCte _,
   )
 }
