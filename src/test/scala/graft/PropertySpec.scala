@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5 item 3) — scalacheck
+  * generators drive randomized inputs through the same Spark operators
+  * the queries use. Sampling is hand-rolled (fixed seeds, pureApply)
+  * because only scalacheck-core is vendored, not the scalatest bridge.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val detailGen: Gen[List[String]] = Gen.listOfN(40, for {
+    pre <- Gen.alphaStr.map(_.take(8))
+    num <- Gen.oneOf(
+      Gen.choose(0, 99999).map(_.toString),
+      Gen.choose(0.0, 9999.0).map(d => f"$d%.2f"))
+    post <- Gen.alphaStr.map(_.take(8))
+  } yield s"$pre $num $post")
+
+  test("A6 extraction equals a regex reference model on generated strings") {
+    val model = "(\\d+\\.\\d+|\\d+)".r
+    samples(detailGen, 10).foreach { strs =>
+      val got = strs.toDF("EventDetails")
+        .select(regexp_extract(col("EventDetails"), graft.ops.Ingest.NumRegex, 1)
+          .try_cast("float").as("x"))
+        .collect().map(r => Option(r.getAs[java.lang.Float]("x")).map(_.floatValue))
+      val expected = strs.map(s => model.findFirstIn(s).map(_.toFloat))
+      assert(got.toSeq === expected)
+    }
+  }
+
+  private val eventsGen: Gen[List[(Long, Long)]] = Gen.listOfN(60, for {
+    user <- Gen.choose(0L, 3L)
+    offsetSec <- Gen.choose(0L, 86400L * 3)
+  } yield (user, offsetSec))
+
+  test("sessionize invariants hold on generated event sets") {
+    samples(eventsGen, 6).foreach { evs =>
+      val df = evs.zipWithIndex.map { case ((u, off), i) =>
+        (i.toLong, u, 1704067200000L + off * 1000) // 2024-01-01 UTC + offset
+      }.toDF("event_id", "user_id", "ms")
+        .select(col("event_id"), col("user_id"), expr("timestamp_millis(ms)").as("ts"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Long.MinValue, 0)
+      val sess = df
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(ord))
+        .withColumn("flag",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sess", sum(col("flag")).over(run))
+      // intra-session gaps never exceed 30 min…
+      val intraBad = sess
+        .withColumn("prev_sess", lag(col("sess"), 1).over(ord))
+        .filter(col("prev_sess") === col("sess") &&
+          col("us") - col("prev_us") > 1800000000L)
+      assert(intraBad.count() === 0)
+      // …and a session only starts across a real >30 min gap
+      val startBad = sess.filter(col("flag") === 1 && col("prev_us").isNotNull &&
+        col("us") - col("prev_us") <= 1800000000L)
+      assert(startBad.count() === 0)
+    }
+  }
+
+  private val asofGen: Gen[(List[Long], List[Long])] = for {
+    feats <- Gen.listOfN(20, Gen.choose(0L, 100000L))
+    probes <- Gen.listOfN(10, Gen.choose(0L, 100000L))
+  } yield (feats, probes)
+
+  test("as-of join: never the future, always the latest eligible feature") {
+    samples(asofGen, 4).foreach { case (feats, probes) =>
+      val rows =
+        feats.zipWithIndex.map { case (s, i) => (i.toLong, 1L, s, "view", 1.0) } ++
+          probes.zipWithIndex.map { case (s, i) => (1000L + i, 1L, s, "purchase", 2.0) }
+      val dir = s"${graft.ops.Tables.scratch}/asof_prop"
+      rows.toDF("event_id", "user_id", "sec", "event_type", "value")
+        .select(col("event_id"), col("user_id"),
+          (col("sec") * 1000000000L).as("ts"),
+          col("event_type"), col("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = graft.ops.Features.b7_asofJoin(spark, dir).collect()
+      val featBySec = feats.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap
+      val probeBySec = probes.zipWithIndex.map { case (s, i) => (1000L + i) -> s }.toMap
+      out.foreach { r =>
+        val ps = probeBySec(r.getAs[Long]("probe_eid"))
+        val fs = featBySec(r.getAs[Long]("feat_eid"))
+        assert(fs <= ps, s"feature at $fs read for probe at $ps")
+        val bestSec = feats.filter(_ <= ps).max
+        assert(fs === bestSec, s"not the latest eligible feature for probe at $ps")
+      }
+      val matched = out.map(_.getAs[Long]("probe_eid")).toSet
+      probes.zipWithIndex.foreach { case (ps, i) =>
+        if (feats.exists(_ <= ps)) assert(matched.contains(1000L + i))
+      }
+    }
+  }
+}
