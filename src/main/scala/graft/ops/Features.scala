@@ -78,6 +78,39 @@ object Features {
       .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("vsum"))
       .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)
 
+  /** b15: two-phase salted aggregation — the skew-mitigation shape for
+    * hot keys at 100 TB: partial aggregate on (key, salt) spreads a hot
+    * key over 16 reducers, then a cheap 16-row-per-key merge. Results
+    * are identical to the plain groupBy, which is exactly what the
+    * oracle asserts.
+    */
+  def b15_saltedAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("salt", (col("event_id") % 16).cast("int"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("cents")).as("ps"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pc")).as("n_events"), (sum(col("ps")) / 100.0).as("vsum"))
+      .orderBy(col("user_id"))
+
+  /** b16: exact percentiles of integer cents. Only binary-exact quantile
+    * fractions (¼, ½, ¾) are used so the linear interpolation lands on
+    * the same double in Spark's percentile() and DuckDB's
+    * quantile_cont().
+    */
+  def b16_percentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        (expr("percentile(cents, 0.25D)") / 100.0).as("p25"),
+        (expr("percentile(cents, 0.5D)") / 100.0).as("p50"),
+        (expr("percentile(cents, 0.75D)") / 100.0).as("p75"),
+        (min(col("cents")) / 100.0).as("vmin"),
+        (max(col("cents")) / 100.0).as("vmax"))
+      .orderBy(col("event_type"))
+
   /** b4: ranking window functions. row_number/ntile order by the unique
     * (ts, event_id); rank/dense_rank order by ts alone (tie-stable).
     */
@@ -195,6 +228,20 @@ object Features {
         |FROM (SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort, value FROM events)
         |GROUP BY CUBE(event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+    "b15_salted_agg" ->
+      """WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) / 100.0 AS vsum
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "b16_percentiles" ->
+      """WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  quantile_cont(cents, 0.25) / 100.0 AS p25,
+        |  quantile_cont(cents, 0.5) / 100.0 AS p50,
+        |  quantile_cont(cents, 0.75) / 100.0 AS p75,
+        |  MIN(cents) / 100.0 AS vmin,
+        |  MAX(cents) / 100.0 AS vmax
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "b4_window_rank" ->
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
@@ -244,5 +291,7 @@ object Features {
     "b5_window_frame"      -> b5_windowFrame _,
     "b6_sessionize"        -> b6_sessionize _,
     "b7_asof_join"         -> b7_asofJoin _,
+    "b15_salted_agg"       -> b15_saltedAgg _,
+    "b16_percentiles"      -> b16_percentiles _,
   )
 }
