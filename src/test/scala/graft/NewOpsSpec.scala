@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class NewOpsSpec extends SparkSpec {
+
+  test("c6: banded candidate generation is lossless for hamming <= 3 (vs brute force)") {
+    val sig = Simhash.signatures(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= Simhash.HamMax
+    } yield (a, b)).toSet
+    val banded = Simhash.c6_simhash(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(banded === brute)
+  }
+
+  test("b15: salted two-phase aggregation equals plain groupBy") {
+    val salted = Features.b15_saltedAgg(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val plain = Tables.events(spark, sf0001)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), (sum(col("cents")) / 100.0).as("v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted === plain)
+  }
+
+  test("c9: decode stub is deterministic and histogram sums to payload size") {
+    val a = Multimodal.multimodalDecode(spark, sf0001).collect()
+    val b = Multimodal.multimodalDecode(spark, sf0001).collect()
+    assert(a.toSeq === b.toSeq)
+    a.foreach { r =>
+      val total = r.getAs[Long]("h0") + r.getAs[Long]("h1") +
+        r.getAs[Long]("h2") + r.getAs[Long]("h3")
+      assert(total === r.getAs[Long]("n_bytes"))
+    }
+  }
+
+  test("c7 pairs agree with c3 similarities where they overlap") {
+    // c3 scores probe<20 vs all; any c7 pair among probes with sim >= 0.4
+    // must appear in c3's scored set with the same floored similarity
+    val c3 = VectorOps.c3_simTopk(spark, sf0001).collect()
+      .map(r => ((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Long]("sim_e6"))).toMap
+    val c7 = VectorOps.c7_cosineNeardup(spark, sf0001).collect()
+      .filter(r => r.getAs[Long]("a_id") < 20)
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Long]("sim_e6")))
+    c7.foreach { case (k, s) =>
+      c3.get(k).foreach(s3 => assert(s3 === s, s"sim mismatch for $k"))
+    }
+  }
+}
