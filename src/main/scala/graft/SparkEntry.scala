@@ -16,7 +16,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Ingest.queries ++ Features.queries ++ Relational.queries ++
+    Ingest.queries ++ Sources.queries ++ Features.queries ++ Relational.queries ++
       TextOps.queries ++ VectorOps.queries ++ Simhash.queries ++
       TextQuality.queries ++ Multimodal.queries ++
       graft.streaming.StreamOps.queries
@@ -24,7 +24,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Ingest.oracles ++ Features.oracles ++ Relational.oracles ++
+    Ingest.oracles ++ Sources.oracles ++ Features.oracles ++ Relational.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ Simhash.oracles ++
       TextQuality.oracles ++ Multimodal.oracles ++
       graft.streaming.StreamOps.oracles

@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"ingest pipeline must not shuffle:\n$p")
   }
 
+  test("a12: partition pruning — reading one EventType touches one partition") {
+    Ingest.a12_sinkDwd(spark, sf0001).count() // materialize the partitioned sink
+    val one = spark.read.parquet(s"${Tables.scratch}/dwd")
+      .filter(org.apache.spark.sql.functions.col("EventType") === "purchase")
+    val p = plan(one)
+    assert(p.contains("PartitionFilters: [isnotnull(EventType"), s"no partition pruning:\n$p")
+  }
+
   test("a1/a8: envelope projection prunes the events scan to used columns") {
     val p = plan(Ingest.envelope(spark, sf0001))
     assert(p.contains("ReadSchema"), p)
