@@ -58,12 +58,25 @@ class TextVectorSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("x_ann_lsh returns a subset of true similarities with high top-1 quality") {
-    val ann = VectorOps.annLsh(spark, sf0001)
-    // every probe keeps at least itself-cluster neighbors; just assert
-    // non-empty candidate sets and deterministic ordering
-    assert(ann.count() > 0)
-    val top = ann.groupBy("probe_id").agg(max(col("sim_e6")).as("best"))
-    assert(top.filter(col("best") < 0).count() <= top.count())
+  test("x_ann_lsh similarities are exact for every candidate it returns") {
+    val emb = graft.ops.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def simE6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    val ann = VectorOps.annLsh(spark, sf0001).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val p = r.getAs[Long]("probe_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(r.getAs[Long]("sim_e6") === simE6(emb(p), emb(n)), s"sim mismatch for ($p,$n)")
+      assert(p < 20 && p != n)
+    }
+    // bucketing really restricts candidates: far fewer than probes × corpus
+    assert(ann.length < 20 * emb.size / 2)
   }
 }
