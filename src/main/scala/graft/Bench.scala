@@ -16,16 +16,17 @@ object Bench {
     // untimed warm-up: spin up executors, codegen, parquet reader paths
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // min of two passes per query: the local VM occasionally stalls a
+    // min of three passes per query: the local VM occasionally stalls a
     // task set for tens of seconds regardless of query (scheduler-level,
-    // not GC/spill) — the min is the reproducible cost of the plan.
+    // not GC/spill) — the min is the reproducible cost of the plan, and
+    // three passes make a stall hitting every pass unlikely.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

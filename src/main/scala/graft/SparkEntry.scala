@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Ingest.queries ++ Sources.queries ++ Features.queries ++ Relational.queries ++
-      TextOps.queries ++ VectorOps.queries ++ Simhash.queries ++
+      Extras.queries ++ TextOps.queries ++ VectorOps.queries ++ Simhash.queries ++
       TextQuality.queries ++ Multimodal.queries ++
       graft.streaming.StreamOps.queries
 
@@ -25,7 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Ingest.oracles ++ Sources.oracles ++ Features.oracles ++ Relational.oracles ++
-      TextOps.oracles ++ VectorOps.oracles ++ Simhash.oracles ++
+      Extras.oracles ++ TextOps.oracles ++ VectorOps.oracles ++ Simhash.oracles ++
       TextQuality.oracles ++ Multimodal.oracles ++
       graft.streaming.StreamOps.oracles
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 widening of the operator surface (SURVEY.md §2B spirit):
+  * the remaining feature-store primitives a reference user would reach
+  * for next, plus the IVF flavor of approximate nearest-neighbor.
+  *
+  * Scale notes (100 TB):
+  *  - b17 (latest-wins upsert) is one shuffle on the feature key — the
+  *    serving-store "current value" materialization; at scale the same
+  *    plan runs per partition-of-day with the window inside each key
+  *    group, no global sort.
+  *  - b18 (Q3-shaped top-k agg) broadcasts the filtered customer dim,
+  *    keeps lineitem as the only fact scan, and top-10 is
+  *    TakeOrderedAndProject (k-row driver merge, no global sort).
+  *  - b19 (bucketed co-located join) is THE co-location primitive: both
+  *    sides pre-bucketed on the join key means zero Exchange at read
+  *    time — at 100 TB that's the difference between joining in place
+  *    and reshuffling the lake. The write cost is paid once, amortized
+  *    over every downstream join (verified shuffle-free in PlanSpec).
+  *  - x_ann_ivf is the IVF ANN shape: a tiny k-means codebook (k×dim
+  *    floats of model state) compiles into a map-only assignment over
+  *    the corpus; probes search their nprobe nearest cells — linear
+  *    scan cost drops to nprobe/k of the corpus, the classic
+  *    recall/cost dial.
+  */
+object Extras {
+
+  /** b17: latest-wins upsert — the feature-store "current feature value"
+    * per (user, event_type): the most recent event by ts, ties broken by
+    * event_id. One window, one shuffle.
+    */
+  def b17_latestFeatures(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("last_us"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** b18: TPC-H Q3-shaped — top-10 open-order revenue: filtered customer
+    * dim broadcast into the orders⋈lineitem fact join, decimal-exact
+    * revenue, TakeOrderedAndProject top-k.
+    */
+  def b18_q3like(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, d)
+        .filter(col("o_orderdate") < lit("1995-03-15 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, d)
+        .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)""")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** b19: bucketed co-located join — orders and customer both written
+    * bucketed (8 buckets) on the customer key, then joined with no
+    * Exchange on either side (PlanSpec asserts it). The aggregation
+    * after the join is the only shuffle in the read plan.
+    */
+  def b19_bucketedJoin(spark: SparkSession, d: String): DataFrame = {
+    val wh = s"${Tables.scratch}/bucketed_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    graft.ops.Tables.rmrf(wh)
+    Tables.orders(spark, d).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.customer(spark, d).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    spark.table("orders_b")
+      .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** x_ann_ivf: IVF ANN — coarse quantizer trained by spherical k-means
+    * (Lloyd iterations, label-seeded), every vector assigned to its
+    * nearest cell, probes search their nprobe nearest cells only.
+    * Rows-only check (centroid doubles are partition-order dependent);
+    * recall vs the exact c3 top-k is asserted in scalatest.
+    */
+  /** IVF cell count and probe fan-out. */
+  val IvfCells = 10
+  val IvfNprobe = 3
+  private val IvfTrainIters = 4
+
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+
+    // ---- codebook training: spherical k-means, Lloyd iterations ----
+    // The codebook (k×dim floats) is MODEL STATE, not data: like MLlib's
+    // KMeans, each iteration reduces per-cell means in the cluster and
+    // collects only the k centroid vectors to the driver, which are then
+    // compiled into the next iteration's assignment expression as
+    // literals — so assignment itself is a pure map over the corpus with
+    // ZERO shuffle (no crossJoin, no window).
+    def centroidsOf(assigned: DataFrame): Array[Array[Float]] =
+      assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+          .as("cvec"))
+        .orderBy(col("cell"))
+        .collect().map(_.getSeq[Float](1).toArray)
+
+    def cosTo(c: Array[Float]): String = {
+      val lit = c.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      val cnorm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      s"(dot_f32(embedding, $lit) / (sqrt(dot_f32(embedding, embedding)) * $cnorm))"
+    }
+    // cell = argmax_c cos(embedding, centroid_c): max over (cos, cell) structs
+    def assignExpr(cents: Array[Array[Float]]): org.apache.spark.sql.Column = expr(
+      cents.zipWithIndex
+        .map { case (c, i) => s"struct(${cosTo(c)} AS s, $i AS cell)" }
+        .mkString("array_max(array(", ",", ")).cell"))
+    // nprobe nearest cells, best first
+    def probeCellsExpr(cents: Array[Array[Float]]): org.apache.spark.sql.Column = expr(
+      cents.zipWithIndex
+        .map { case (c, i) => s"struct(${cosTo(c)} AS s, $i AS cell)" }
+        .mkString("slice(reverse(array_sort(array(", ",", s"))), 1, $IvfNprobe)"))
+
+    var cents = centroidsOf(emb.withColumn("cell", col("label"))) // seed: labels
+    for (_ <- 1 to IvfTrainIters)
+      cents = centroidsOf(emb.withColumn("cell", assignExpr(cents)))
+
+    // ---- index + search ----
+    val corpus = emb.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      assignExpr(cents).as("cell"))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        explode(probeCellsExpr(cents)).as("pc"))
+      .select(col("probe_id"), col("pe"), col("pc.cell").as("cell"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim", expr("dot_f32(pe, ce)") /
+        (sqrt(expr("dot_f32(pe, pe)")) * sqrt(expr("dot_f32(ce, ce)"))))
+      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
+      .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "b17_latest_features" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  epoch_us(ts) AS last_us, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "b18_q3like" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "b19_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b17_latest_features" -> b17_latestFeatures _,
+    "b18_q3like"          -> b18_q3like _,
+    "b19_bucketed_join"   -> b19_bucketedJoin _,
+    "x_ann_ivf"           -> annIvf _,
+  )
+}

@@ -35,4 +35,13 @@ object Tables {
     * (target/ is build scratch) so nothing outside /root/repo is touched.
     */
   val scratch = "/root/repo/target/scratch"
+
+  /** Recursive delete of a scratch path (no-op if absent). */
+  def rmrf(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
 }

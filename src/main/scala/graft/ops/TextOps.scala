@@ -29,14 +29,21 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
       .orderBy(col("keep_id"))
 
-  /** Distinct (doc_id, 3-token-shingle) pairs. */
-  private def shingles(spark: SparkSession, d: String): DataFrame =
+  /** Distinct (doc_id, shingle-hash) pairs — the shingle reduced to its
+    * 64-bit xxhash at the source, so every downstream shuffle, group and
+    * set-intersection moves 8-byte longs instead of ~30-byte strings.
+    * Set cardinalities and intersections are preserved w.h.p. (64-bit
+    * space vs ~10^6 distinct shingles), so Jaccard values are unchanged;
+    * candidate-side hash collisions only ever ADD a candidate pair,
+    * which exact verification then rejects.
+    */
+  private def hashedShingles(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("s"))
+        "transform(sequence(0, size(t)-3), i -> xxhash64(t[i], t[i+1], t[i+2]))"))
+        .as("h"))
       .distinct()
 
   /** Document-frequency cap for candidate generation: shingles shared by
@@ -57,9 +64,9 @@ object TextOps {
     * stay tiny relative to the corpus.
     */
   def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingles(spark, d)
+    val sh = hashedShingles(spark, d)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.groupBy(col("s")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+    val pairs = sh.groupBy(col("h")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, DfCap))
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
@@ -84,17 +91,18 @@ object TextOps {
   val NumBands = 16 // × 4 rows per band
 
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingles(spark, d)
+    val sh = hashedShingles(spark, d)
     // signature = 64 wide min-aggregate columns over codegen'd xxhash64
-    // (one shuffle of the (doc, shingle) relation; no interpreted
-    // higher-order lambdas in the hot path)
-    val minCols = (0 until NumHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    // of the (already 64-bit) shingle hash — the per-row hot path is 64
+    // long-hashes, no string re-hashing, no interpreted lambdas
+    val minCols = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-    // band signatures: 16 compact strings per doc
+    // band keys: 16 longs per doc (xxhash of the band's 4 rows; a hash
+    // collision can only add a candidate, and candidates are verified)
     val bands = sig.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band,
-         |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING))) AS bsig))"""
+         |  xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bsig))"""
         .stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     // candidate pairs: same (band, band-signature) bucket
@@ -107,8 +115,8 @@ object TextOps {
           |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS a_id, b AS b_id))))"""
           .stripMargin)).as("p"))
       .select(col("p.*")).dropDuplicates("a_id", "b_id")
-    // exact verification via array intersection on per-doc shingle sets
-    val docSh = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+    // exact verification via array intersection on per-doc shingle-hash sets
+    val docSh = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("ss"))
     cand
       .join(docSh.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
       .join(docSh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")

@@ -124,14 +124,20 @@ object VectorOps {
   /** Per-label embedding centroids via the typed [[graft.functions.VectorCentroid]]
     * Aggregator (map-side combinable; no oracle — double-sum order is
     * partition-dependent, so equality is asserted in scalatest with a
-    * tolerance instead).
+    * tolerance instead). Output columns are all scalars (the centroid is
+    * serialized at 1e-3 resolution) so the rows-only harness can sort it.
     */
   def labelCentroids(spark: SparkSession, d: String): DataFrame = {
     val centroid = udaf(graft.functions.VectorCentroid,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     Tables.embeddings(spark, d)
       .groupBy(col("label"))
-      .agg(centroid(col("embedding")).as("centroid"), count(lit(1)).as("n"))
+      .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n"))
+      .select(
+        col("label"), col("n"),
+        size(col("c")).cast("long").as("dim"),
+        expr("concat_ws(',', transform(c, x -> CAST(CAST(round(x, 3) AS DECIMAL(10,3)) AS STRING)))")
+          .as("centroid_csv"))
       .orderBy(col("label"))
   }
 

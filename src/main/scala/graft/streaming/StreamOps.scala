@@ -33,6 +33,20 @@ object StreamOps {
         .forEach(f => Files.delete(f))
   }
 
+  /** Stateful streaming shuffles are pinned to a lower partition count
+    * than batch: each state partition carries its own store instance +
+    * checkpoint files per micro-batch, so partitions should track state
+    * volume, not CPU count. (On a real cluster this is sized once per
+    * stream from expected key cardinality; it is baked into the
+    * checkpoint on first run either way.)
+    */
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** File-source stream over events.parquet with the raw fixture schema
     * (ts arrives as nanos int64 — same conversion as the batch reader).
     */
@@ -83,20 +97,22 @@ object StreamOps {
     val out = s"${Tables.scratch}/s2_out"
     val chk = s"${Tables.scratch}/s2_chk"
     rmrf(out); rmrf(chk)
-    val agg = eventStream(spark, d)
-      .withColumn("cents", round(col("value") * 100).cast("long"))
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", chk)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val agg = eventStream(spark, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
       date_format(col("window.end"), "yyyy-MM-dd HH:mm").as("win_end"),
@@ -154,24 +170,63 @@ object StreamOps {
       state.update(SessState(sess + 1, curEnd))
       res.iterator
     }
-    val q = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
-      .writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", chk)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessOut], _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessOut], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .select(col("user_id"), col("sess"), col("n_events"),
         col("start_us"), col("end_us"), col("dur_us"))
       .orderBy(col("user_id"), col("sess"))
   }
 
+  /** s4: stream-static join — the streaming feature-enrichment shape:
+    * the event stream joins the static customer dimension (broadcast per
+    * micro-batch, no stream state for the join itself) and feeds a
+    * running per-segment aggregate, drained with AvailableNow.
+    */
+  def s4_streamJoin(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s4_out"
+    val chk = s"${Tables.scratch}/s4_chk"
+    rmrf(out); rmrf(chk)
+    withStreamShuffle(spark, 8) {
+      val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventStream(spark, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).select(
+      col("c_mktsegment"), col("cnt"),
+      (col("cents_sum") / 100.0).as("vsum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "s4_stream_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // batch twin of the streamed A14 pipeline (same rows, same sink layout)
     "s1_stream_pipeline" -> (Ingest.oracles("a14_pipeline_e2e")),
     "s3_stream_sessionize" ->
@@ -198,5 +253,6 @@ object StreamOps {
     "s1_stream_pipeline" -> s1_streamPipeline _,
     "s2_stream_window"   -> s2_streamWindow _,
     "s3_stream_sessionize" -> s3_streamSessionize _,
+    "s4_stream_join"     -> s4_streamJoin _,
   )
 }

@@ -38,17 +38,20 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("VectorCentroid aggregator matches a driver-side mean") {
+    // x_label_centroids serializes the centroid at 1e-3 resolution so the
+    // rows-only harness can sort scalar columns; compare at that grain.
     val rows = graft.ops.VectorOps.labelCentroids(spark, sf0001).collect()
     val emb = graft.ops.Tables.embeddings(spark, sf0001).collect()
       .map(r => (r.getAs[Int]("label"), r.getSeq[Float](1)))
     val byLabel = emb.groupBy(_._1)
     rows.foreach { r =>
       val label = r.getAs[Int]("label")
-      val centroid = r.getSeq[Double](1)
+      assert(r.getAs[Long]("dim") === 64L)
+      val centroid = r.getAs[String]("centroid_csv").split(",").map(_.toDouble)
       val vs = byLabel(label).map(_._2)
       assert(r.getAs[Long]("n") === vs.length)
       val expected = (0 until 64).map(i => vs.map(_(i).toDouble).sum / vs.length)
-      centroid.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+      centroid.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) <= 5.01e-4) }
     }
     assert(rows.length === 10)
   }

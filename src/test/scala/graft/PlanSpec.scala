@@ -49,6 +49,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(EventType"), s"no partition pruning:\n$p")
   }
 
+  test("b19: bucketed join reads shuffle-free — no Exchange below the join") {
+    // disable auto-broadcast so the join must rely on bucketing, not on
+    // the dim being tiny at test scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Extras.b19_bucketedJoin(spark, sf0001).count() // create bucketed tables
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge over buckets:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scan should be bucket-aware:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("b17: latest-wins upsert plans one shuffle on the feature key") {
+    val p = plan(Extras.b17_latestFeatures(spark, sf0001))
+    // WindowGroupLimit pushes the rank filter below the full window sort
+    assert(p.contains("WindowGroupLimit"), s"expected rank-limit pushdown:\n$p")
+  }
+
   test("a1/a8: envelope projection prunes the events scan to used columns") {
     val p = plan(Ingest.envelope(spark, sf0001))
     assert(p.contains("ReadSchema"), p)

@@ -79,4 +79,39 @@ class TextVectorSpec extends SparkSpec {
     // bucketing really restricts candidates: far fewer than probes × corpus
     assert(ann.length < 20 * emb.size / 2)
   }
+
+  test("x_ann_ivf: candidate sims exact; top-1 recall vs exact c3 is high") {
+    val emb = graft.ops.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def simE6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    val ivf = graft.ops.Extras.annIvf(spark, sf0001).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val p = r.getAs[Long]("probe_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(r.getAs[Long]("sim_e6") === simE6(emb(p), emb(n)), s"sim mismatch for ($p,$n)")
+      assert(p < 20 && p != n)
+    }
+    // cells really restrict candidates: far fewer than probes × corpus
+    assert(ivf.length < 20 * emb.size / 2)
+    // recall check: the exact nearest neighbor (c3 rank 1) should be in
+    // the IVF candidate set for most probes. The fixture embeddings are
+    // nearly uniform on the sphere (NN shares the synthetic label only
+    // ~7% of the time), so this hinges on the k-means training, not the
+    // label seed; trained codebook + nprobe=3 measures ~16/20 here.
+    val exactTop1 = VectorOps.c3_simTopk(spark, sf0001)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val cands = ivf.groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val hit = exactTop1.count { case (p, n) => cands.getOrElse(p, Set.empty).contains(n) }
+    assert(hit >= exactTop1.size * 6 / 10,
+      s"IVF top-1 recall too low: $hit/${exactTop1.size}")
+  }
 }
