@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for the LLM-training-data pipeline
+  * (BASELINE.json north star): normalization, deterministic splits,
+  * and term weighting — the steps between raw documents and a
+  * training-ready corpus.
+  *
+  * Scale notes (100 TB): c10 is a pure per-row map (no shuffle). c11 is
+  * a per-row hash — THE way to split a petabyte corpus into train/val/
+  * test (stable under reruns and insertions, no global sort, no RNG
+  * state). c12 is two hash aggregations plus a broadcast of the tiny
+  * per-term document-frequency table; the only data-sized shuffle is
+  * the (doc, term) term-frequency reduce.
+  *
+  * Determinism notes: c12 deliberately scores with the RATIONAL idf
+  * (N/df) instead of ln(N/df) — tf·N is an exact integer and one IEEE
+  * division is bit-identical across engines, while ln() may differ in
+  * the last ulp between Java's and DuckDB's libm and flip a FLOOR.
+  */
+object CorpusOps {
+
+  /** Stopwords for c10 — tokens present in the fixture vocabulary. */
+  val Stopwords = Seq("the", "a")
+
+  /** c10: text normalization — drop stopwords, keep original/kept token
+    * counts and the cleaned text. Pure map, no shuffle.
+    */
+  def c10_stopwordFilter(spark: SparkSession, d: String): DataFrame = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_orig"),
+        expr(s"CAST(size(filter(t, x -> x NOT IN ($stop))) AS BIGINT)").as("n_kept"),
+        expr(s"concat_ws(' ', filter(t, x -> x NOT IN ($stop)))").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** c11: deterministic hash split — md5 of the document key buckets
+    * each row into train/val/test (8/1/1). Stable across reruns and
+    * engines (md5 is engine-independent), no RNG, no shuffle.
+    */
+  def c11_hashSample(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        expr("pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10), 10)")
+          .cast("long").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** c12: per-document top-3 terms by tf·(N/df) — tf-idf-shaped term
+    * weighting with the rational idf (see object doc). Two reduces and
+    * a broadcast join of the small df table.
+    */
+  def c12_tfidfTopTerms(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val score = col("tf").cast("double") * col("n") / col("df")
+    val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"),
+        floor(score * 1e6).cast("long").as("score_e6"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "c10_stopword_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_orig,
+        |  CAST(len(list_filter(str_split(text, ' '), x -> x NOT IN ('the', 'a'))) AS BIGINT) AS n_kept,
+        |  array_to_string(list_filter(str_split(text, ' '), x -> x NOT IN ('the', 'a')), ' ') AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c11_hash_sample" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 10 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 10 < 8 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c12_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term,
+        |  CAST(FLOOR(CAST(tf AS DOUBLE) * n / df * 1e6) AS BIGINT) AS score_e6,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) * n / df DESC, term) AS BIGINT) AS rnk
+        |FROM tf JOIN df USING (term), n
+        |QUALIFY rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_stopword_filter" -> c10_stopwordFilter _,
+    "c11_hash_sample"     -> c11_hashSample _,
+    "c12_tfidf_top_terms" -> c12_tfidfTopTerms _,
+  )
+}
