@@ -50,15 +50,22 @@ object Simhash {
 
   def c6_simhash(spark: SparkSession, d: String): DataFrame = {
     val sig = signatures(spark, d)
-    val chunked = sig.select(col("doc_id") +: col("simhash") +:
-      (0 until Chunks).map(j =>
-        shiftright(col("simhash"), 15 * j).bitwiseAND(lit(32767L)).as(s"c$j")): _*)
-    val cand = (0 until Chunks).map { j =>
-      chunked.as("a").join(chunked.as("b"),
-        col(s"a.c$j") === col(s"b.c$j") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-    }.reduce(_ unionAll _).dropDuplicates("a_id", "b_id")
+    // one exploded (chunk-index, chunk-value) relation + ONE equi-join,
+    // instead of Chunks separate self-joins unioned: the signature
+    // relation is shuffled once (ReuseExchange covers both join sides)
+    // rather than rescanned/reshuffled 2×Chunks times.
+    val chunked = sig.select(col("doc_id"), col("simhash"), explode(expr(
+      s"""transform(sequence(0, ${Chunks - 1}), j ->
+         |  struct(j AS cj, shiftright(simhash, 15 * j) & 32767 AS cv))"""
+        .stripMargin)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.cj").as("cj"), col("c.cv").as("cv"))
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.cj") === col("b.cj") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("a_id", "b_id")
     cand
       .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("ham") <= HamMax)

@@ -56,23 +56,27 @@ object TextOps {
 
   /** c2: exact shingle-Jaccard near-dup pairs (τ = 0.5).
     *
-    * Shape: group by shingle → in-group pair expansion (bounded by
-    * [[DfCap]]) → per-pair intersection counts → exact Jaccard. No
-    * self-join and no wide broadcast: the heavy relation (doc_id,
-    * shingle) is aggregated once in each direction, and candidate
-    * pairs (which share ≥1 shingle — exactly the pairs with J > 0)
-    * stay tiny relative to the corpus.
+    * Shape: df-capped shingle self-equi-join → per-pair intersection
+    * counts → exact Jaccard. The candidate join runs on the 8-byte
+    * shingle hash with the `a_id < b_id` residual, so the whole pair
+    * expansion is whole-stage-codegen'd (no interpreted lambdas) and
+    * spreads across tasks by shingle hash instead of materializing a
+    * hot shingle's pairs inside one row. Both join inputs are the same
+    * capped relation hash-partitioned on `h`, so Spark's ReuseExchange
+    * ships its shuffle once. [[DfCap]] bounds the worst-case fan-out of
+    * any single shingle; candidates are exactly the pairs with J > 0,
+    * so recall is 1 by construction.
     */
   def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
     val sh = hashedShingles(spark, d)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.groupBy(col("h")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, DfCap))
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS a_id, b AS b_id))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, DfCap))
+      .select(col("h"))
+    val shf = sh.join(freq, "h")
+    val pairs = shf.as("a").join(shf.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(card.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")

@@ -95,26 +95,44 @@ object VectorOps {
       .orderBy(col("doc_id"))
   }
 
-  /** c7: embedding-cosine near-dup pairs (sim ≥ 0.4).
+  /** Number of id-blocks for c7's partitioned pair scan: per-task work
+    * is bounded at n²/NeardupBlocks pairs and the join parallelizes
+    * across blocks instead of nesting the whole corpus in one loop.
+    */
+  val NeardupBlocks = 32
+
+  /** c7: embedding-cosine near-dup pairs (sim ≥ 0.4), exact.
     *
-    * The embedding is flattened to 64 scalar columns so the pair scan
-    * runs entirely in whole-stage codegen (no interpreted lambdas).
-    * Exact all-pairs is the oracle-matched form; at 100 TB the same
-    * verify step runs over LSH/IVF candidates instead (x_ann_lsh),
-    * trading bounded recall for linear cost.
+    * Exact all-pairs is inherently quadratic WORK, but the shape here is
+    * scale-bounded: each vector is assigned an id-block (`pmod(id, NB)`),
+    * the left side fans out to every block, and the pair scan is an
+    * EQUI-join on the block id with the `a_id < b_id` residual — a
+    * shuffled hash/sort-merge join that whole-stage-codegen compiles and
+    * spreads one block per task, never a BroadcastNestedLoopJoin over
+    * corpus×corpus (PlanSpec pins that). Each candidate pair costs one
+    * native dot_f32 against precomputed norms. At 100 TB the same
+    * verify kernel runs over LSH/IVF candidates instead (x_ann_lsh /
+    * x_ann_ivf), trading bounded recall for linear cost.
     */
   def c7_cosineNeardup(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
-    // norms precomputed per row (not per pair); each candidate pair costs
-    // one native dot_f32. (Building the dot as a 64-term column Add
-    // chain stalls Catalyst canonicalization — see Simhash.)
+    // norms precomputed per row (not per pair). (Building the dot as a
+    // 64-term column Add chain stalls Catalyst canonicalization — see
+    // Simhash.)
     def side(p: String): DataFrame = emb.select(
       col("vec_id").as(s"${p}_id"),
       col("embedding").as(s"${p}e"),
       sqrt(sumSqOf("embedding")).as(s"${p}_norm"))
+    // every (i < j) pair lands in exactly one task: the left row fans
+    // out to all NB blocks, the right row sits in its own block, and the
+    // id residual keeps the (i, j) orientation unique.
+    val left = side("a").withColumn("blk",
+      explode(sequence(lit(0), lit(NeardupBlocks - 1))))
+    val right = side("b").withColumn("blk",
+      pmod(col("b_id"), lit(NeardupBlocks)))
     val dot = expr("dot_f32(ae, be)")
-    side("a").join(side("b"), col("a_id") < col("b_id"))
+    left.join(right, Seq("blk")).filter(col("a_id") < col("b_id"))
       .withColumn("sim_e6", floor(dot / (col("a_norm") * col("b_norm")) * 1e6).cast("long"))
       .filter(col("sim_e6") >= 400000)
       .select(col("a_id"), col("b_id"), col("sim_e6"))

@@ -36,6 +36,18 @@ class PlanSpec extends SparkSpec {
       s"probes must broadcast:\n$p")
   }
 
+  test("c7: pair scan is a block equi-join — never a nested loop over corpus×corpus") {
+    val p = plan(VectorOps.c7_cosineNeardup(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"c7 must not nested-loop the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c7 must not cartesian-join:\n$p")
+  }
+
+  test("c2: candidate generation is an equi-join on the shingle hash, no nested loop") {
+    val p = plan(TextOps.c2_dedupJaccard(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"c2 must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c2 must not cartesian-join:\n$p")
+  }
+
   test("a14: single narrow stage — no shuffle before the sort") {
     val p = plan(Ingest.dwdFrame(spark, sf0001))
     assert(!p.contains("Exchange"), s"ingest pipeline must not shuffle:\n$p")
