@@ -90,8 +90,17 @@ object StreamOps {
   }
 
   /** s2: event-time tumbling windows (1 h) per event type with a
-    * 10-minute watermark, complete-mode aggregate drained with
+    * 10-minute watermark, APPEND-mode aggregate drained with
     * AvailableNow.
+    *
+    * Append mode is the mode where the watermark actually does its job:
+    * a window's state is finalized + emitted only once the watermark
+    * passes its end, then evicted — so state is bounded on an unbounded
+    * source, and rows later than the watermark are dropped (both
+    * properties pinned in StreamingSpec). Consequence the oracle
+    * mirrors: windows the final watermark (max event time − 10 min,
+    * ms-truncated) has not closed are still open state and do NOT
+    * appear in the output.
     */
   def s2_streamWindow(spark: SparkSession, d: String): DataFrame = {
     val out = s"${Tables.scratch}/s2_out"
@@ -104,11 +113,11 @@ object StreamOps {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
       val q = agg.writeStream
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", chk)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(out)
+          batch.write.mode("append").parquet(out)
         }
         .start()
       q.awaitTermination()
@@ -239,12 +248,20 @@ object StreamOps {
         |SELECT user_id, sess, COUNT(*) AS n_events,
         |  MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS dur_us
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    // append-mode twin: only windows the FINAL watermark closed are in
+    // the output; still-open windows are retained state, not results.
+    // Watermark reproduced with Spark's exact arithmetic: max event
+    // time truncated to ms, minus the 10-minute delay (nothing is late
+    // under AvailableNow's single drain, so no rows are dropped here —
+    // the late-drop semantics is pinned in StreamingSpec instead).
     "s2_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
         |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS win_end,
         |  event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
         |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |  (SELECT make_timestamp((epoch_us(max(ts)) // 1000 - 600000) * 1000) FROM events)
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY win_start, event_type""".stripMargin,
   )

@@ -18,9 +18,52 @@ class StreamingSpec extends SparkSpec {
     assert(viaSessionWindow === viaB6)
   }
 
-  test("s2 window totals equal the raw event count") {
+  test("s2 emits exactly the watermark-closed windows (append mode)") {
+    val ev = graft.ops.Tables.events(spark, sf0001)
+    // final watermark, Spark's arithmetic: max event time ms-truncated
+    // minus the 10-minute delay; closed = window end <= watermark
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - 600000L) * 1000
+    val closedEvents = ev
+      .filter((floor(unix_micros(col("ts")) / 3600000000L) + 1) * 3600000000L <= wmUs)
+      .count()
+    assert(closedEvents < ev.count(), "fixture should leave the last window open")
     val total = graft.streaming.StreamOps.s2_streamWindow(spark, sf0001)
       .agg(sum(col("cnt"))).collect()(0).getLong(0)
-    assert(total === graft.ops.Tables.events(spark, sf0001).count())
+    assert(total === closedEvents)
+  }
+
+  test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("s2_late").start()
+    try {
+      // batch 1: two rows in [10:00, 11:00) + one at 12:00 that pushes
+      // the watermark to 11:50, past the first window's end
+      input.addData((ts(10, 0), "a"), (ts(10, 5), "a"), (ts(12, 0), "a"))
+      q.processAllAvailable()
+      // batch 2: 10:30 is behind the 11:50 watermark -> must be dropped
+      input.addData((ts(10, 30), "a"))
+      q.processAllAvailable()
+      // batch 3: 14:00 advances the watermark to 13:50, closing [12, 13)
+      input.addData((ts(14, 0), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("s2_late")
+      .select(col("window.start").cast("string").as("ws"), col("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // late row dropped: the closed 10:00 window counts 2, not 3 — and
+    // its state was evicted at emission, so it appears exactly once
+    assert(rows("2024-01-01 10:00:00") === 2L)
+    assert(rows("2024-01-01 12:00:00") === 1L)
+    assert(spark.table("s2_late").count() === 2L)
   }
 }
