@@ -93,6 +93,25 @@ object Extras {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** b20: TPC-H Q14-shaped promo revenue — one shipdate month of
+    * lineitem joined to the part dim (broadcast: the dim is tiny next
+    * to the fact), promo share of revenue as a single scalar. Revenue
+    * terms are summed as exact decimals and only the final ratio is
+    * computed in double (one IEEE division — deterministic across
+    * engines given identical operands), matching the oracle bit-for-bit.
+    */
+  def b20_q14like(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      .agg(expr(
+        """CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO'
+          |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          |  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
+          |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"""
+          .stripMargin).as("promo_revenue"))
+
   /** x_ann_ivf: IVF ANN — coarse quantizer trained by spherical k-means
     * (Lloyd iterations, label-seeded), every vector assigned to its
     * nearest cell, probes search their nprobe nearest cells only.
@@ -186,12 +205,22 @@ object Extras {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b20_q14like" ->
+      """SELECT CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b17_latest_features" -> b17_latestFeatures _,
     "b18_q3like"          -> b18_q3like _,
     "b19_bucketed_join"   -> b19_bucketedJoin _,
+    "b20_q14like"         -> b20_q14like _,
     "x_ann_ivf"           -> annIvf _,
   )
 }

@@ -47,10 +47,65 @@ object StreamOps {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Source descriptor for the event stream. The reference's real
+    * source is a Kafka consumer — subscribe a topic, poll from offset 0,
+    * drain until the log is exhausted (ConsumerMultiThread.java:
+    * 46-57,89-102). [[KafkaEvents]] carries exactly that wiring for
+    * `readStream.format("kafka")`; [[FileEvents]] is the in-container
+    * execution path (this image ships no spark-sql-kafka jar, so the
+    * Kafka branch is cluster-ready code whose option construction and
+    * value decode are unit-tested, not executed here).
+    */
+  sealed trait EventSource
+  final case class FileEvents(dir: String) extends EventSource
+  final case class KafkaEvents(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest") extends EventSource
+
+  /** The reader options the Kafka branch passes to `readStream` —
+    * factored out so the wiring is testable without a broker/jar.
+    */
+  def kafkaOptions(k: KafkaEvents): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> k.bootstrapServers,
+    "subscribe" -> k.topic,
+    "startingOffsets" -> k.startingOffsets)
+
+  /** Raw event-log schema as it leaves the source: the JSON envelope the
+    * reference consumes (ts still int64 nanos, exactly like the parquet
+    * fixture before [[Tables.events]]' conversion).
+    */
+  val rawEventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+
+  /** Kafka record batch → raw event rows: the message value is the JSON
+    * event envelope (reference: JSON.parseObject on the record value,
+    * ConsumerMultiThread.java:112-114). Pure column transform, shared
+    * verbatim between the streaming branch and the unit test.
+    */
+  def decodeKafkaValue(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast("string"), rawEventSchema).as("e"))
+      .select(col("e.*"))
+
+  private def eventStream(spark: SparkSession, src: EventSource): DataFrame = {
+    val raw = src match {
+      case FileEvents(d) => fileEventStream(spark, d)
+      case k: KafkaEvents =>
+        decodeKafkaValue(
+          kafkaOptions(k).foldLeft(spark.readStream.format("kafka")) {
+            case (r, (key, v)) => r.option(key, v)
+          }.load())
+    }
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** File-source stream over events.parquet with the raw fixture schema
     * (ts arrives as nanos int64 — same conversion as the batch reader).
     */
-  private def eventStream(spark: SparkSession, d: String): DataFrame = {
+  private def fileEventStream(spark: SparkSession, d: String): DataFrame = {
     val schema = Tables.t(spark, d, "events").schema
     // the file source requires a directory: stage a per-sf dir holding a
     // symlink to the fixture file (falls back to a copy if unsupported)
@@ -64,8 +119,10 @@ object StreamOps {
       }
     }
     spark.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  private def eventStream(spark: SparkSession, d: String): DataFrame =
+    eventStream(spark, FileEvents(d))
 
   /** s1: the A14 pipeline as a stream — envelope → gated rewrite →
     * validation → projection, foreachBatch partitioned sink, drained

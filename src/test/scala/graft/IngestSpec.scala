@@ -37,6 +37,28 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.dwdFrame(spark, sf0001).columns.toSeq === Ingest.EventFields)
   }
 
+  test("A12 JDBC parity: dwd rows round-trip through an embedded Derby table") {
+    // the reference's sink is a transactional JDBC batch insert
+    // (ConsumerMultiThread.java:163-201); Spark's jdbc writer issues the
+    // same batched inserts per partition. Derby (bundled with Spark)
+    // stands in for the reference's MySQL target; a12's parquet form
+    // remains the oracled query.
+    val dwd = Ingest.dwdFrame(spark, sf0001)
+    val dbDir = s"${graft.ops.Tables.scratch}/derby_a12"
+    graft.ops.Tables.rmrf(dbDir)
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    dwd.coalesce(2).write.mode("overwrite").jdbc(url, "dwd_events", props)
+    val back = spark.read.jdbc(url, "dwd_events", props)
+    assert(back.count() === dwd.count())
+    val key = col("EventID").cast("long")
+    val a = dwd.orderBy(key).collect().map(_.mkString("|"))
+    val b = back.select(dwd.columns.map(col): _*).orderBy(key)
+      .collect().map(_.mkString("|"))
+    assert(a.sameElements(b), "JDBC round-trip must preserve every row bit-for-bit")
+  }
+
   test("A6 rewrite only applies to gated event types") {
     val dwd = Ingest.dwdFrame(spark, sf0001)
     val gated = dwd.filter(col("EventType").isin(Ingest.GatedTypes: _*))

@@ -33,6 +33,31 @@ class StreamingSpec extends SparkSpec {
     assert(total === closedEvents)
   }
 
+  test("kafka source seam: reader options carry the reference consumer's wiring") {
+    val k = graft.streaming.StreamOps.KafkaEvents("broker-1:9092,broker-2:9092", "game-events")
+    val o = graft.streaming.StreamOps.kafkaOptions(k)
+    // subscribe-from-offset-0 semantics of the reference consumer
+    assert(o("kafka.bootstrap.servers") === "broker-1:9092,broker-2:9092")
+    assert(o("subscribe") === "game-events")
+    assert(o("startingOffsets") === "earliest")
+  }
+
+  test("kafka value decode: JSON envelope bytes become raw event rows") {
+    import spark.implicits._
+    // same column shape a kafka source batch has (value: binary)
+    val json =
+      """{"event_id":7,"ts":1704067200123456789,"user_id":42,
+        |"event_type":"purchase","value":9.99,"props":"{\"k\":1}"}""".stripMargin
+    val records = Seq(json.getBytes("UTF-8")).toDF("value")
+    val r = graft.streaming.StreamOps.decodeKafkaValue(records).collect()(0)
+    assert(r.getAs[Long]("event_id") === 7L)
+    assert(r.getAs[Long]("ts") === 1704067200123456789L) // still raw nanos
+    assert(r.getAs[Long]("user_id") === 42L)
+    assert(r.getAs[String]("event_type") === "purchase")
+    assert(r.getAs[Double]("value") === 9.99)
+    assert(r.getAs[String]("props") === """{"k":1}""")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
