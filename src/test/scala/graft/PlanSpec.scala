@@ -48,6 +48,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"c2 must not cartesian-join:\n$p")
   }
 
+  test("b20: part dim broadcasts; shipdate range filter pushed to the lineitem scan") {
+    val p = plan(Extras.b20_q14like(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
+  }
+
   test("a14: single narrow stage — no shuffle before the sort") {
     val p = plan(Ingest.dwdFrame(spark, sf0001))
     assert(!p.contains("Exchange"), s"ingest pipeline must not shuffle:\n$p")
