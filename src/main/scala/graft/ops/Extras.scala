@@ -160,9 +160,21 @@ object Extras {
         .map { case (c, i) => s"struct(${cosTo(c)} AS s, $i AS cell)" }
         .mkString("slice(reverse(array_sort(array(", ",", s"))), 1, $IvfNprobe)"))
 
-    var cents = centroidsOf(emb.withColumn("cell", col("label"))) // seed: labels
+    // 100 TB shape: Lloyd runs on a BOUNDED training set, not the
+    // corpus — k-means needs O(cells) representatives (~100 per cell
+    // here), so training cost must be decoupled from corpus size (5
+    // full-lake scans would be the real cluster bill otherwise). Below
+    // the cap the full corpus trains (sampling a 500-vector fixture
+    // starves the codebook); above it, a rerun-stable xxhash64(vec_id)
+    // stride-sample caps the set. ASSIGNMENT below still covers every
+    // vector exactly once.
+    val trainCap = 1024L
+    val stride = (emb.count() + trainCap - 1) / trainCap
+    val train = if (stride <= 1) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+    var cents = centroidsOf(train.withColumn("cell", col("label"))) // seed: labels
     for (_ <- 1 to IvfTrainIters)
-      cents = centroidsOf(emb.withColumn("cell", assignExpr(cents)))
+      cents = centroidsOf(train.withColumn("cell", assignExpr(cents)))
 
     // ---- index + search ----
     val corpus = emb.select(

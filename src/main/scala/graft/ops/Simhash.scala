@@ -60,15 +60,17 @@ object Simhash {
         .stripMargin)).as("c"))
       .select(col("doc_id"), col("simhash"),
         col("c.cj").as("cj"), col("c.cv").as("cv"))
-    val cand = chunked.as("a").join(chunked.as("b"),
+    // hamming filter BEFORE the dedup shuffle: ham is a pure function of
+    // the pair, so filtering first is equivalent and the dropDuplicates
+    // exchange carries only true near-dups, not every shared-chunk
+    // candidate.
+    chunked.as("a").join(chunked.as("b"),
         col("a.cj") === col("b.cj") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .dropDuplicates("a_id", "b_id")
-    cand
-      .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("ham"))
       .filter(col("ham") <= HamMax)
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("ham"))
       .orderBy(col("a_id"), col("b_id"))
   }
