@@ -109,16 +109,19 @@ object TextOps {
          |  xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bsig))"""
         .stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    // candidate pairs: same (band, band-signature) bucket
-    val cand = bands
-      .groupBy(col("band"), col("bsig"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, DfCap))
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS a_id, b AS b_id))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.*")).dropDuplicates("a_id", "b_id")
+    // candidate pairs: same (band, band-signature) bucket — the same
+    // codegen'd self-equi-join shape as c2 (bucket-size cap, then join
+    // with the a < b residual; no interpreted lambda pair expansion)
+    val buckets = bands.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, DfCap))
+      .select(col("band"), col("bsig"))
+    val bf = bands.join(buckets, Seq("band", "bsig"))
+    val cand = bf.as("a").join(bf.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
     // exact verification via array intersection on per-doc shingle-hash sets
     val docSh = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("ss"))
     cand
