@@ -70,10 +70,17 @@ object TextOps {
   def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
     val sh = hashedShingles(spark, d)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // df-cap via a count window over h, NOT a separate aggregate+join:
+    // both self-join sides are then the IDENTICAL h-partitioned,
+    // h-sorted subtree, so ReuseExchange computes the shingle relation
+    // once and the sort-merge join adds no exchange of its own. (A
+    // freq-relation join would break subtree identity and recompute the
+    // scan+explode+distinct per side — 5 corpus scans instead of 2 at
+    // lake scale.)
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val shf = sh.withColumn("df", count(lit(1)).over(byH))
       .filter(col("df").between(2, DfCap))
-      .select(col("h"))
-    val shf = sh.join(freq, "h")
+      .select(col("doc_id"), col("h"))
     val pairs = shf.as("a").join(shf.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -110,13 +117,15 @@ object TextOps {
         .stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     // candidate pairs: same (band, band-signature) bucket — the same
-    // codegen'd self-equi-join shape as c2 (bucket-size cap, then join
-    // with the a < b residual; no interpreted lambda pair expansion)
-    val buckets = bands.groupBy(col("band"), col("bsig"))
-      .agg(count(lit(1)).as("bn"))
+    // codegen'd self-equi-join shape as c2: bucket-size cap via a count
+    // window so both join sides are the identical subtree (one
+    // signature computation + one exchange, ReuseExchange-shared; no
+    // interpreted lambda pair expansion)
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bsig"))
+    val bf = bands.withColumn("bn", count(lit(1)).over(byBucket))
       .filter(col("bn").between(2, DfCap))
-      .select(col("band"), col("bsig"))
-    val bf = bands.join(buckets, Seq("band", "bsig"))
+      .select(col("doc_id"), col("band"), col("bsig"))
     val cand = bf.as("a").join(bf.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -25,8 +25,22 @@ object Explain {
       if (doExplain) fn(spark, sfDir).explain("formatted")
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val n = df.count()
         println(f"[explain] $name pass$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        // post-execution plan: AQE stage reuse (ReusedQueryStage /
+        // ReusedExchange) only shows up in the FINAL adaptive plan of a
+        // plan that actually ran — execute THIS df via a noop sink,
+        // then print its materialized adaptive plan
+        if (doExplain && i == 1) {
+          // collect() runs THIS QueryExecution, so its
+          // AdaptiveSparkPlanExec is materialized in place (a count()
+          // or write() would execute a different derived plan)
+          val df2 = fn(spark, sfDir)
+          df2.queryExecution.executedPlan // force planning
+          df2.collect()
+          println(df2.queryExecution.executedPlan.toString)
+        }
       }
     }
     spark.stop()
