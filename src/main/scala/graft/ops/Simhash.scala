@@ -28,24 +28,22 @@ object Simhash {
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Signature via the typed [[graft.functions.SimHashAgg]] buffer:
+    * one explode + ONE aggregation consuming every token occurrence
+    * (±1 per occurrence ≡ the oracle's ±cnt per distinct term, so the
+    * (doc, tok) pre-count shuffle the declarative form needed is gone
+    * entirely). The previous 60-column `sum(CASE)` form was correct
+    * but generated a codegen class so large Janino took ~10 s to
+    * compile it — recurring cost whenever the 100-entry codegen cache
+    * evicted it (every bench repetition). See SimHashAgg's scaladoc.
+    */
   def signatures(spark: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(spark, d)
+    val simhash = udaf(graft.functions.SimHashAgg)
+    Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", h60(col("tok")))
-    val weightCols = (0 until Bits).map { b =>
-      sum(col("cnt") * when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"w$b")
-    }
-    // assemble the signature through a binary string (concat is
-    // non-commutative, so Catalyst canonicalization stays linear — a
-    // 60-term Add chain sends the planner's orderCommutative into
-    // minutes of sorting)
-    val bitStr = concat((Bits - 1 to 0 by -1)
-      .map(b => when(col(s"w$b") >= 0, "1").otherwise("0")): _*)
-    toks.groupBy(col("doc_id"))
-      .agg(weightCols.head, weightCols.tail: _*)
-      .select(col("doc_id"), conv(bitStr, 2, 10).cast("long").as("simhash"))
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(simhash(col("h")).as("simhash"))
   }
 
   def c6_simhash(spark: SparkSession, d: String): DataFrame = {
