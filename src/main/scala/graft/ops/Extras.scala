@@ -133,31 +133,48 @@ object Extras {
     // collects only the k centroid vectors to the driver, which are then
     // compiled into the next iteration's assignment expression as
     // literals — so assignment itself is a pure map over the corpus with
-    // ZERO shuffle (no crossJoin, no window).
-    def centroidsOf(assigned: DataFrame): Array[Array[Float]] =
-      assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
-          .as("cvec"))
-        .orderBy(col("cell"))
-        .collect().map(_.getSeq[Float](1).toArray)
-
-    def cosTo(c: Array[Float]): String = {
-      val lit = c.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
-      val cnorm = math.sqrt(c.map(x => x.toDouble * x).sum)
-      s"(dot_f32(embedding, $lit) / (sqrt(dot_f32(embedding, embedding)) * $cnorm))"
+    // ZERO shuffle (no crossJoin, no window). The per-cell mean is ONE
+    // map-side-combining typed aggregate (VectorCentroid) — one shuffle
+    // of k 64-double buffers per iteration, vs the posexplode + double
+    // groupBy formulation's two wide shuffles.
+    val centroid = udaf(graft.functions.VectorCentroid,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    def centroidsOf(assigned: DataFrame, prev: Array[Array[Float]]): Array[Array[Float]] = {
+      val got = assigned.groupBy(col("cell"))
+        .agg(centroid(col("embedding")).as("cvec"))
+        .collect()
+        .map(r => r.get(0).asInstanceOf[Number].intValue ->
+          r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      // a cell that captured no vectors keeps its previous centroid
+      // (positional collect would silently shift every later cell id)
+      val dim = got.head._2.length
+      (0 until IvfCells).map(i =>
+        got.getOrElse(i, if (prev.isEmpty) new Array[Float](dim) else prev(i))).toArray
     }
-    // cell = argmax_c cos(embedding, centroid_c): max over (cos, cell) structs
+
+    // Ranking cells by cos(v, c_i) = dot(v, c_i)/(|v||c_i|): |v| is
+    // constant across cells, so argmax/top-nprobe are unchanged by
+    // dropping it, and 1/|c_i| folds into the literal by pre-normalizing
+    // the centroid driver-side. Each cell's score is then ONE dot_f32
+    // against a unit-centroid literal — half the generated code (these
+    // literal-compiled expressions are REBUILT every Lloyd iteration, so
+    // Janino compile cost recurs per iteration and must stay small) and
+    // no per-cell sqrt at row time.
+    def unitTo(c: Array[Float]): String = {
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum) max 1e-30
+      c.map(f => s"CAST(${(f / n).toFloat} AS FLOAT)").mkString("array(", ",", ")")
+    }
+    def cellScore(c: Array[Float]): String = s"dot_f32(embedding, ${unitTo(c)})"
+    // cell = argmax_c cos(embedding, centroid_c): max over (score, cell) structs
     def assignExpr(cents: Array[Array[Float]]): org.apache.spark.sql.Column = expr(
       cents.zipWithIndex
-        .map { case (c, i) => s"struct(${cosTo(c)} AS s, $i AS cell)" }
+        .map { case (c, i) => s"struct(${cellScore(c)} AS s, $i AS cell)" }
         .mkString("array_max(array(", ",", ")).cell"))
     // nprobe nearest cells, best first
     def probeCellsExpr(cents: Array[Array[Float]]): org.apache.spark.sql.Column = expr(
       cents.zipWithIndex
-        .map { case (c, i) => s"struct(${cosTo(c)} AS s, $i AS cell)" }
+        .map { case (c, i) => s"struct(${cellScore(c)} AS s, $i AS cell)" }
         .mkString("slice(reverse(array_sort(array(", ",", s"))), 1, $IvfNprobe)"))
 
     // 100 TB shape: Lloyd runs on a BOUNDED training set, not the
@@ -170,11 +187,16 @@ object Extras {
     // vector exactly once.
     val trainCap = 1024L
     val stride = (emb.count() + trainCap - 1) / trainCap
-    val train = if (stride <= 1) emb
-      else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-    var cents = centroidsOf(train.withColumn("cell", col("label"))) // seed: labels
+    // the bounded training set fits in memory BY DESIGN (<= trainCap
+    // vectors) — cache it so the 1+IvfTrainIters Lloyd passes reduce a
+    // cached relation instead of re-scanning the lake each iteration
+    val train = (if (stride <= 1) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0))
+      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
     for (_ <- 1 to IvfTrainIters)
-      cents = centroidsOf(train.withColumn("cell", assignExpr(cents)))
+      cents = centroidsOf(train.withColumn("cell", assignExpr(cents)), cents)
+    train.unpersist(blocking = false)
 
     // ---- index + search ----
     val corpus = emb.select(
