@@ -17,6 +17,28 @@ class NewOpsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("SimHashAgg buffer math: signature equals a direct scala model; merge is associative") {
+    import graft.functions.SimHashAgg
+    // direct model: per-bit +-1 sums over token hashes, sign -> bit
+    def model(hs: Seq[Long]): Long = {
+      val w = new Array[Long](SimHashAgg.Bits)
+      hs.foreach(h => (0 until SimHashAgg.Bits).foreach(b =>
+        w(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)))
+      (0 until SimHashAgg.Bits).foldLeft(0L)((s, b) => if (w(b) >= 0) s | (1L << b) else s)
+    }
+    val hs = Seq(0x0123456789abcL, 0xfffffffffffffL, 0x0L, 0x0123456789abcL, 0x7a5a5a5a5a5a5L)
+    val whole = hs.foldLeft(SimHashAgg.zero)(SimHashAgg.reduce)
+    assert(SimHashAgg.finish(whole) === model(hs))
+    // associativity: any split point merges to the same buffer
+    (1 until hs.size).foreach { cut =>
+      val l = hs.take(cut).foldLeft(SimHashAgg.zero)(SimHashAgg.reduce)
+      val r = hs.drop(cut).foldLeft(SimHashAgg.zero)(SimHashAgg.reduce)
+      assert(SimHashAgg.finish(SimHashAgg.merge(l, r)) === model(hs))
+    }
+    // empty input: all-zero weights count as bit set (>= 0 convention)
+    assert(SimHashAgg.finish(SimHashAgg.zero) === (1L << SimHashAgg.Bits) - 1L)
+  }
+
   test("b15: salted two-phase aggregation equals plain groupBy") {
     val salted = Features.b15_saltedAgg(spark, sf0001).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap

@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"c2 must not cartesian-join:\n$p")
   }
 
+  test("c6: signature is one typed aggregate; candidate join is equi, no nested loop") {
+    val p = plan(Simhash.c6_simhash(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"c6 must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c6 must not cartesian-join:\n$p")
+    // the SimHashAgg buffer aggregates through ObjectHashAggregate —
+    // NOT a 60-column codegen'd HashAggregate (whose generated class
+    // took ~10s of Janino per [re]compile)
+    assert(p.contains("ObjectHashAggregate"), s"expected typed simhash aggregate:\n$p")
+  }
+
   test("b20: part dim broadcasts; shipdate range filter pushed to the lineitem scan") {
     val p = plan(Extras.b20_q14like(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
