@@ -69,25 +69,32 @@ object TextOps {
     */
   def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
     val sh = hashedShingles(spark, d)
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // df-cap via a count window over h, NOT a separate aggregate+join:
-    // both self-join sides are then the IDENTICAL h-partitioned,
-    // h-sorted subtree, so ReuseExchange computes the shingle relation
-    // once and the sort-merge join adds no exchange of its own. (A
-    // freq-relation join would break subtree identity and recompute the
-    // scan+explode+distinct per side — 5 corpus scans instead of 2 at
-    // lake scale.)
+    // BOTH per-doc cardinality and the df-cap are count windows over the
+    // SAME relation — not separate aggregate+join subtrees. Every row of
+    // the capped relation then carries its doc's shingle count n, so the
+    // Jaccard denominator falls out of the pair aggregation itself and
+    // the plan needs exactly ONE corpus scan. (The aggregate+join
+    // formulation executed the scan+explode+distinct FOUR times: AQE
+    // broadcast one self-join side — breaking subtree reuse — and each
+    // cardinality join rebuilt the relation again.)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val shf = sh.withColumn("df", count(lit(1)).over(byH))
+    val shf = sh
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("df", count(lit(1)).over(byH))
       .filter(col("df").between(2, DfCap))
-      .select(col("doc_id"), col("h"))
-    val pairs = shf.as("a").join(shf.as("b"),
+      .select(col("doc_id"), col("h"), col("n"))
+    // hint the self-join to sort-merge: its key IS the h-window's
+    // partitioning, so both sides resolve to the one existing exchange
+    // (ReuseExchange) and the join adds no shuffle. Left to AQE, a
+    // small side gets broadcast, which both recomputes the relation
+    // and would be the wrong strategy for a corpus-sized relation.
+    val pairs = shf.as("a").join(shf.as("b").hint("SHUFFLE_MERGE"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
     pairs
-      .join(card.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(card.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
