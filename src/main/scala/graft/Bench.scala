@@ -25,9 +25,14 @@ object Bench {
     // see the estimator note below for how samples become one number.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // a failed run records +Infinity so it sorts LAST — a -1 sentinel
+    // would sort first and silently become the reported low-order
+    // statistic. At print time non-finite values become -1 (JSON has no
+    // Infinity), so -1 in the artifact ALWAYS means "this run failed",
+    // never "this was the fastest sample".
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return Double.PositiveInfinity }
       (System.nanoTime() - t0) / 1e9
     }
     // 5 interleaved reps. This VM's scheduler randomly stalls task sets
@@ -52,16 +57,17 @@ object Bench {
     val medians = names.map { case (name, _) =>
       name -> samples(name).sorted.apply(reps / 2)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def j(x: Double): String = if (java.lang.Double.isFinite(x)) x.toString else "-1"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + j(v) }
       .mkString("{", ",", "}")
-    val med = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    val med = medians.map { case (k, v) => s"\"" + k + "\":" + j(v) }
       .mkString("{", ",", "}")
     // all raw samples ride along so a surprising value is explainable
     // from the artifact alone (stall vs real regression)
     val raw = names.map { case (k, _) =>
-      s"\"" + k + "\":" + samples(k).reverse.mkString("[", ",", "]")
+      s"\"" + k + "\":" + samples(k).reverse.map(j).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(java.lang.Double.isFinite).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$med,"samples":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }

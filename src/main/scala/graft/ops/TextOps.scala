@@ -77,6 +77,14 @@ object TextOps {
     // formulation executed the scan+explode+distinct FOUR times: AQE
     // broadcast one self-join side — breaking subtree reuse — and each
     // cardinality join rebuilt the relation again.)
+    // Skew note for lake scale: the h-window buffers each shingle's
+    // rows in one group BEFORE the cap filter, so a boilerplate shingle
+    // shared by millions of docs makes one spilling straggler. The
+    // per-doc window is safe (bounded by doc length). If the corpus has
+    // such mass, compute df with a map-side-combining aggregate and
+    // join it back (AQE skew-split handles the hot key) — costs one
+    // more pass of the relation; the window form is the minimum-scan
+    // shape when the df distribution is benign.
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val shf = sh

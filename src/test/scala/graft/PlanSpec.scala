@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"c2 must not cartesian-join:\n$p")
   }
 
+  test("c2: executed plan reuses the shingle exchange — one corpus scan, not four") {
+    val df = TextOps.c2_dedupJaccard(spark, sf0001)
+    df.collect() // ReusedExchange only appears in the FINAL adaptive plan
+    // toString appends the pre-AQE "== Initial Plan ==" — count only the
+    // final executed section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"), s"self-join sides must share one exchange:\n$p")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one documents scan, saw $scans:\n$p")
+  }
+
   test("c6: signature is one typed aggregate; candidate join is equi, no nested loop") {
     val p = plan(Simhash.c6_simhash(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"c6 must not nested-loop:\n$p")
