@@ -68,6 +68,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // corpora with forced near-dups: a small vocabulary plus documents
+  // derived from each other by token edits, so Jaccard >= 0.5 pairs
+  // actually occur (uniform random docs almost never overlap)
+  private val corpusGen: Gen[List[String]] = for {
+    bases <- Gen.listOfN(8, Gen.listOfN(12, Gen.choose(0, 20).map(i => s"w$i")))
+    edited = bases.map(b => b.updated(3, "w99"))
+  } yield (bases ++ edited).map(_.mkString(" "))
+
+  test("c2 equals a brute-force Jaccard model on generated corpora") {
+    samples(corpusGen, 5).zipWithIndex.foreach { case (docs, round) =>
+      val dir = s"${graft.ops.Tables.scratch}/c2_prop_$round"
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "gen", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // model: 3-shingle sets, all-pairs exact Jaccard at tau = 0.5
+      def shingles(t: String): Set[Seq[String]] = {
+        val w = t.split(" ").toSeq
+        if (w.size < 3) Set.empty else w.sliding(3).map(_.toSeq).toSet
+      }
+      val sets = docs.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.5
+      } yield (a, b, inter.toLong, j)).toSet
+      val got = graft.ops.TextOps.c2_dedupJaccard(spark, dir).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toSet
+      assert(got === expected, s"corpus round $round")
+    }
+  }
+
   private val asofGen: Gen[(List[Long], List[Long])] = for {
     feats <- Gen.listOfN(20, Gen.choose(0L, 100000L))
     probes <- Gen.listOfN(10, Gen.choose(0L, 100000L))
