@@ -43,16 +43,19 @@ case class ExtractNumeric(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val childGen = child.genCode(ctx)
     val helper = ExtractNumeric.getClass.getName.stripSuffix("$")
+    // fresh name: two extract_numeric calls in one codegen'd method must
+    // not collide on the local holding the boxed result
+    val r = ctx.freshName("extracted")
     ev.copy(code =
       code"""
         ${childGen.code}
         boolean ${ev.isNull} = true;
         float ${ev.value} = 0.0f;
         if (!${childGen.isNull}) {
-          java.lang.Float graft_r = $helper.extract(${childGen.value});
-          if (graft_r != null) {
+          java.lang.Float $r = $helper.extract(${childGen.value});
+          if ($r != null) {
             ${ev.isNull} = false;
-            ${ev.value} = graft_r.floatValue();
+            ${ev.value} = $r.floatValue();
           }
         }
       """)

@@ -21,6 +21,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_.get(0)).toSeq === Seq(4.99f, 300f, null, 2f))
   }
 
+  test("two extract_numeric calls codegen in one projection without local collisions") {
+    ExtractNumeric.register(spark)
+    // spark.range source so ConvertToLocalRelation cannot pre-evaluate
+    // the projection interpreted — the point is to execute GENERATED code
+    val df = spark.range(3)
+      .select(format_string("a %d.5 b", col("id")).as("s1"),
+        format_string("c %d d", col("id") * 2).as("s2"))
+      .select(expr("extract_numeric(s1)").as("x1"), expr("extract_numeric(s2)").as("x2"))
+    // WholeStageCodegen must survive both calls in one projection (a
+    // fixed local name in doGenCode could collide if Spark inlines both
+    // into one method scope and silently fall back to interpreted eval)
+    // the "*(n)" prefix is the whole-stage-codegen stage marker
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    val rows = df.collect().map(r => (r.get(0), r.get(1)))
+    assert(rows.toSeq === Seq((0.5f, 0f), (1.5f, 2f), (2.5f, 4f)))
+  }
+
   test("optimizer rule rewrites the regexp_extract+cast idiom to the native expression") {
     val df = graft.ops.Ingest.envelope(spark, sf0001)
       .select(regexp_extract(col("EventDetails"), graft.ops.Ingest.NumRegex, 1)
