@@ -171,31 +171,32 @@ object Features {
     * timestamp (ties: largest event_id; purchases with no prior view
     * are dropped, i.e. inner as-of).
     *
-    * Implementation is the union-merge form: features and probes are
-    * unioned, shuffled ONCE on user_id, and resolved with a single
-    * last(ignoreNulls) ordered window — the shape that survives 100 TB
-    * (vs. a range join that explodes, or per-key collects).
+    * Implementation is the merge form over ONE scan: a kind flag
+    * (feature=0 / probe=1) replaces the union of two filtered scans,
+    * and BOTH the feature id and its value resolve as last(ignoreNulls)
+    * over the same ordered window — so the whole as-of is one scan, one
+    * shuffle on user_id, one window pass: no range-join explosion, no
+    * back-join to fetch the feature payload, no per-key collects. The
+    * shape that survives 100 TB; on a lake bucketed+sorted by
+    * (user_id, ts) even that one exchange disappears.
     */
   def b7_asofJoin(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
-    val feat = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
-    val probe = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
     // features sort before probes at equal ts (kind 0 < 1); among equal-ts
     // features the largest event_id wins because last() takes the latest.
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val resolved = feat.unionAll(probe)
-      .withColumn("feat_eid",
-        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(ord))
+    def lastFeat(c: org.apache.spark.sql.Column) =
+      last(when(col("kind") === 0, c), ignoreNulls = true).over(ord)
+    Tables.events(spark, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      .withColumn("feat_eid", lastFeat(col("event_id")))
+      .withColumn("feat_value", lastFeat(col("value")))
       .filter(col("kind") === 1 && col("feat_eid").isNotNull)
-      .select(col("event_id").as("probe_eid"), col("user_id"), col("feat_eid"))
-    val featVals = ev.filter(col("event_type") === "view")
-      .select(col("event_id").as("feat_eid"), col("value").as("feat_value"))
-    resolved.join(featVals, "feat_eid")
-      .select(col("probe_eid"), col("user_id"), col("feat_eid"), col("feat_value"))
+      .select(col("event_id").as("probe_eid"), col("user_id"),
+        col("feat_eid"), col("feat_value"))
       .orderBy(col("probe_eid"))
   }
 

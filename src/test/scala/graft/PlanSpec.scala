@@ -106,6 +106,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("b7: as-of join is one scan + one window — no join operator, no second scan") {
+    val p = plan(Features.b7_asofJoin(spark, sf0001))
+    assert(!p.contains("Join"), s"as-of must resolve in the window, not a join:\n$p")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, saw $scans:\n$p")
+  }
+
   test("b17: latest-wins upsert plans one shuffle on the feature key") {
     val p = plan(Extras.b17_latestFeatures(spark, sf0001))
     // WindowGroupLimit pushes the rank filter below the full window sort
