@@ -190,52 +190,73 @@ object StreamOps {
 
   // public: Catalyst-generated encoder code must access these
   case class SessEv(user_id: Long, us: Long, event_id: Long)
-  case class SessState(nextSess: Long, lastEndUs: Long)
+  /** The OPEN session carried across micro-batches: ordinal + bounds +
+    * count. Carrying the whole open session (not just "next ordinal")
+    * is what makes continuation correct — a batch whose first event
+    * falls within the gap must EXTEND this session, not open a new one.
+    */
+  case class SessState(sess: Long, startUs: Long, endUs: Long, n: Long)
   case class SessOut(user_id: Long, sess: Long, n_events: Long,
       start_us: Long, end_us: Long, dur_us: Long)
 
+  val SessionGapUs = 1800000000L // 30 minutes
+
+  /** Per-group sessionization step (b6 semantics: new session when the
+    * gap exceeds 30 minutes, ties broken by event_id; ordinals start at
+    * 1 like b6's running flag sum). Emits one SNAPSHOT row per session
+    * touched in this batch; a session that continues into a later batch
+    * is re-emitted with updated bounds, so downstream resolves
+    * last-snapshot-wins per (user, sess) — the same upsert convention
+    * as b17. On a bounded AvailableNow drain each session is touched by
+    * exactly one batch, so snapshots are final and match the batch SQL.
+    */
+  def sessionize(key: Long, it: Iterator[SessEv],
+      state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
+    val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    // resume the open session when the batch's first event is within the
+    // gap of its end; otherwise that session is already final (its last
+    // snapshot stands) and the next ordinal begins
+    var sess = 1L; var curStart = -1L; var curEnd = -1L; var curN = 0L
+    state.getOption.foreach { s =>
+      if (sorted.head.us - s.endUs <= SessionGapUs) {
+        sess = s.sess; curStart = s.startUs; curEnd = s.endUs; curN = s.n
+      } else sess = s.sess + 1
+    }
+    val res = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+    sorted.foreach { e =>
+      if (curN == 0L) {
+        curStart = e.us; curEnd = e.us; curN = 1L
+      } else if (e.us - curEnd > SessionGapUs) {
+        res += SessOut(key, sess, curN, curStart, curEnd, curEnd - curStart)
+        sess += 1
+        curStart = e.us; curEnd = e.us; curN = 1L
+      } else {
+        curEnd = e.us; curN += 1
+      }
+    }
+    res += SessOut(key, sess, curN, curStart, curEnd, curEnd - curStart)
+    state.update(SessState(sess, curStart, curEnd, curN))
+    res.iterator
+  }
+
   /** s3: sessionization via flatMapGroupsWithState — the custom-state
-    * streaming surface (KeyValueGroupedDataset, GroupState). Exactly the
-    * b6 semantics: new session when the gap exceeds 30 minutes, ties
-    * broken by event_id. With AvailableNow over the bounded fixture the
-    * whole log arrives in one micro-batch, so emitted sessions are
-    * final; the carried GroupState (next session ordinal + last end)
-    * is what makes the same code continue correctly on an unbounded
-    * source. Oracle = the b6 batch SQL.
+    * streaming surface (KeyValueGroupedDataset, GroupState). Session
+    * rows are per-batch snapshots resolved last-wins (see
+    * [[sessionize]]); the read-back view applies that resolution, which
+    * is the identity on a single-batch drain. Oracle = the b6 batch SQL.
+    * Cross-batch continuation (a session straddling micro-batches) is
+    * pinned in StreamingSpec with a two-batch MemoryStream.
     */
   def s3_streamSessionize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val chk = s"${Tables.scratch}/s3_chk"
     val out = s"${Tables.scratch}/s3_out"
     rmrf(out); rmrf(chk)
-    val gapUs = 1800000000L
     val evs = eventStream(spark, d)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
       .as[SessEv]
-    def sessionize(key: Long, it: Iterator[SessEv], state: GroupState[SessState]): Iterator[SessOut] = {
-      val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
-      if (sorted.isEmpty) return Iterator.empty
-      // sess ordinals start at 1, matching b6's running sum of flags
-      val st = state.getOption.getOrElse(SessState(1L, Long.MinValue))
-      var sess = st.nextSess
-      var curStart = -1L; var curEnd = -1L; var curN = 0L
-      val res = scala.collection.mutable.ArrayBuffer.empty[SessOut]
-      sorted.foreach { e =>
-        if (curN == 0L) {
-          curStart = e.us; curEnd = e.us; curN = 1L
-        } else if (e.us - curEnd > gapUs) {
-          res += SessOut(key, sess, curN, curStart, curEnd, curEnd - curStart)
-          sess += 1
-          curStart = e.us; curEnd = e.us; curN = 1L
-        } else {
-          curEnd = e.us; curN += 1
-        }
-      }
-      res += SessOut(key, sess, curN, curStart, curEnd, curEnd - curStart)
-      state.update(SessState(sess + 1, curEnd))
-      res.iterator
-    }
     withStreamShuffle(spark, 8) {
       val q = evs.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
@@ -249,7 +270,14 @@ object StreamOps {
         .start()
       q.awaitTermination()
     }
+    // last-snapshot-wins per (user, sess): a continued session's latest
+    // snapshot supersedes earlier ones (identity on a one-batch drain)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("end_us").desc, col("n_events").desc)
     spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .select(col("user_id"), col("sess"), col("n_events"),
         col("start_us"), col("end_us"), col("dur_us"))
       .orderBy(col("user_id"), col("sess"))

@@ -58,6 +58,38 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("props") === """{"k":1}""")
   }
 
+  test("s3 GroupState: a session straddling micro-batches continues, not restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.StreamOps.{sessionize, SessEv}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60000000L // one minute in us
+    val input = MemoryStream[SessEv]
+    val q = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+      .writeStream.outputMode("append").format("memory").queryName("s3_multi").start()
+    try {
+      // batch 1: two events 10 min apart -> one open session
+      input.addData(SessEv(1, 0L, 1), SessEv(1, 10 * min, 2))
+      q.processAllAvailable()
+      // batch 2: +20 min (within the 30-min gap: session 1 CONTINUES),
+      // then +2 h (gap: session 2 opens)
+      input.addData(SessEv(1, 30 * min, 3), SessEv(1, 150 * min, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last-snapshot-wins per (user, sess) — same resolution s3 applies
+    val last = spark.table("s3_multi").collect()
+      .map(r => (r.getAs[Long]("sess"), (r.getAs[Long]("n_events"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).maxBy(v => (v._3, v._1)) }
+    // session 1 spans both batches: 3 events, 0 .. 30 min
+    assert(last(1L) === ((3L, 0L, 30 * min)))
+    // session 2 is the post-gap event
+    assert(last(2L) === ((1L, 150 * min, 150 * min)))
+    assert(last.size === 2)
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
