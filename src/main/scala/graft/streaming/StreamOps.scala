@@ -287,6 +287,13 @@ object StreamOps {
     * the event stream joins the static customer dimension (broadcast per
     * micro-batch, no stream state for the join itself) and feeds a
     * running per-segment aggregate, drained with AvailableNow.
+    *
+    * Complete output mode is correct HERE because the group key is the
+    * market segment — a small, bounded domain, so both the aggregation
+    * state and the per-batch rewritten output are O(segments). For an
+    * unbounded key (per-user running features) the same query would
+    * use update mode + a sink upsert, like s2's append/watermark
+    * pattern.
     */
   def s4_streamJoin(spark: SparkSession, d: String): DataFrame = {
     val out = s"${Tables.scratch}/s4_out"
