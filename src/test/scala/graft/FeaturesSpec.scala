@@ -45,8 +45,8 @@ class FeaturesSpec extends SparkSpec {
     ).toDF("event_id", "user_id", "ts", "event_type", "value")
     ev.createOrReplaceTempView("asof_case")
 
-    // run the same union-merge logic against the literal frame by
-    // writing it to scratch as events.parquet
+    // run the real single-scan kind-flag merge against the literal frame
+    // by writing it to scratch as events.parquet
     val dir = s"${graft.ops.Tables.scratch}/asof_case"
     // Tables.events expects the fixture's on-disk shape: ts as int64 nanos
     ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
