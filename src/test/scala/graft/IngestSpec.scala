@@ -41,8 +41,8 @@ class IngestSpec extends SparkSpec {
     // the reference's sink is a transactional JDBC batch insert
     // (ConsumerMultiThread.java:163-201); Spark's jdbc writer issues the
     // same batched inserts per partition. Derby (bundled with Spark)
-    // stands in for the reference's MySQL target; a12's parquet form
-    // remains the oracled query.
+    // stands in for the reference's SQLite file target (no sqlite-jdbc
+    // in this image); a12's parquet form remains the oracled query.
     val dwd = Ingest.dwdFrame(spark, sf0001)
     val dbDir = s"${graft.ops.Tables.scratch}/derby_a12"
     graft.ops.Tables.rmrf(dbDir)
