@@ -271,15 +271,16 @@ object StreamOps {
       q.awaitTermination()
     }
     // last-snapshot-wins per (user, sess): a continued session's latest
-    // snapshot supersedes earlier ones (identity on a one-batch drain)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("sess"))
-      .orderBy(col("end_us").desc, col("n_events").desc)
+    // snapshot supersedes earlier ones (identity on a one-batch drain).
+    // max(struct(end_us, n_events, ...)) is the lexicographic latest —
+    // a map-side-combining aggregate, cheaper than a row_number window
+    // (no per-partition sort of all snapshots).
     spark.read.parquet(out)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("sess"), col("n_events"),
-        col("start_us"), col("end_us"), col("dur_us"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(max(struct(col("end_us"), col("n_events"), col("start_us"))).as("s"))
+      .select(col("user_id"), col("sess"), col("s.n_events").as("n_events"),
+        col("s.start_us").as("start_us"), col("s.end_us").as("end_us"),
+        (col("s.end_us") - col("s.start_us")).as("dur_us"))
       .orderBy(col("user_id"), col("sess"))
   }
 
