@@ -39,6 +39,29 @@ class NewOpsSpec extends SparkSpec {
     assert(SimHashAgg.finish(SimHashAgg.zero) === (1L << SimHashAgg.Bits) - 1L)
   }
 
+  test("c2 df-cap: a shingle shared by more than DfCap docs yields no candidates") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // identical single-shingle docs: df = n for the one shingle
+    def corpus(dir: String, n: Int): String = {
+      (0 until n).map(i => (i.toLong, "x y z", "en", "gen", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // over the cap: the stop-shingle is excluded -> zero pairs even
+    // though every pair has J = 1 (exact dupes are c1's job; the cap is
+    // the 100 TB valve against quadratic candidate blowup)
+    val over = corpus(s"${Tables.scratch}/c2_cap_over", TextOps.DfCap + 1)
+    assert(TextOps.c2_dedupJaccard(spark, over).count() === 0L)
+    // under the cap: all C(10,2) pairs appear with J = 1
+    val under = corpus(s"${Tables.scratch}/c2_cap_under", 10)
+    val pairs = TextOps.c2_dedupJaccard(spark, under).collect()
+    assert(pairs.length === 45)
+    assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("b15: salted two-phase aggregation equals plain groupBy") {
     val salted = Features.b15_saltedAgg(spark, sf0001).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
