@@ -60,6 +60,11 @@ class NewOpsSpec extends SparkSpec {
     val pairs = TextOps.c2_dedupJaccard(spark, under).collect()
     assert(pairs.length === 45)
     assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
+    // x_minhash_lsh has the same valve on LSH bucket size: identical
+    // docs share every band bucket, so over-cap buckets yield nothing
+    // and under-cap ones verify all pairs exactly
+    assert(TextOps.minhashLsh(spark, over).count() === 0L)
+    assert(TextOps.minhashLsh(spark, under).count() === 45L)
   }
 
   test("b15: salted two-phase aggregation equals plain groupBy") {
