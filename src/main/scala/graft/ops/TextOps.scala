@@ -54,6 +54,52 @@ object TextOps {
     */
   val DfCap = 1000
 
+  /** The df-capped shingle relation (doc_id, h, n): `h` restricted to
+    * shingles with document frequency in [2, DfCap], every row carrying
+    * its doc's FULL shingle cardinality `n` (the Jaccard denominator —
+    * computed before the cap, matching the oracle).
+    *
+    * Skew story (the 100 TB property this shape buys): df comes from a
+    * map-side-combining `groupBy(h).count` JOINED BACK, not from a
+    * count window over `partitionBy(h)`. A window must buffer a hot
+    * shingle's entire group in one task BEFORE the cap filter can drop
+    * it — on a boilerplate-heavy corpus that is one spilling straggler
+    * per stop-shingle. The aggregate partial-combines the hot key
+    * map-side (its final row is a single (h, count)), and the join back
+    * STREAMS the hot shingle's rows past the absent match instead of
+    * materializing them — memory per task stays bounded no matter the
+    * df. The per-doc `n` window is safe: its group is bounded by
+    * document length. Skew shape pinned in NewOpsSpec ("boilerplate-
+    * heavy corpus").
+    *
+    * The join is hinted SHUFFLE_MERGE: the capped relation is
+    * corpus-sized at lake scale so it must never broadcast, and the
+    * sort-merge output keeps hash-partitioning + ordering on `h`, which
+    * the candidate self-join downstream consumes without a new
+    * exchange.
+    */
+  private def cappedShingles(sh: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val dff = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, DfCap))
+      .select(col("h"))
+    sh.withColumn("n", count(lit(1)).over(byDoc))
+      .hint("SHUFFLE_MERGE")
+      .join(dff, "h")
+      .select(col("doc_id"), col("h"), col("n"))
+  }
+
+  /** Shared-shingle pair counts → exact Jaccard ≥ 0.5, deterministic
+    * order — the common tail of c2 and x_minhash's verification.
+    * Expects (a_id, b_id, inter, na, nb).
+    */
+  private def jaccardOf(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
   /** c2: exact shingle-Jaccard near-dup pairs (τ = 0.5).
     *
     * Shape: df-capped shingle self-equi-join → per-pair intersection
@@ -61,39 +107,16 @@ object TextOps {
     * shingle hash with the `a_id < b_id` residual, so the whole pair
     * expansion is whole-stage-codegen'd (no interpreted lambdas) and
     * spreads across tasks by shingle hash instead of materializing a
-    * hot shingle's pairs inside one row. Both join inputs are the same
-    * capped relation hash-partitioned on `h`, so Spark's ReuseExchange
-    * ships its shuffle once. [[DfCap]] bounds the worst-case fan-out of
-    * any single shingle; candidates are exactly the pairs with J > 0,
-    * so recall is 1 by construction.
+    * hot shingle's pairs inside one row. All subtrees derive from the
+    * ONE distinct-shingle exchange (ReuseExchange → a single corpus
+    * scan, pinned in PlanSpec). [[DfCap]] bounds the worst-case fan-out
+    * of any single shingle; candidates are exactly the pairs with
+    * J > 0, so recall is 1 by construction.
     */
   def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(spark, d)
-    // BOTH per-doc cardinality and the df-cap are count windows over the
-    // SAME relation — not separate aggregate+join subtrees. Every row of
-    // the capped relation then carries its doc's shingle count n, so the
-    // Jaccard denominator falls out of the pair aggregation itself and
-    // the plan needs exactly ONE corpus scan. (The aggregate+join
-    // formulation executed the scan+explode+distinct FOUR times: AQE
-    // broadcast one self-join side — breaking subtree reuse — and each
-    // cardinality join rebuilt the relation again.)
-    // Skew note for lake scale: the h-window buffers each shingle's
-    // rows in one group BEFORE the cap filter, so a boilerplate shingle
-    // shared by millions of docs makes one spilling straggler. The
-    // per-doc window is safe (bounded by doc length). If the corpus has
-    // such mass, compute df with a map-side-combining aggregate and
-    // join it back (AQE skew-split handles the hot key) — costs one
-    // more pass of the relation; the window form is the minimum-scan
-    // shape when the df distribution is benign.
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val shf = sh
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("df", count(lit(1)).over(byH))
-      .filter(col("df").between(2, DfCap))
-      .select(col("doc_id"), col("h"), col("n"))
-    // hint the self-join to sort-merge: its key IS the h-window's
-    // partitioning, so both sides resolve to the one existing exchange
+    val shf = cappedShingles(hashedShingles(spark, d))
+    // hint the self-join to sort-merge: its key IS the capped relation's
+    // partitioning, so both sides resolve to the existing exchanges
     // (ReuseExchange) and the join adds no shuffle. Left to AQE, a
     // small side gets broadcast, which both recomputes the relation
     // and would be the wrong strategy for a corpus-sized relation.
@@ -102,11 +125,7 @@ object TextOps {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
-    pairs
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+    jaccardOf(pairs)
   }
 
   /** MinHash + banded LSH near-dup candidates with exact verification —
@@ -132,31 +151,38 @@ object TextOps {
         .stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     // candidate pairs: same (band, band-signature) bucket — the same
-    // codegen'd self-equi-join shape as c2: bucket-size cap via a count
-    // window so both join sides are the identical subtree (one
-    // signature computation + one exchange, ReuseExchange-shared; no
-    // interpreted lambda pair expansion)
-    val byBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bsig"))
-    val bf = bands.withColumn("bn", count(lit(1)).over(byBucket))
+    // codegen'd self-equi-join shape as c2. The bucket-size cap is a
+    // map-side-combining aggregate joined back (NOT a count window):
+    // a degenerate LSH bucket at lake scale is exactly the hot-shingle
+    // skew case, and the aggregate+join streams it where a window
+    // would buffer it in one task (see [[cappedShingles]]).
+    val sizes = bands.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, DfCap))
+      .select(col("band"), col("bsig"))
+    val bf = bands.hint("SHUFFLE_MERGE").join(sizes, Seq("band", "bsig"))
       .select(col("doc_id"), col("band"), col("bsig"))
     val cand = bf.as("a").join(bf.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // exact verification via array intersection on per-doc shingle-hash sets
-    val docSh = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("ss"))
-    cand
-      .join(docSh.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
-      .join(docSh.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("ssa")) + size(col("ssb")) - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+    // exact verification = c2's pair aggregation restricted to the LSH
+    // candidates: join each pair back to the df-capped shingle relation
+    // and count shared shingles per pair. One count per pair, streamed —
+    // no second corpus-wide collect_set aggregation, no per-row array
+    // intersection over full shingle sets. Semantics match c2 exactly
+    // (a shared shingle has df >= 2 by definition, so the cap's lower
+    // bound drops nothing; n is the full pre-cap cardinality).
+    val shf = cappedShingles(sh)
+    val pairs = cand
+      .join(shf.as("sa"), col("sa.doc_id") === col("a_id"))
+      .join(shf.as("sb"),
+        col("sa.h") === col("sb.h") && col("sb.doc_id") === col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("sa.n")).as("na"), min(col("sb.n")).as("nb"))
+    jaccardOf(pairs)
   }
 
   /** c4: per-document text statistics (token counts, distinct tokens,
