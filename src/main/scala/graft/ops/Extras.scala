@@ -180,19 +180,22 @@ object Extras {
     // 100 TB shape: Lloyd runs on a BOUNDED training set, not the
     // corpus — k-means needs O(cells) representatives (~100 per cell
     // here), so training cost must be decoupled from corpus size (5
-    // full-lake scans would be the real cluster bill otherwise). Below
-    // the cap the full corpus trains (sampling a 500-vector fixture
-    // starves the codebook); above it, a rerun-stable xxhash64(vec_id)
-    // stride-sample caps the set. ASSIGNMENT below still covers every
-    // vector exactly once.
-    val trainCap = 1024L
-    val stride = (emb.count() + trainCap - 1) / trainCap
+    // full-lake scans would be the real cluster bill otherwise). The
+    // sample is the trainCap hash-SMALLEST vectors by xxhash64(vec_id):
+    // hash order is pseudorandom, so this is a uniform sample that is
+    // exactly capped with a built-in keep floor (a corpus under the cap
+    // trains whole — a 500-vector fixture never starves the codebook),
+    // rerun-stable, and needs NO pre-action over the corpus (the old
+    // form ran a full count() just to pick a stride). Plans as
+    // TakeOrderedAndProject: each task keeps trainCap rows, the driver
+    // merges k-row heaps — one pass, no global sort. ASSIGNMENT below
+    // still covers every vector exactly once.
+    val trainCap = 1024
     // the bounded training set fits in memory BY DESIGN (<= trainCap
     // vectors) — cache it so the 1+IvfTrainIters Lloyd passes reduce a
     // cached relation instead of re-scanning the lake each iteration
-    val train = (if (stride <= 1) emb
-      else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0))
-      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    val train = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"))).limit(trainCap).cache()
     var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
     for (_ <- 1 to IvfTrainIters)
       cents = centroidsOf(train.withColumn("cell", assignExpr(cents)), cents)

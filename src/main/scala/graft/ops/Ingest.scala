@@ -151,6 +151,40 @@ object Ingest {
     spark.read.parquet(out).select(EventFields.map(col): _*).orderBy(eid)
   }
 
+  /** A13: JDBC sink parity — the reference's REAL sink is a transactional
+    * JDBC batch insert (`INSERT INTO dwd_… VALUES (?,…)` via
+    * PreparedStatement.addBatch/executeBatch inside an explicit txn,
+    * ConsumerMultiThread.java:163-201). Spark's jdbc writer issues the
+    * same shape: per-partition connections, batched prepared inserts
+    * (default batchsize 1000 = the reference's BATCH_SIZE), one commit
+    * per partition. Embedded Derby stands in for the reference's SQLite
+    * file (no sqlite-jdbc in this image); the dwd frame is written,
+    * read back through JDBC, and oracled by the same dwd SQL as a12 —
+    * so the round-trip is value-exact, not just row-counted.
+    *
+    * coalesce(1) on the WRITE only: embedded Derby serializes on a
+    * single file anyway (as SQLite does), so one writer connection
+    * avoids lock contention; the frame computed upstream stays
+    * parallel. At lake scale the sink would be a server-side RDBMS and
+    * the coalesce would be dropped — per-partition txn writers are the
+    * scalable path, which IngestSpec exercises with 2 writers.
+    */
+  def a13_sinkJdbc(spark: SparkSession, d: String): DataFrame = {
+    val dbDir = s"${Tables.scratch}/derby_dwd"
+    System.setProperty("derby.stream.error.file", s"${Tables.scratch}/derby.log")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // no rmrf: Derby keeps a booted db open JVM-wide, so deleting its
+    // files between repetitions would corrupt it — overwrite drops and
+    // recreates the TABLE, which is the reference's create-if-not-exists
+    // + insert lifecycle (ConsumerMultiThread.java:66-85)
+    dwdFrame(spark, d).coalesce(1).write.mode("overwrite")
+      .jdbc(url, "dwd_events", props)
+    spark.read.jdbc(url, "dwd_events", props)
+      .select(EventFields.map(col): _*).orderBy(eid)
+  }
+
   /** A14: the whole reference program as one declarative chain. */
   def a14_pipeline(spark: SparkSession, d: String): DataFrame =
     a8_project(spark, d)
@@ -220,6 +254,8 @@ object Ingest {
         |GROUP BY EventType ORDER BY EventType""".stripMargin),
     "a12_sink_dwd" ->
       (dwdSql + "SELECT * FROM dwd ORDER BY CAST(EventID AS BIGINT)"),
+    "a13_sink_jdbc" ->
+      (dwdSql + "SELECT * FROM dwd ORDER BY CAST(EventID AS BIGINT)"),
     "a14_pipeline_e2e" ->
       (dwdSql + "SELECT * FROM dwd ORDER BY CAST(EventID AS BIGINT)"),
   )
@@ -233,6 +269,7 @@ object Ingest {
     "a8_project"           -> a8_project _,
     "a9_partition_by_type" -> a9_partitionByType _,
     "a12_sink_dwd"         -> a12_sinkDwd _,
+    "a13_sink_jdbc"        -> a13_sinkJdbc _,
     "a14_pipeline_e2e"     -> a14_pipeline _,
   )
 }

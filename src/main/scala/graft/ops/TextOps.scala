@@ -36,9 +36,19 @@ object TextOps {
     * space vs ~10^6 distinct shingles), so Jaccard values are unchanged;
     * candidate-side hash collisions only ever ADD a candidate pair,
     * which exact verification then rejects.
+    *
+    * The explicit doc_id not-null filter matters for PLAN SHAPE, not
+    * semantics (fixture ids are never null): the candidate self-join's
+    * `a.doc_id < b.doc_id` residual pushes isnotnull(doc_id) into the
+    * join branches but NOT into the groupBy(h) df branch — without the
+    * filter here the two subtrees differ at the scan, ReuseExchange
+    * cannot unify the distinct-shingle exchange, and the corpus gets
+    * scanned once per branch. Filtering at the source makes every
+    * consumer's subtree byte-identical (PlanSpec pins scans == 1).
     */
   private def hashedShingles(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -69,8 +79,9 @@ object TextOps {
     * STREAMS the hot shingle's rows past the absent match instead of
     * materializing them — memory per task stays bounded no matter the
     * df. The per-doc `n` window is safe: its group is bounded by
-    * document length. Skew shape pinned in NewOpsSpec ("boilerplate-
-    * heavy corpus").
+    * document length. The cap's SEMANTICS are pinned in NewOpsSpec
+    * ("c2 df-cap": over-cap stop-shingle → zero candidates, under-cap
+    * → all pairs); the one-scan plan shape is pinned in PlanSpec.
     *
     * The join is hinted SHUFFLE_MERGE: the capped relation is
     * corpus-sized at lake scale so it must never broadcast, and the
@@ -128,9 +139,20 @@ object TextOps {
     jaccardOf(pairs)
   }
 
-  /** MinHash + banded LSH near-dup candidates with exact verification —
+  /** MinHash + banded LSH near-dup candidates, verified by counting
+    * shared shingles per pair against the df-capped shingle relation —
     * the sketch-based scale path (no oracle; recall vs c2 is a test).
     * 64 minhashes, 16 bands × 4 rows.
+    *
+    * Verification is CAP-exact, not set-exact: it uses c2's df-capped
+    * semantics, so a shingle shared by more than [[DfCap]] documents is
+    * excluded from the intersection count while `n` (the denominator)
+    * keeps the full pre-cap cardinality — on a boilerplate-heavy corpus
+    * this biases verified Jaccard downward for pairs whose overlap is
+    * mostly stop-shingles, by design (those are not near-dups worth
+    * keeping, and counting them would mean shuffling an unbounded hot
+    * key). Under the cap (always true in the fixture, max df 7) the
+    * result is identical to full-set Jaccard.
     */
   val NumHashes = 64
   val NumBands = 16 // × 4 rows per band
