@@ -37,13 +37,16 @@ object TextOps {
     * candidate-side hash collisions only ever ADD a candidate pair,
     * which exact verification then rejects.
     *
-    * The explicit doc_id not-null filter matters for PLAN SHAPE, not
-    * semantics (fixture ids are never null): the candidate self-join's
-    * `a.doc_id < b.doc_id` residual pushes isnotnull(doc_id) into the
-    * join branches but NOT into the groupBy(h) df branch — without the
-    * filter here the two subtrees differ at the scan, ReuseExchange
-    * cannot unify the distinct-shingle exchange, and the corpus gets
-    * scanned once per branch. Filtering at the source makes every
+    * The explicit not-null filters matter for PLAN SHAPE, not
+    * semantics (fixture ids are never null; xxhash64 of non-null input
+    * never is either): joins push isnotnull predicates into SOME
+    * consumers of this relation but not others — c2's self-join residual
+    * `a.doc_id < b.doc_id` reaches the join branches but not the
+    * groupBy(h) df branch, and nothing pushes isnotnull(h) into
+    * x_minhash's signature aggregate. A branch with different pushed
+    * filters is a different subtree, ReuseExchange cannot unify the
+    * distinct-shingle exchange, and the corpus gets scanned once per
+    * branch. Filtering both columns at the source makes every
     * consumer's subtree byte-identical (PlanSpec pins scans == 1).
     */
   private def hashedShingles(spark: SparkSession, d: String): DataFrame =
@@ -54,6 +57,7 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), i -> xxhash64(t[i], t[i+1], t[i+2]))"))
         .as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
 
   /** Document-frequency cap for candidate generation: shingles shared by
