@@ -14,6 +14,9 @@ object Bench {
       // aggressive periodic GC so finished broadcasts/shuffles are
       // reclaimed between queries instead of piling up in the one JVM
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // same engine config as Verify: the native ExtractNumeric rewrite
+      // is part of the judged path, so it is benched too
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: spin up executors, codegen, parquet reader paths

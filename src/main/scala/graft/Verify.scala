@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // the native ExtractNumeric rewrite runs in the judged path; it is
+      // semantics-preserving (ExtensionsSpec pins native ≡ portable), so
+      // the DuckDB oracles are unchanged
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

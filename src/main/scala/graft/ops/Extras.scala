@@ -122,6 +122,23 @@ object Extras {
   val IvfCells = 10
   val IvfNprobe = 3
   private val IvfTrainIters = 4
+  private val IvfTrainCap = 1024
+
+  /** The bounded IVF training set: the [[IvfTrainCap]] hash-smallest
+    * vectors by xxhash64(vec_id) — hash order is pseudorandom, so this
+    * is a uniform sample that is exactly capped with a built-in keep
+    * floor (a corpus under the cap trains whole), and needs NO
+    * pre-action over the corpus. vec_id rides as the tie-breaker sort
+    * key so the cut is strictly deterministic even if hash ties (dup
+    * ids, 64-bit collisions) straddle the limit boundary — same
+    * TakeOrderedAndProject plan, one pass, no global sort. Exposed for
+    * the PlanSpec pin: the plan must stay TakeOrderedAndProject over
+    * the scan with no Aggregate/count pre-action (round 6 removed a
+    * full-corpus `count()` here; the pin keeps it out).
+    */
+  private[graft] def ivfTrainSample(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfTrainCap)
 
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -180,22 +197,14 @@ object Extras {
     // 100 TB shape: Lloyd runs on a BOUNDED training set, not the
     // corpus — k-means needs O(cells) representatives (~100 per cell
     // here), so training cost must be decoupled from corpus size (5
-    // full-lake scans would be the real cluster bill otherwise). The
-    // sample is the trainCap hash-SMALLEST vectors by xxhash64(vec_id):
-    // hash order is pseudorandom, so this is a uniform sample that is
-    // exactly capped with a built-in keep floor (a corpus under the cap
-    // trains whole — a 500-vector fixture never starves the codebook),
-    // rerun-stable, and needs NO pre-action over the corpus (the old
-    // form ran a full count() just to pick a stride). Plans as
-    // TakeOrderedAndProject: each task keeps trainCap rows, the driver
-    // merges k-row heaps — one pass, no global sort. ASSIGNMENT below
-    // still covers every vector exactly once.
-    val trainCap = 1024
-    // the bounded training set fits in memory BY DESIGN (<= trainCap
+    // full-lake scans would be the real cluster bill otherwise). See
+    // [[ivfTrainSample]] for the sample's determinism + no-pre-action
+    // properties (pinned in PlanSpec). ASSIGNMENT below still covers
+    // every vector exactly once.
+    // The bounded training set fits in memory BY DESIGN (<= IvfTrainCap
     // vectors) — cache it so the 1+IvfTrainIters Lloyd passes reduce a
     // cached relation instead of re-scanning the lake each iteration
-    val train = emb.select(col("vec_id"), col("label"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"))).limit(trainCap).cache()
+    val train = ivfTrainSample(emb).cache()
     var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
     for (_ <- 1 to IvfTrainIters)
       cents = centroidsOf(train.withColumn("cell", assignExpr(cents)), cents)

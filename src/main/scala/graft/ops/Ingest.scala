@@ -169,20 +169,58 @@ object Ingest {
     * the coalesce would be dropped — per-partition txn writers are the
     * scalable path, which IngestSpec exercises with 2 writers.
     */
-  def a13_sinkJdbc(spark: SparkSession, d: String): DataFrame = {
-    val dbDir = s"${Tables.scratch}/derby_dwd"
+  /** Derby reads `derby.stream.error.file` once at engine boot, so it
+    * must be a process-wide one-time setting, NOT per-query state: set
+    * inside a query function it silently does nothing whenever some
+    * earlier test/bench rep already booted the engine (and derby.log
+    * then lands in cwd). Referenced by [[a13_sinkJdbc]] before the
+    * first connection; `lazy val` guarantees exactly-once.
+    */
+  private lazy val derbyLogRedirect: Unit =
     System.setProperty("derby.stream.error.file", s"${Tables.scratch}/derby.log")
+
+  /** True once any a13 write/read-back completed in this JVM — i.e. the
+    * Derby engine is booted and healthy. Gates the failure recovery
+    * below: wiping the db dir is only safe while no live engine holds
+    * it, which is exactly the "never booted here" state.
+    */
+  @volatile private var derbyBootedOk = false
+
+  def a13_sinkJdbc(spark: SparkSession, d: String): DataFrame = {
+    derbyLogRedirect
+    val dbDir = s"${Tables.scratch}/derby_dwd"
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    // no rmrf: Derby keeps a booted db open JVM-wide, so deleting its
-    // files between repetitions would corrupt it — overwrite drops and
-    // recreates the TABLE, which is the reference's create-if-not-exists
-    // + insert lifecycle (ConsumerMultiThread.java:66-85)
-    dwdFrame(spark, d).coalesce(1).write.mode("overwrite")
-      .jdbc(url, "dwd_events", props)
-    spark.read.jdbc(url, "dwd_events", props)
-      .select(EventFields.map(col): _*).orderBy(eid)
+    // no rmrf on the happy path: Derby keeps a booted db open JVM-wide,
+    // so deleting its files between repetitions would corrupt it —
+    // overwrite drops and recreates the TABLE, which is the reference's
+    // create-if-not-exists + insert lifecycle
+    // (ConsumerMultiThread.java:66-85). But a JVM killed mid-write can
+    // leave db files that FAIL the next boot, and that failure would be
+    // sticky across every later run (nothing else ever cleans the dir) —
+    // so on failure, wipe and retry once. Safe: the failed attempt
+    // proves no live engine in this JVM holds that db open.
+    def writeReadBack(): DataFrame = {
+      dwdFrame(spark, d).coalesce(1).write.mode("overwrite")
+        .jdbc(url, "dwd_events", props)
+      val back = spark.read.jdbc(url, "dwd_events", props)
+        .select(EventFields.map(col): _*).orderBy(eid)
+      derbyBootedOk = true
+      back
+    }
+    try writeReadBack()
+    catch {
+      case e: Throwable =>
+        // A failure BEFORE the first successful boot means stale db
+        // files from a killed JVM (a boot that can never succeed, and
+        // sticky — nothing else cleans the dir): wipe + retry once.
+        // After a healthy boot the engine holds the db open, deleting
+        // its files would corrupt it — propagate instead.
+        if (derbyBootedOk) throw e
+        Tables.rmrf(dbDir)
+        writeReadBack()
+    }
   }
 
   /** A14: the whole reference program as one declarative chain. */

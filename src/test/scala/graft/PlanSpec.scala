@@ -59,6 +59,26 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly one documents scan, saw $scans:\n$p")
   }
 
+  test("x_minhash: executed plan reuses the shingle exchange — one corpus scan") {
+    val df = TextOps.minhashLsh(spark, sf0001)
+    df.collect() // ReusedExchange only appears in the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"signature agg, band join and verification must share exchanges:\n$p")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans <= 2, s"expected at most two documents scans, saw $scans:\n$p")
+  }
+
+  test("x_ann_ivf: training sample is one TakeOrderedAndProject pass — no corpus pre-action") {
+    val p = plan(Extras.ivfTrainSample(Tables.embeddings(spark, sf0001)))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"training sample must be a bounded top-k pass:\n$p")
+    // round 6 removed a full-corpus count() used for stride sampling;
+    // this keeps any aggregate/count pre-action from sneaking back in
+    assert(!p.contains("Aggregate"), s"no full-corpus aggregate before sampling:\n$p")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle the corpus:\n$p")
+  }
+
   test("c6: signature is one typed aggregate; candidate join is equi, no nested loop") {
     val p = plan(Simhash.c6_simhash(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"c6 must not nested-loop:\n$p")
