@@ -7,16 +7,19 @@ object Bench {
     // optional args: query names restrict the run (dev loop; the driver
     // passes none and gets the full suite)
     val only = args.toSet
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // aggressive periodic GC so finished broadcasts/shuffles are
       // reclaimed between queries instead of piling up in the one JVM
       .config("spark.cleaner.periodicGC.interval", "30s")
-      // same engine config as Verify: the native ExtractNumeric rewrite
-      // is part of the judged path, so it is benched too
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+    // same engine config as Verify: the native ExtractNumeric rewrite is
+    // part of the judged path, so it is benched too. SPARK_GRAFT_EXT=off
+    // is a measurement knob only (A/B the rewrite's effect, BENCH_NOTES);
+    // the driver sets nothing and always benches the judged config.
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXT").contains("off")) builder
+                 else builder.config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: spin up executors, codegen, parquet reader paths
@@ -38,19 +41,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return Double.PositiveInfinity }
       (System.nanoTime() - t0) / 1e9
     }
-    // 5 interleaved reps. This VM's scheduler randomly stalls task sets
+    // 7 interleaved reps. This VM's scheduler randomly stalls task sets
     // for 2-30 s regardless of query, hitting ~30% of samples (more for
     // many-stage queries, which expose more task sets per run) — the
     // noise is strictly ADDITIVE, so low-order statistics estimate true
     // cost and high-order ones estimate the stall distribution. A
-    // median-of-5 is still contaminated whenever 3+ samples of one query
-    // stall (observed in practice for the longest multi-stage queries),
-    // so the headline per-query value is the SECOND-SMALLEST of 5:
-    // robust to 3 stalled samples, yet — unlike min — it cannot be
+    // median is contaminated whenever most samples of one query stall
+    // (observed in practice for the longest multi-stage queries), so
+    // the headline per-query value is the SECOND-SMALLEST sample:
+    // robust to reps-2 stalled samples, yet — unlike min — it cannot be
     // carried by one lucky sample and still moves when a real regression
     // shifts the whole clean cluster. Medians and all raw samples ride
     // along in the JSON so any number is auditable from the artifact.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // Default 7 (was 5): the round-7 driver box stalled 4 of 5 samples
+    // on several queries, breaking second-smallest-of-5; 7 survives 5
+    // stalls. BENCH_NOTES.md carries the evidence.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "7").toInt
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to reps; (name, fn) <- names)
       samples(name) = once(fn) :: samples.getOrElse(name, Nil)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpExtract, TryEval}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression, ExpressionInfo, Literal, RegExpExtract, TryEval}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.FloatType
@@ -36,7 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Rewrite rule: recognize the regexp-extract-then-cast idiom and
   * substitute the fused native expression (same null semantics: no
-  * match → empty string → try_cast null ≡ native null).
+  * match → empty string → cast null ≡ native null).
+  *
+  * Equivalence is gated on the Cast's OWN evalMode, not the session
+  * conf: `try_cast` lowers to Cast(evalMode=TRY) (null on error — safe)
+  * and a pre-ANSI cast is Cast(evalMode=LEGACY) (empty string → null —
+  * safe), but Cast(evalMode=ANSI) THROWS on the no-match empty string
+  * where the native expression returns null, so an ANSI cast is left
+  * untouched and user-visible error behavior never changes. TryEval
+  * wrapping is matched too for plans built from older-style try_eval
+  * composition.
   */
 object ExtractNumericRewrite extends Rule[LogicalPlan] {
   private val NumRegex = UTF8String.fromString("(\\d+\\.\\d+|\\d+)")
@@ -45,7 +54,8 @@ object ExtractNumericRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case TryEval(Cast(RegExpExtract(subject, Literal(NumRegex, _), Literal(1, _)), FloatType, _, _)) =>
         ExtractNumeric(subject)
-      case Cast(RegExpExtract(subject, Literal(NumRegex, _), Literal(1, _)), FloatType, _, _) =>
+      case Cast(RegExpExtract(subject, Literal(NumRegex, _), Literal(1, _)), FloatType, _, mode)
+          if mode != EvalMode.ANSI =>
         ExtractNumeric(subject)
     }
 }

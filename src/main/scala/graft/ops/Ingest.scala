@@ -151,6 +151,32 @@ object Ingest {
     spark.read.parquet(out).select(EventFields.map(col): _*).orderBy(eid)
   }
 
+  /** Derby reads `derby.stream.error.file` once at engine boot, so it
+    * must be a process-wide one-time setting, NOT per-query state: set
+    * inside a query function it silently does nothing whenever some
+    * earlier test/bench rep already booted the engine (and derby.log
+    * then lands in cwd). Referenced by [[a13_sinkJdbc]] before the
+    * first connection; `lazy val` guarantees exactly-once.
+    */
+  private lazy val derbyLogRedirect: Unit =
+    System.setProperty("derby.stream.error.file", s"${Tables.scratch}/derby.log")
+
+  /** True iff the exception chain carries a Derby BOOT failure — the
+    * engine could not start the database at all (stale files from a
+    * killed JVM). SQLStates: XJ040 ("Failed to start database", the
+    * boot wrapper) and XBM0A ("service directory exists but the service
+    * could not be started"). Anything else — SQL errors, disk full,
+    * interrupts — happened against a LIVE engine, whose files must not
+    * be touched. Deliberately excludes XSDB6 (dual boot): there another
+    * engine HOLDS the db, and wiping would corrupt it.
+    */
+  private def isDerbyBootFailure(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20).exists {
+      case sql: java.sql.SQLException =>
+        Set("XJ040", "XBM0A").contains(sql.getSQLState)
+      case _ => false
+    }
+
   /** A13: JDBC sink parity — the reference's REAL sink is a transactional
     * JDBC batch insert (`INSERT INTO dwd_… VALUES (?,…)` via
     * PreparedStatement.addBatch/executeBatch inside an explicit txn,
@@ -169,23 +195,6 @@ object Ingest {
     * the coalesce would be dropped — per-partition txn writers are the
     * scalable path, which IngestSpec exercises with 2 writers.
     */
-  /** Derby reads `derby.stream.error.file` once at engine boot, so it
-    * must be a process-wide one-time setting, NOT per-query state: set
-    * inside a query function it silently does nothing whenever some
-    * earlier test/bench rep already booted the engine (and derby.log
-    * then lands in cwd). Referenced by [[a13_sinkJdbc]] before the
-    * first connection; `lazy val` guarantees exactly-once.
-    */
-  private lazy val derbyLogRedirect: Unit =
-    System.setProperty("derby.stream.error.file", s"${Tables.scratch}/derby.log")
-
-  /** True once any a13 write/read-back completed in this JVM — i.e. the
-    * Derby engine is booted and healthy. Gates the failure recovery
-    * below: wiping the db dir is only safe while no live engine holds
-    * it, which is exactly the "never booted here" state.
-    */
-  @volatile private var derbyBootedOk = false
-
   def a13_sinkJdbc(spark: SparkSession, d: String): DataFrame = {
     derbyLogRedirect
     val dbDir = s"${Tables.scratch}/derby_dwd"
@@ -199,25 +208,23 @@ object Ingest {
     // (ConsumerMultiThread.java:66-85). But a JVM killed mid-write can
     // leave db files that FAIL the next boot, and that failure would be
     // sticky across every later run (nothing else ever cleans the dir) —
-    // so on failure, wipe and retry once. Safe: the failed attempt
-    // proves no live engine in this JVM holds that db open.
+    // so on a BOOT failure (SQLState-verified: the engine never started
+    // this db, so no live engine holds its files), wipe and retry once.
+    // Any other failure happened against a live engine — propagate.
     def writeReadBack(): DataFrame = {
       dwdFrame(spark, d).coalesce(1).write.mode("overwrite")
         .jdbc(url, "dwd_events", props)
-      val back = spark.read.jdbc(url, "dwd_events", props)
+      spark.read.jdbc(url, "dwd_events", props)
         .select(EventFields.map(col): _*).orderBy(eid)
-      derbyBootedOk = true
-      back
     }
     try writeReadBack()
     catch {
-      case e: Throwable =>
-        // A failure BEFORE the first successful boot means stale db
-        // files from a killed JVM (a boot that can never succeed, and
-        // sticky — nothing else cleans the dir): wipe + retry once.
-        // After a healthy boot the engine holds the db open, deleting
-        // its files would corrupt it — propagate instead.
-        if (derbyBootedOk) throw e
+      case scala.util.control.NonFatal(e) if isDerbyBootFailure(e) =>
+        // belt-and-braces: ask the engine to release the db before the
+        // wipe, in case some component did get it booted. Shutdown
+        // SIGNALS SUCCESS with SQLState 08006 — swallow it either way.
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+        catch { case scala.util.control.NonFatal(_) => () }
         Tables.rmrf(dbDir)
         writeReadBack()
     }

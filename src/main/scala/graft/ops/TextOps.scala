@@ -49,7 +49,7 @@ object TextOps {
     * branch. Filtering both columns at the source makes every
     * consumer's subtree byte-identical (PlanSpec pins scans == 1).
     */
-  private def hashedShingles(spark: SparkSession, d: String): DataFrame =
+  private[graft] def hashedShingles(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -93,7 +93,7 @@ object TextOps {
     * the candidate self-join downstream consumes without a new
     * exchange.
     */
-  private def cappedShingles(sh: DataFrame): DataFrame = {
+  private[graft] def cappedShingles(sh: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val dff = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, DfCap))
@@ -161,38 +161,52 @@ object TextOps {
   val NumHashes = 64
   val NumBands = 16 // × 4 rows per band
 
-  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(spark, d)
-    // signature = 64 wide min-aggregate columns over codegen'd xxhash64
-    // of the (already 64-bit) shingle hash — the per-row hot path is 64
-    // long-hashes, no string re-hashing, no interpreted lambdas
+  /** Signature = 64 wide min-aggregate columns over codegen'd xxhash64
+    * of the (already 64-bit) shingle hash — the per-row hot path is 64
+    * long-hashes, no string re-hashing, no interpreted lambdas.
+    */
+  private[graft] def minhashSignatures(sh: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-    // band keys: 16 longs per doc (xxhash of the band's 4 rows; a hash
-    // collision can only add a candidate, and candidates are verified)
-    val bands = sig.select(col("doc_id"), explode(expr(
+  }
+
+  /** Band keys: 16 longs per doc (xxhash of the band's 4 rows; a hash
+    * collision can only add a candidate, and candidates are verified).
+    */
+  private[graft] def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band,
          |  xxhash64(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]) AS bsig))"""
         .stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    // candidate pairs: same (band, band-signature) bucket — the same
-    // codegen'd self-equi-join shape as c2. The bucket-size cap is a
-    // map-side-combining aggregate joined back (NOT a count window):
-    // a degenerate LSH bucket at lake scale is exactly the hot-shingle
-    // skew case, and the aggregate+join streams it where a window
-    // would buffer it in one task (see [[cappedShingles]]).
+
+  /** Candidate pairs: same (band, band-signature) bucket — the same
+    * codegen'd self-equi-join shape as c2. NOT deduplicated: a pair
+    * agreeing in k bands appears k times; the verification aggregate
+    * downstream collapses duplicates with count(DISTINCT h), so no
+    * standalone dropDuplicates shuffle is spent here. The bucket-size
+    * cap is a map-side-combining aggregate joined back (NOT a count
+    * window): a degenerate LSH bucket at lake scale is exactly the
+    * hot-shingle skew case, and the aggregate+join streams it where a
+    * window would buffer it in one task (see [[cappedShingles]]).
+    */
+  private[graft] def lshCandidates(bands: DataFrame): DataFrame = {
     val sizes = bands.groupBy(col("band"), col("bsig"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, DfCap))
       .select(col("band"), col("bsig"))
     val bf = bands.hint("SHUFFLE_MERGE").join(sizes, Seq("band", "bsig"))
       .select(col("doc_id"), col("band"), col("bsig"))
-    val cand = bf.as("a").join(bf.as("b"),
+    bf.as("a").join(bf.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+  }
+
+  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(spark, d)
+    val cand = lshCandidates(lshBands(minhashSignatures(sh)))
     // exact verification = c2's pair aggregation restricted to the LSH
     // candidates: join each pair back to the df-capped shingle relation
     // and count shared shingles per pair. One count per pair, streamed —
@@ -200,13 +214,19 @@ object TextOps {
     // intersection over full shingle sets. Semantics match c2 exactly
     // (a shared shingle has df >= 2 by definition, so the cap's lower
     // bound drops nothing; n is the full pre-cap cardinality).
+    // `cand` carries one row per AGREEING BAND, not per pair (its dedup
+    // is folded in here): `inter` counts DISTINCT shingle hashes, which
+    // collapses the k-band duplication inside the aggregate's own
+    // shuffle instead of paying a separate dropDuplicates exchange; the
+    // per-band duplicate rows multiply only the candidate side of the
+    // join (bounded: ≤ NumBands ≪ shingles-per-doc), never the corpus.
     val shf = cappedShingles(sh)
     val pairs = cand
       .join(shf.as("sa"), col("sa.doc_id") === col("a_id"))
       .join(shf.as("sb"),
         col("sa.h") === col("sb.h") && col("sb.doc_id") === col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"),
+      .agg(count_distinct(col("sa.h")).as("inter"),
         min(col("sa.n")).as("na"), min(col("sb.n")).as("nb"))
     jaccardOf(pairs)
   }

@@ -30,6 +30,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("b18: top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Extras.b18_q3like(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("c4b: top-50 terms plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(TextOps.c4b_topTerms(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
   test("c3: probe side is broadcast — corpus never shuffles for the cross score") {
     val p = plan(VectorOps.c3_simTopk(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
