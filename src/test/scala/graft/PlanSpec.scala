@@ -105,6 +105,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
   }
 
+  test("b13: star join broadcasts the dims and pushes the date filter") {
+    val p = plan(Relational.b13_q5like(spark, sf0001))
+    // customer/nation/region carry explicit broadcast hints; the
+    // lineitem⋈orders fact join is left to the planner (at lake scale
+    // it is a shuffle join, at test scale AQE may broadcast orders —
+    // both fine; what must never appear is a cartesian/nested loop)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"all three dims must broadcast, saw $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"b13 must not cartesian-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"b13 must keep equi-joins:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orderdate filter not pushed to the orders scan:\n$p")
+  }
+
+  test("c12: df table and corpus-count broadcast — corpus side never reshuffles for them") {
+    val p = plan(CorpusOps.c12_tfidfTopTerms(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"df table must broadcast-join:\n$p")
+    // the single-row N side rides a broadcast nested loop by design —
+    // a 1-row broadcast is the cheap way to attach a global scalar;
+    // an un-broadcast CartesianProduct is the failure mode pinned out
+    assert(!p.contains("CartesianProduct"), s"N must attach via broadcast, not cartesian:\n$p")
+  }
+
   test("a14: single narrow stage — no shuffle before the sort") {
     val p = plan(Ingest.dwdFrame(spark, sf0001))
     assert(!p.contains("Exchange"), s"ingest pipeline must not shuffle:\n$p")
