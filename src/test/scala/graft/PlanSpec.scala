@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"N must attach via broadcast, not cartesian:\n$p")
   }
 
+  test("x_ann_lsh: probes broadcast into a bucket equi-join — no nested loop over the corpus") {
+    val p = plan(VectorOps.annLsh(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast on the bucket key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"ANN must stay a bucket equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ANN must not cartesian-join:\n$p")
+  }
+
+  test("b6: session aggregate reuses the window's user_id shuffle — one hash exchange") {
+    val p = plan(Features.b6_sessionize(spark, sf0001))
+    // hashpartitioning(user_id) satisfies the groupBy(user_id, sess)
+    // clustering requirement (subset rule), so the window shuffle is
+    // the ONLY hash exchange; a second one means the reuse broke
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected one shared user_id exchange, saw $hashEx:\n$p")
+  }
+
+  test("b15: salted aggregation is two aggregate stages, not a collapsed single groupBy") {
+    val p = plan(Features.b15_saltedAgg(spark, sf0001))
+    // (user_id, salt) partial stage then user_id merge stage — two hash
+    // exchanges; Catalyst must not fold them into one (that would undo
+    // the skew spread the query exists to demonstrate)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected salted partial + final exchanges, saw $hashEx:\n$p")
+  }
+
   test("a14: single narrow stage — no shuffle before the sort") {
     val p = plan(Ingest.dwdFrame(spark, sf0001))
     assert(!p.contains("Exchange"), s"ingest pipeline must not shuffle:\n$p")
