@@ -161,21 +161,44 @@ object Ingest {
   private lazy val derbyLogRedirect: Unit =
     System.setProperty("derby.stream.error.file", s"${Tables.scratch}/derby.log")
 
+  /** All SQLStates reachable from `e` through BOTH chaining mechanisms:
+    * `getCause` (standard) and `getNextException` (how Derby primarily
+    * nests the real boot error under its XJ040 wrapper). Bounded + a
+    * seen-set, since the two chains can alias or cycle.
+    */
+  private def sqlStatesOf(e: Throwable): Set[String] = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    val states = scala.collection.mutable.Set.empty[String]
+    def walk(t: Throwable): Unit =
+      if (t != null && seen.size < 20 && seen.add(t)) {
+        t match {
+          case sql: java.sql.SQLException =>
+            if (sql.getSQLState != null) states += sql.getSQLState
+            walk(sql.getNextException)
+          case _ => ()
+        }
+        walk(t.getCause)
+      }
+    walk(e)
+    states.toSet
+  }
+
   /** True iff the exception chain carries a Derby BOOT failure — the
     * engine could not start the database at all (stale files from a
     * killed JVM). SQLStates: XJ040 ("Failed to start database", the
     * boot wrapper) and XBM0A ("service directory exists but the service
     * could not be started"). Anything else — SQL errors, disk full,
     * interrupts — happened against a LIVE engine, whose files must not
-    * be touched. Deliberately excludes XSDB6 (dual boot): there another
-    * engine HOLDS the db, and wiping would corrupt it.
+    * be touched. XSDB6 (dual boot) anywhere in the chain VETOES the
+    * match even though Derby wraps it in XJ040: there another engine —
+    * possibly in another JVM — HOLDS the db, and wiping would corrupt
+    * it. Both `getCause` and Derby's `getNextException` chains are
+    * walked; the veto would be invisible to a cause-only walk.
     */
-  private def isDerbyBootFailure(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20).exists {
-      case sql: java.sql.SQLException =>
-        Set("XJ040", "XBM0A").contains(sql.getSQLState)
-      case _ => false
-    }
+  private[graft] def isDerbyBootFailure(e: Throwable): Boolean = {
+    val states = sqlStatesOf(e)
+    !states.contains("XSDB6") && (states.contains("XJ040") || states.contains("XBM0A"))
+  }
 
   /** A13: JDBC sink parity — the reference's REAL sink is a transactional
     * JDBC batch insert (`INSERT INTO dwd_… VALUES (?,…)` via

@@ -59,6 +59,26 @@ class IngestSpec extends SparkSpec {
     assert(a.sameElements(b), "JDBC round-trip must preserve every row bit-for-bit")
   }
 
+  test("A13 boot-failure gate: XSDB6 vetoes the wipe, next-exception chains are walked") {
+    import java.sql.SQLException
+    def sql(state: String) = new SQLException("msg", state)
+    // Derby's primary nesting: XJ040 wrapper with the real error as the
+    // NEXT exception, not the cause — both directions must be seen
+    val bootViaNext = sql("XJ040"); bootViaNext.setNextException(sql("XBM0A"))
+    assert(Ingest.isDerbyBootFailure(bootViaNext),
+      "stale-file boot failure nested via getNextException must be recoverable")
+    assert(Ingest.isDerbyBootFailure(new RuntimeException("w", sql("XJ040"))),
+      "boot wrapper nested via getCause must be recoverable")
+    // dual boot: another engine HOLDS the db — Derby still wraps it in
+    // XJ040, so the presence of XSDB6 anywhere must VETO the wipe
+    val dualBoot = sql("XJ040"); dualBoot.setNextException(sql("XSDB6"))
+    assert(!Ingest.isDerbyBootFailure(dualBoot),
+      "dual-boot (XSDB6) under the XJ040 wrapper must never wipe the db")
+    assert(!Ingest.isDerbyBootFailure(sql("42X05")),
+      "a plain SQL error against a live engine must propagate, not wipe")
+    assert(!Ingest.isDerbyBootFailure(new RuntimeException("no sql at all")))
+  }
+
   test("A6 rewrite only applies to gated event types") {
     val dwd = Ingest.dwdFrame(spark, sf0001)
     val gated = dwd.filter(col("EventType").isin(Ingest.GatedTypes: _*))
