@@ -90,6 +90,46 @@ class StreamingSpec extends SparkSpec {
     assert(last.size === 2)
   }
 
+  test("s1 shape: checkpoint restart is exactly-once — a new drain processes only new files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val scratch = graft.ops.Tables.scratch
+    val (src, out, chk) = (s"$scratch/resume_src", s"$scratch/resume_out", s"$scratch/resume_chk")
+    Seq(src, out, chk).foreach(graft.ops.Tables.rmrf)
+    val ev = graft.ops.Tables.events(spark, sf0001)
+    // the dwd pipeline over a file-source stream, same stages as s1;
+    // append mode + append sink means any reprocessing DUPLICATES rows,
+    // so row counts alone prove exactly-once across the restart
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(src)
+      val q = graft.ops.Ingest.dwdOf(graft.ops.Ingest.envelopeOf(stream))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val half = ev.agg(expr("percentile(event_id, 0.5)")).collect()(0).getDouble(0).toLong
+    ev.filter(col("event_id") <= half).write.mode("append").parquet(src)
+    drain() // run 1: sees only the first file drop
+    val afterFirst = spark.read.parquet(out).count()
+    val expectFirst = graft.ops.Ingest.dwdOf(graft.ops.Ingest.envelopeOf(
+      ev.filter(col("event_id") <= half))).count()
+    assert(afterFirst === expectFirst)
+    ev.filter(col("event_id") > half).write.mode("append").parquet(src)
+    drain() // run 2: NEW query, SAME checkpoint — must resume, not replay
+    val total = spark.read.parquet(out)
+    val expectAll = graft.ops.Ingest.dwdOf(graft.ops.Ingest.envelopeOf(ev))
+    assert(total.count() === expectAll.count(),
+      "restart must process exactly the new file drop on top of the first drain")
+    assert(total.select("EventID").distinct().count() === total.count(),
+      "no EventID may be delivered twice across the restart")
+    drain() // run 3: no new data — the drain must be a no-op
+    assert(spark.read.parquet(out).count() === expectAll.count(),
+      "an empty drain must not re-emit anything")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
