@@ -39,3 +39,12 @@ object VectorCentroid extends Aggregator[Seq[Float], (Array[Double], Long), Seq[
 
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
+
+/** The one Column-level handle for [[VectorCentroid]] — both consumers
+  * (x_label_centroids, IVF training) must agree on the input encoder,
+  * so it is constructed exactly once here.
+  */
+object VectorCentroidUdaf {
+  lazy val column: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(VectorCentroid, ExpressionEncoder[Seq[Float]]())
+}

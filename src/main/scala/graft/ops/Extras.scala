@@ -73,7 +73,7 @@ object Extras {
     * after the join is the only shuffle in the read plan.
     */
   def b19_bucketedJoin(spark: SparkSession, d: String): DataFrame = {
-    val wh = s"${Tables.scratch}/bucketed_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val wh = s"${Tables.scratch}/bucketed_${Tables.sanitize(d)}"
     Seq("orders_b", "customer_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
@@ -154,15 +154,24 @@ object Extras {
     // map-side-combining typed aggregate (VectorCentroid) — one shuffle
     // of k 64-double buffers per iteration, vs the posexplode + double
     // groupBy formulation's two wide shuffles.
-    val centroid = udaf(graft.functions.VectorCentroid,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val centroid = graft.functions.VectorCentroidUdaf.column
     def centroidsOf(assigned: DataFrame, prev: Array[Array[Float]]): Array[Array[Float]] = {
-      val got = assigned.groupBy(col("cell"))
+      // null cells (e.g. null seed labels) carry no assignment — drop
+      // them rather than NPE on the id cast below
+      val got = assigned.filter(col("cell").isNotNull).groupBy(col("cell"))
         .agg(centroid(col("embedding")).as("cvec"))
         .collect()
         .map(r => r.get(0).asInstanceOf[Number].intValue ->
           r.getSeq[Double](1).map(_.toFloat).toArray)
         .toMap
+      if (got.isEmpty) {
+        // empty/all-null training input: keep the previous codebook if
+        // one exists; a FIRST pass with nothing to train on is a real
+        // input error, said plainly instead of a NoSuchElementException
+        require(prev.nonEmpty,
+          "IVF training set is empty — embeddings table has no rows with non-null labels")
+        return prev
+      }
       // a cell that captured no vectors keeps its previous centroid
       // (positional collect would silently shift every later cell id)
       val dim = got.head._2.length
@@ -211,17 +220,21 @@ object Extras {
     train.unpersist(blocking = false)
 
     // ---- index + search ----
+    // norms projected per ROW before the join (c7's side() pattern) —
+    // the corpus row meets up to nprobe probes, so a per-pair norm
+    // would rerun the 64-element kernel per match on the hot scan
     val corpus = emb.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      assignExpr(cents).as("cell"))
+      assignExpr(cents).as("cell"),
+      sqrt(expr("dot_f32(embedding, embedding)")).as("c_norm"))
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        explode(probeCellsExpr(cents)).as("pc"))
-      .select(col("probe_id"), col("pe"), col("pc.cell").as("cell"))
+        explode(probeCellsExpr(cents)).as("pc"),
+        sqrt(expr("dot_f32(embedding, embedding)")).as("p_norm"))
+      .select(col("probe_id"), col("pe"), col("pc.cell").as("cell"), col("p_norm"))
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", expr("dot_f32(pe, ce)") /
-        (sqrt(expr("dot_f32(pe, pe)")) * sqrt(expr("dot_f32(ce, ce)"))))
+      .withColumn("sim", expr("dot_f32(pe, ce)") / (col("p_norm") * col("c_norm")))
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
       .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))

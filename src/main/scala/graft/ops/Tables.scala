@@ -36,6 +36,11 @@ object Tables {
     */
   val scratch = "/root/repo/target/scratch"
 
+  /** Fixture-dir string → filesystem-safe scratch-path fragment. One
+    * definition so every per-sf scratch namer agrees on the rule.
+    */
+  def sanitize(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** Recursive delete of a scratch path (no-op if absent). */
   def rmrf(dir: String): Unit = {
     import java.nio.file.{Files, Path, Paths}

@@ -34,12 +34,17 @@ object VectorOps {
   def c3_simTopk(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
+    // norms projected per ROW before the join (c7's side() pattern):
+    // joined to ~20 probes, a per-pair norm would run the 64-element
+    // kernel ~20× per corpus row instead of once on the hot scan
     val probes = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        sqrt(sumSqOf("embedding")).as("p_norm"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      sqrt(sumSqOf("embedding")).as("c_norm"))
     val dot = expr("dot_f32(pe, ce)")
     val scored = corpus.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", dot / (sqrt(sumSqOf("pe")) * sqrt(sumSqOf("ce"))))
+      .withColumn("sim", dot / (col("p_norm") * col("c_norm")))
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim_e6").desc, col("neighbor_id"))
@@ -59,21 +64,28 @@ object VectorOps {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
     // deterministic "hyperplanes": component j of plane p is a hash-based
-    // pseudo-random ±1 — expressible entirely in Catalyst, no UDF.
+    // pseudo-random ±1 — expressible entirely in Catalyst, no UDF. The
+    // projection bound comes from size(embedding), not a hardcoded dim:
+    // zip_with null-pads mismatched lengths, which would silently turn
+    // every plane sum null → all-'0' buckets → recall quietly destroyed.
     val bucketExpr = expr(
       """concat_ws('', transform(sequence(0, 7), p ->
         |  CASE WHEN aggregate(
-        |    zip_with(embedding, sequence(0, 63), (x, j) ->
+        |    zip_with(embedding, sequence(0, size(embedding) - 1), (x, j) ->
         |      CAST(x AS DOUBLE) * (CAST(pmod(xxhash64(p, j), 2) AS DOUBLE) * 2 - 1)),
         |    CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin)
-    val bucketed = emb.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    // norm per ROW, pre-join — see c3/c7
+    val bucketed = emb.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
+      sqrt(sumSqOf("embedding")).as("norm"))
     val probes = bucketed.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("bucket"), col("norm").as("p_norm"))
     val dot = expr("dot_f32(pe, ce)")
-    bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+    bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("bucket"), col("norm").as("c_norm"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", dot / (sqrt(sumSqOf("pe")) * sqrt(sumSqOf("ce"))))
+      .withColumn("sim", dot / (col("p_norm") * col("c_norm")))
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
       .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))
@@ -146,8 +158,7 @@ object VectorOps {
     * serialized at 1e-3 resolution) so the rows-only harness can sort it.
     */
   def labelCentroids(spark: SparkSession, d: String): DataFrame = {
-    val centroid = udaf(graft.functions.VectorCentroid,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val centroid = graft.functions.VectorCentroidUdaf.column
     Tables.embeddings(spark, d)
       .groupBy(col("label"))
       .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n"))

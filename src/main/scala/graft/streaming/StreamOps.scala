@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,12 +25,7 @@ import graft.ops.{Ingest, Tables}
   */
 object StreamOps {
 
-  private def rmrf(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-  }
+  private def rmrf(dir: String): Unit = Tables.rmrf(dir)
 
   /** Stateful streaming shuffles are pinned to a lower partition count
     * than batch: each state partition carries its own store instance +
@@ -109,13 +103,24 @@ object StreamOps {
     val schema = Tables.t(spark, d, "events").schema
     // the file source requires a directory: stage a per-sf dir holding a
     // symlink to the fixture file (falls back to a copy if unsupported)
-    val stageDir = Paths.get(s"${Tables.scratch}/events_src_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    val stageDir = Paths.get(s"${Tables.scratch}/events_src_${Tables.sanitize(d)}")
     Files.createDirectories(stageDir)
     val link = stageDir.resolve("events.parquet")
-    if (!Files.exists(link)) {
-      try Files.createSymbolicLink(link, Paths.get(s"$d/events.parquet"))
+    val src = Paths.get(s"$d/events.parquet")
+    // self-healing: a DANGLING symlink (fixture dir moved) fails the
+    // follow-check but still occupies the name, and a stale COPY
+    // (fallback path, fixture regenerated) would stream old data
+    // forever — detect both and re-stage instead of throwing/ignoring
+    val entryPresent = Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+    val healthy = entryPresent && Files.exists(link) &&
+      (Files.isSymbolicLink(link) ||
+        (Files.size(link) == Files.size(src) &&
+          Files.getLastModifiedTime(link).compareTo(Files.getLastModifiedTime(src)) >= 0))
+    if (!healthy) {
+      Files.deleteIfExists(link)
+      try Files.createSymbolicLink(link, src)
       catch { case _: Exception =>
-        Files.copy(Paths.get(s"$d/events.parquet"), link)
+        Files.copy(src, link, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
     spark.readStream.schema(schema).parquet(stageDir.toString)
@@ -136,8 +141,14 @@ object StreamOps {
     val q = dwd.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", chk)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("EventType").parquet(out)
+      // batchId-keyed overwrite, not a flat append: if a micro-batch is
+      // REPLAYED (task retry, or restart after the sink committed but
+      // before the checkpoint offset did), it overwrites its own
+      // directory instead of appending duplicates — the idempotent-sink
+      // half of Structured Streaming's exactly-once contract. `bid=`
+      // reads back as a partition column the projection drops.
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").partitionBy("EventType").parquet(s"$out/bid=$bid")
       }
       .start()
     q.awaitTermination()
@@ -173,8 +184,9 @@ object StreamOps {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", chk)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        // batchId-keyed overwrite: replay-idempotent (see s1)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
         }
         .start()
       q.awaitTermination()
@@ -216,7 +228,13 @@ object StreamOps {
     if (sorted.isEmpty) return Iterator.empty
     // resume the open session when the batch's first event is within the
     // gap of its end; otherwise that session is already final (its last
-    // snapshot stands) and the next ordinal begins
+    // snapshot stands) and the next ordinal begins. The resume branch
+    // also catches events OLDER than the state's end (negative gap):
+    // s3 runs without a watermark, so a later micro-batch may deliver
+    // an out-of-order event — it is MERGED into the open session via
+    // the min/max clamp below rather than dragging its bounds backward
+    // (bounds stay monotonic, so last-snapshot-wins stays correct; a
+    // bounded AvailableNow drain never takes this path).
     var sess = 1L; var curStart = -1L; var curEnd = -1L; var curN = 0L
     state.getOption.foreach { s =>
       if (sorted.head.us - s.endUs <= SessionGapUs) {
@@ -232,7 +250,9 @@ object StreamOps {
         sess += 1
         curStart = e.us; curEnd = e.us; curN = 1L
       } else {
-        curEnd = e.us; curN += 1
+        curStart = math.min(curStart, e.us)
+        curEnd = math.max(curEnd, e.us)
+        curN += 1
       }
     }
     res += SessOut(key, sess, curN, curStart, curEnd, curEnd - curStart)
@@ -264,8 +284,9 @@ object StreamOps {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", chk)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessOut], _: Long) =>
-          batch.write.mode("append").parquet(out)
+        // batchId-keyed overwrite: replay-idempotent (see s1)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessOut], bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
         }
         .start()
       q.awaitTermination()
