@@ -90,6 +90,37 @@ class StreamingSpec extends SparkSpec {
     assert(last.size === 2)
   }
 
+  test("s3 GroupState: an out-of-order event merges into the open session, bounds stay monotonic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.StreamOps.{sessionize, SessEv}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60000000L
+    val input = MemoryStream[SessEv]
+    val q = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+      .writeStream.outputMode("append").format("memory").queryName("s3_late").start()
+    try {
+      // batch 1: session open at [10, 20] min
+      input.addData(SessEv(1, 10 * min, 1), SessEv(1, 20 * min, 2))
+      q.processAllAvailable()
+      // batch 2: an event OLDER than the session's end (no watermark →
+      // arrival order is not time order). It must merge: n grows, end
+      // stays 20 min — never a snapshot with start > end / negative dur
+      input.addData(SessEv(1, 5 * min, 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("s3_late").collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("dur_us")))
+    assert(rows.forall { case (_, s, e, d) => e >= s && d == e - s },
+      s"no snapshot may have inverted bounds: ${rows.mkString(", ")}")
+    // last-snapshot-wins resolution sees the merged session
+    val fin = rows.maxBy(v => (v._3, v._1))
+    assert(fin === ((3L, 5 * min, 20 * min, 15 * min)))
+  }
+
   test("s1 shape: checkpoint restart is exactly-once — a new drain processes only new files") {
     import org.apache.spark.sql.streaming.Trigger
     val scratch = graft.ops.Tables.scratch
