@@ -7,42 +7,61 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native dot product over two float arrays, accumulated in double,
-  * left-to-right — bit-identical to the portable
+  * left-to-right — result-identical to the portable
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`
   * fold (float×float products are exact in double), but ~100× faster:
   * the interpreted higher-order path costs ~3 µs per element versus a
   * JIT-compiled loop here. This is the hot kernel of c3/c7 pair scans.
+  *
+  * Null/ragged semantics MATCH the portable form too: zip_with pads a
+  * shorter array with nulls and a null product nulls the whole sum, so
+  * mismatched lengths or a null element yield NULL — not a silently
+  * truncated partial dot (this expression is registered session-wide,
+  * so arbitrary caller data must degrade loudly, not wrongly). The
+  * equal-length non-null hot path is unchanged: one bit-test per slot.
   */
 case class DotF32(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultCode = nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-        int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
-        ${ev.value} = $acc;
       """
     })
+    resultCode
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotF32 =
     copy(left = newLeft, right = newRight)

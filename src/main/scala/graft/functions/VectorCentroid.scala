@@ -14,8 +14,17 @@ object VectorCentroid extends Aggregator[Seq[Float], (Array[Double], Long), Seq[
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  /** Null/empty vectors contribute nothing (so an empty buffer always
+    * means count 0, which keeps merge's empty-buffer shortcut sound);
+    * a DIMENSION MISMATCH fails loudly — sizing off the first vector
+    * and silently zero-padding (or crashing partition-order-dependently
+    * on the longer-first case) would corrupt the centroid.
+    */
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    if (v == null || v.isEmpty) return b
     val acc = if (b._1.isEmpty) Array.fill(v.length)(0.0) else b._1
+    require(acc.length == v.length,
+      s"VectorCentroid: mixed embedding dims in one group (${acc.length} vs ${v.length})")
     var i = 0
     while (i < v.length) { acc(i) += v(i); i += 1 }
     (acc, b._2 + 1)
@@ -25,6 +34,8 @@ object VectorCentroid extends Aggregator[Seq[Float], (Array[Double], Long), Seq[
     if (x._1.isEmpty) y
     else if (y._1.isEmpty) x
     else {
+      require(x._1.length == y._1.length,
+        s"VectorCentroid: mixed embedding dims across partitions (${x._1.length} vs ${y._1.length})")
       var i = 0
       while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)

@@ -56,8 +56,12 @@ object CorpusOps {
       .orderBy(col("doc_id"))
 
   /** c12: per-document top-3 terms by tf·(N/df) — tf-idf-shaped term
-    * weighting with the rational idf (see object doc). Two reduces and
-    * a broadcast join of the small df table.
+    * weighting with the rational idf (see object doc). Two reduces; the
+    * df table joins UN-hinted: it is vocabulary-sized, which an open
+    * vocabulary makes unbounded at lake scale, so forcing a broadcast
+    * would be the wrong contract — the planner/AQE broadcasts it while
+    * it is small and falls back to the shuffle equi-join when it is
+    * not. Only the single-row corpus count N is broadcast by fiat.
     */
   def c12_tfidfTopTerms(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
@@ -68,7 +72,7 @@ object CorpusOps {
     val n = docs.agg(count(lit(1)).as("n"))
     val score = col("tf").cast("double") * col("n") / col("df")
     val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)

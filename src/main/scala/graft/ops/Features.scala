@@ -186,17 +186,23 @@ object Features {
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def lastFeat(c: org.apache.spark.sql.Column) =
-      last(when(col("kind") === 0, c), ignoreNulls = true).over(ord)
+    // the feature resolves as ONE struct so id and value always come
+    // from the SAME view row: per-column last(ignoreNulls) would skip
+    // a view whose value is NULL for the value column but not for the
+    // id column, pairing an id with an older row's payload. The struct
+    // is non-null for every view row (null payload included), so
+    // ignoreNulls only ever skips probe rows.
+    val lastFeat =
+      last(when(col("kind") === 0, struct(col("event_id"), col("value"))),
+        ignoreNulls = true).over(ord)
     Tables.events(spark, d)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         when(col("event_type") === "view", 0).otherwise(1).as("kind"))
-      .withColumn("feat_eid", lastFeat(col("event_id")))
-      .withColumn("feat_value", lastFeat(col("value")))
-      .filter(col("kind") === 1 && col("feat_eid").isNotNull)
+      .withColumn("feat", lastFeat)
+      .filter(col("kind") === 1 && col("feat").isNotNull)
       .select(col("event_id").as("probe_eid"), col("user_id"),
-        col("feat_eid"), col("feat_value"))
+        col("feat.event_id").as("feat_eid"), col("feat.value").as("feat_value"))
       .orderBy(col("probe_eid"))
   }
 

@@ -24,9 +24,10 @@ object Simhash {
   val Chunks = 4 // 15 bits each; exhaustive for hamming <= Chunks-1
   val HamMax: Int = Chunks - 1
 
-  /** token-hash → 60-bit bigint, shared with the oracle via md5. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** token-hash → 60-bit bigint, shared with the oracle via md5
+    * (the one contract definition: [[graft.functions.CrossEngineHash]]).
+    */
+  private def h60(c: Column): Column = graft.functions.CrossEngineHash.md5_60(c)
 
   /** Signature via the typed [[graft.functions.SimHashAgg]] buffer:
     * one explode + ONE aggregation consuming every token occurrence

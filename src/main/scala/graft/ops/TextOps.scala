@@ -198,7 +198,11 @@ object TextOps {
       .select(col("band"), col("bsig"))
     val bf = bands.hint("SHUFFLE_MERGE").join(sizes, Seq("band", "bsig"))
       .select(col("doc_id"), col("band"), col("bsig"))
-    bf.as("a").join(bf.as("b"),
+    // same SHUFFLE_MERGE rationale as c2's self-join: both sides ARE the
+    // capped band relation, already partitioned on the join key — left
+    // to AQE a small side broadcasts, recomputing the relation (extra
+    // corpus scan) with the wrong strategy for a corpus-sized input
+    bf.as("a").join(bf.as("b").hint("SHUFFLE_MERGE"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

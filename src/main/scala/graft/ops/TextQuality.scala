@@ -45,7 +45,7 @@ object TextQuality {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("s"))
-      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.CrossEngineHash.md5_60(col("s")))
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fp_min"), expr("bit_xor(h)").as("fp_xor"))
     base.join(fp, Seq("doc_id"), "left")

@@ -119,13 +119,15 @@ class PlanSpec extends SparkSpec {
       s"orderdate filter not pushed to the orders scan:\n$p")
   }
 
-  test("c12: df table and corpus-count broadcast — corpus side never reshuffles for them") {
+  test("c12: df joins as an equi-join (planner's choice of strategy); N attaches via broadcast") {
     val p = plan(CorpusOps.c12_tfidfTopTerms(spark, sf0001))
-    assert(p.contains("BroadcastHashJoin"), s"df table must broadcast-join:\n$p")
-    // the single-row N side rides a broadcast nested loop by design —
-    // a 1-row broadcast is the cheap way to attach a global scalar;
-    // an un-broadcast CartesianProduct is the failure mode pinned out
+    // the df table is deliberately UN-hinted (vocabulary-sized — see
+    // the c12 scaladoc), so the pin is strategy-agnostic: any equi-join
+    // is fine, a cartesian product is not. The single-row N side rides
+    // a broadcast nested loop by design — a 1-row broadcast is the
+    // cheap way to attach a global scalar.
     assert(!p.contains("CartesianProduct"), s"N must attach via broadcast, not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected the broadcast single-row N:\n$p")
   }
 
   test("x_ann_lsh: probes broadcast into a bucket equi-join — no nested loop over the corpus") {
