@@ -54,6 +54,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(out > 0)
   }
 
+  test("dot_f32 matches the portable zip_with fold — including ragged and null-element arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    // rows: equal-length, ragged (shorter right / shorter left), a null
+    // element on either side, and a wholly-null side. The portable form
+    // is the CONTRACT: zip_with null-pads ragged arrays and a null
+    // product nulls the sum — dot_f32 must agree on every row, not
+    // silently truncate to min(length).
+    val df = spark.sql(
+      """SELECT a, b FROM VALUES
+        |  (array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT))),
+        |  (CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))
+        |AS t(a, b)""".stripMargin)
+      .selectExpr(
+        "dot_f32(a, b) AS native",
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS portable")
+    def check(): Unit =
+      df.collect().foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1), s"null disagreement: $r")
+        if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1), s"value disagreement: $r")
+      }
+    check() // whole-stage codegen path (doGenCode)
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try check() // interpreted path (nullSafeEval)
+    finally spark.conf.set(key, prev)
+  }
+
   test("VectorCentroid aggregator matches a driver-side mean") {
     // x_label_centroids serializes the centroid at 1e-3 resolution so the
     // rows-only harness can sort scalar columns; compare at that grain.
