@@ -10,6 +10,11 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same UTC pin as Verify: timestamp-literal filters (b18/b20) and
+      // date_format rendering are session-timezone-dependent — without
+      // this, a non-UTC machine benches a different row set than the
+      // one the oracle gate validated
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // aggressive periodic GC so finished broadcasts/shuffles are
       // reclaimed between queries instead of piling up in the one JVM
@@ -36,9 +41,18 @@ object Bench {
     // statistic. At print time non-finite values become -1 (JSON has no
     // Infinity), so -1 in the artifact ALWAYS means "this run failed",
     // never "this was the fastest sample".
+    // materialize through the noop sink, NOT count(): under count()
+    // Catalyst prunes every unreferenced projection and drops final
+    // sorts, so a1 would time an empty-column scan and a6's extracted
+    // float — the very column the ExtractNumeric rewrite targets —
+    // would never execute, making the SPARK_GRAFT_EXT A/B vacuous. The
+    // noop write consumes every output column and discards the bytes,
+    // so the benched plan is the judged plan. (Numbers from before this
+    // change under-time projection-heavy queries — see BENCH_NOTES.)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return Double.PositiveInfinity }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => return Double.PositiveInfinity }
       (System.nanoTime() - t0) / 1e9
     }
     // 7 interleaved reps. This VM's scheduler randomly stalls task sets

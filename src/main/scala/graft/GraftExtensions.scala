@@ -25,11 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("extract_numeric"),
       new ExpressionInfo(classOf[ExtractNumeric].getName, "extract_numeric"),
-      (children: Seq[Expression]) => ExtractNumeric(children.head)))
+      graft.functions.GraftFunctions.unary("extract_numeric", ExtractNumeric.apply)))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[graft.functions.DotF32].getName, "dot_f32"),
-      (children: Seq[Expression]) => graft.functions.DotF32(children.head, children(1))))
+      graft.functions.GraftFunctions.binary("dot_f32", graft.functions.DotF32.apply)))
     ext.injectOptimizerRule(_ => ExtractNumericRewrite)
   }
 }

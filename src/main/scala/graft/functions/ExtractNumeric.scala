@@ -83,7 +83,7 @@ object ExtractNumeric {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "extract_numeric", (children: Seq[Expression]) => ExtractNumeric(children.head),
+      "extract_numeric", GraftFunctions.unary("extract_numeric", ExtractNumeric.apply),
       "built-in")
 }
 
@@ -92,10 +92,29 @@ object ExtractNumeric {
   * well as extension-configured ones.
   */
 object GraftFunctions {
+
+  /** Arity-checked builders: the raw `children.head` / `children(1)`
+    * forms silently DROP extra arguments (wrong results, no
+    * diagnostic) or die in analysis with a bare
+    * IndexOutOfBoundsException; a wrong call must fail with the
+    * expected-arity message instead.
+    */
+  def unary(name: String, f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case args => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${args.length}")
+  }
+
+  def binary(name: String, f: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${args.length}")
+  }
+
   def register(spark: SparkSession): Unit = {
     ExtractNumeric.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f32", (children: Seq[Expression]) => DotF32(children.head, children(1)),
+      "dot_f32", binary("dot_f32", DotF32.apply),
       "built-in")
   }
 }

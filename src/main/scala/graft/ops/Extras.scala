@@ -189,7 +189,13 @@ object Extras {
     // no per-cell sqrt at row time.
     def unitTo(c: Array[Float]): String = {
       val n = math.sqrt(c.map(x => x.toDouble * x).sum) max 1e-30
-      c.map(f => s"CAST(${(f / n).toFloat} AS FLOAT)").mkString("array(", ",", ")")
+      // non-finite components render as bare NaN/Infinity tokens that
+      // Spark SQL cannot parse — one bad training vector would kill the
+      // next Lloyd iteration at analysis. Degrade them to 0 instead.
+      c.map { f =>
+        val v = (f / n).toFloat
+        s"CAST(${if (java.lang.Float.isFinite(v)) v else 0f} AS FLOAT)"
+      }.mkString("array(", ",", ")")
     }
     def cellScore(c: Array[Float]): String = s"dot_f32(embedding, ${unitTo(c)})"
     // cell = argmax_c cos(embedding, centroid_c): max over (score, cell) structs

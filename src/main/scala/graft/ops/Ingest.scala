@@ -85,7 +85,10 @@ object Ingest {
   def a3_parseJson(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d).select(
       col("event_id"),
-      from_json(col("props"), lit("k INT")).getField("k").cast("long").as("k"),
+      // k BIGINT, not INT: an int32 schema would silently null values
+      // over 2^31 while the path form keeps them — the two columns must
+      // agree on the full BIGINT domain
+      from_json(col("props"), lit("k BIGINT")).getField("k").as("k"),
       get_json_object(col("props"), "$.k").cast("long").as("k_path"))
       .orderBy(col("event_id"))
 
@@ -145,7 +148,10 @@ object Ingest {
     * provides the table-per-type layout).
     */
   def a12_sinkDwd(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/dwd"
+    // per-sf namespacing (like b19): Verify and Bench run in separate
+    // JVMs on different fixture dirs — a shared path would let one
+    // overwrite the other's sink mid-read-back
+    val out = s"${Tables.scratch}/dwd_${Tables.sanitize(d)}"
     dwdFrame(spark, d).write.mode("overwrite")
       .partitionBy("EventType").parquet(out)
     spark.read.parquet(out).select(EventFields.map(col): _*).orderBy(eid)
@@ -220,7 +226,10 @@ object Ingest {
     */
   def a13_sinkJdbc(spark: SparkSession, d: String): DataFrame = {
     derbyLogRedirect
-    val dbDir = s"${Tables.scratch}/derby_dwd"
+    // per-sf namespacing also keeps a concurrent second JVM off this
+    // db entirely (Derby embedded is single-process; a shared path
+    // would XSDB6 the latecomer)
+    val dbDir = s"${Tables.scratch}/derby_dwd_${Tables.sanitize(d)}"
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -295,9 +304,12 @@ object Ingest {
     "a1_scan_events" ->
       (envSql + "SELECT * FROM env ORDER BY CAST(EventID AS BIGINT)"),
     "a3_parse_json" ->
+      // real json extraction (a digits-only regex would mis-extract
+      // negative k and match nested keys); json_valid mirrors Spark's
+      // null-on-malformed where DuckDB would otherwise throw
       """SELECT event_id,
-        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
-        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_path
+        |  CASE WHEN json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |  CASE WHEN json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_path
         |FROM events ORDER BY event_id""".stripMargin,
     "a5_filter_isin" ->
       (envSql + """SELECT * FROM env WHERE EventType IN ('purchase','view')

@@ -232,7 +232,7 @@ object Relational {
         |  CAST(len(str_split(event_type || '-' || CAST(user_id AS VARCHAR), '-')) AS BIGINT) AS arr_n,
         |  str_split(event_type || '-' || CAST(user_id AS VARCHAR), '-')[1] AS arr_first,
         |  CASE WHEN event_type = 'click' THEN value END AS map_click,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS json_k
+        |  CASE WHEN json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS json_k
         |FROM events ORDER BY event_id""".stripMargin,
   )
 

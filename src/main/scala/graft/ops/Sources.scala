@@ -24,7 +24,7 @@ object Sources {
   private val schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
 
   private def roundtrip(spark: SparkSession, d: String, fmt: String): DataFrame = {
-    val out = s"${Tables.scratch}/roundtrip_$fmt"
+    val out = s"${Tables.scratch}/roundtrip_${fmt}_${Tables.sanitize(d)}"
     base(spark, d).write.mode("overwrite").format(fmt).save(out)
     spark.read.schema(schema).format(fmt).load(out).orderBy(col("event_id"))
   }

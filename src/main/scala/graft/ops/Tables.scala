@@ -41,12 +41,18 @@ object Tables {
     */
   def sanitize(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Recursive delete of a scratch path (no-op if absent). */
+  /** Recursive delete of a scratch path (no-op if absent). The walk
+    * stream holds open directory handles until closed — leak one per
+    * call (b19 calls this every bench rep) and fd pressure eventually
+    * surfaces as "Too many open files" far from the cause.
+    */
   def rmrf(dir: String): Unit = {
     import java.nio.file.{Files, Path, Paths}
     val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
   }
 }

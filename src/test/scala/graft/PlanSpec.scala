@@ -162,7 +162,7 @@ class PlanSpec extends SparkSpec {
 
   test("a12: partition pruning — reading one EventType touches one partition") {
     Ingest.a12_sinkDwd(spark, sf0001).count() // materialize the partitioned sink
-    val one = spark.read.parquet(s"${Tables.scratch}/dwd")
+    val one = spark.read.parquet(s"${Tables.scratch}/dwd_${Tables.sanitize(sf0001)}")
       .filter(org.apache.spark.sql.functions.col("EventType") === "purchase")
     val p = plan(one)
     assert(p.contains("PartitionFilters: [isnotnull(EventType"), s"no partition pruning:\n$p")
