@@ -20,8 +20,8 @@ object TextQuality {
   /** BPE-ish tokenizer: letter runs, digit runs, single non-space symbols */
   private val BpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  def c8_textQuality(spark: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(spark, d).select(
+  def c8_textQuality(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(
       col("doc_id"), col("lang"),
       split(col("text"), " ").as("t"),
       length(col("text")).cast("long").as("n_char"),
@@ -37,23 +37,24 @@ object TextQuality {
       .withColumn("quality",
         when(col("n_tok").between(5, 1000) && col("mean_tok_len").between(2.0, 12.0), 0.5)
           .otherwise(0.0) + col("stop_ratio"))
-    // rolling-hash fingerprint over 3-token shingles: min-hash (winnowing
-    // with a whole-document window) + order-independent xor-fold
-    val fp = Tables.documents(spark, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("s"))
-      .withColumn("h", graft.functions.CrossEngineHash.md5_60(col("s")))
-      .groupBy(col("doc_id"))
-      .agg(min(col("h")).as("fp_min"), expr("bit_xor(h)").as("fp_xor"))
-    base.join(fp, Seq("doc_id"), "left")
+      // rolling-hash fingerprint over 3-token shingles: min-hash
+      // (winnowing with a whole-document window) + order-independent
+      // xor-fold. Both folds stay INSIDE the row via higher-order
+      // functions — the fingerprint needs no explode, no shuffle, and
+      // no join-back, so the whole query is one scan + one pure map
+      // (the only exchange left is the presentation sort). xor's
+      // identity is 0, so the fold seeds with 0L; a document with
+      // fewer than 3 tokens has no shingles → null array → both
+      // fingerprints null, exactly the old left-join's miss behavior.
+      .withColumn("sh", expr(
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3)," +
+          " i -> cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) as bigint)) END"))
+      .withColumn("fp_min", expr("array_min(sh)"))
+      .withColumn("fp_xor", expr("aggregate(sh, 0L, (a, x) -> a ^ x)"))
       .select(col("doc_id"), col("lang"), col("lang_guess"), col("n_tok"),
         col("n_tok_bpe"), col("n_char"), col("stop_hits"), col("stop_ratio"),
         col("mean_tok_len"), col("quality"), col("fp_min"), col("fp_xor"))
       .orderBy(col("doc_id"))
-  }
 
   val oracles: Map[String, String] = Map(
     "c8_text_quality" ->

@@ -79,6 +79,18 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"expected at most two documents scans, saw $scans:\n$p")
   }
 
+  test("c8: quality + fingerprint is one scan and a pure map — no join, no agg shuffle") {
+    val p = plan(TextQuality.c8_textQuality(spark, sf0001))
+    // round 8 folded the shingle fingerprint into per-row higher-order
+    // functions: the explode→groupBy→join-back (two scans + a hash
+    // shuffle) must not come back
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one documents scan, saw $scans:\n$p")
+    assert(!p.contains("Join"), s"fingerprint must not join back:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"only the presentation sort's range exchange is allowed:\n$p")
+  }
+
   test("x_ann_ivf: training sample is one TakeOrderedAndProject pass — no corpus pre-action") {
     val p = plan(Extras.ivfTrainSample(Tables.embeddings(spark, sf0001)))
     assert(p.contains("TakeOrderedAndProject"),
