@@ -68,7 +68,14 @@ object CorpusOps {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // The filter is a tautology (a group's count(*) is always ≥ 1) but
+    // it REFERENCES the tf column, which keeps the df branch's partial
+    // aggregate identical to the join side's (column pruning would
+    // otherwise drop the count from this copy, the two subtrees would
+    // no longer canonicalize equal, and ReuseExchange could not fire —
+    // the corpus would be scanned+exploded twice). With it, both sides
+    // read the ONE shuffled tf stage: one corpus scan, not two.
+    val df = tf.filter(col("tf") >= 1).groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val score = col("tf").cast("double") * col("n") / col("df")
     val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("term"))

@@ -142,6 +142,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"expected the broadcast single-row N:\n$p")
   }
 
+  test("c12: df branch reuses the tf shuffle — corpus exploded once, not twice") {
+    val df = CorpusOps.c12_tfidfTopTerms(spark, sf0001)
+    df.collect() // ReusedExchange only appears in the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // round 8: the tautological tf >= 1 filter keeps the df branch's
+    // partial aggregate identical to the join side's, so both read one
+    // shuffled tf stage. 2 scans = corpus + the column-pruned N count.
+    assert(p.contains("ReusedExchange"), s"df must reuse the tf exchange:\n$p")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans <= 2, s"expected corpus scan + N count only, saw $scans:\n$p")
+  }
+
   test("x_ann_lsh: probes broadcast into a bucket equi-join — no nested loop over the corpus") {
     val p = plan(VectorOps.annLsh(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"probes must broadcast on the bucket key:\n$p")
