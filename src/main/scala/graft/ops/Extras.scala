@@ -219,11 +219,28 @@ object Extras {
     // The bounded training set fits in memory BY DESIGN (<= IvfTrainCap
     // vectors) — cache it so the 1+IvfTrainIters Lloyd passes reduce a
     // cached relation instead of re-scanning the lake each iteration
-    val train = ivfTrainSample(emb).cache()
+    val trainAll = ivfTrainSample(emb).cache()
+    // One codebook has ONE dimensionality: train on the sample's modal
+    // vector dim so a stray ragged/null vector (corrupt row in a lake
+    // table) cannot crash the per-cell mean with a mixed-dim group.
+    // The modal-dim aggregate runs over the CACHED bounded sample
+    // (≤ IvfTrainCap rows), never the corpus, so the no-pre-action
+    // property of ivfTrainSample (PlanSpec pin) is untouched.
+    // Assignment below still covers every corpus vector: dot_f32 scores
+    // ragged vectors over the shared prefix.
+    val modalDim = trainAll
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .groupBy(size(col("embedding")).as("d")).count()
+      .orderBy(col("count").desc, col("d")).limit(1)
+      .collect().headOption.map(_.getAs[Int]("d"))
+    val train = modalDim match {
+      case Some(dim) => trainAll.filter(size(col("embedding")) === dim)
+      case None      => trainAll // empty/all-null sample: centroidsOf says so plainly
+    }
     var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
     for (_ <- 1 to IvfTrainIters)
       cents = centroidsOf(train.withColumn("cell", assignExpr(cents)), cents)
-    train.unpersist(blocking = false)
+    trainAll.unpersist(blocking = false)
 
     // ---- index + search ----
     // norms projected per ROW before the join (c7's side() pattern) —
@@ -240,8 +257,8 @@ object Extras {
       .select(col("probe_id"), col("pe"), col("pc.cell").as("cell"), col("p_norm"))
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", expr("dot_f32(pe, ce)") / (col("p_norm") * col("c_norm")))
-      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .withColumn("sim_e6",
+        VectorOps.cosineE6(expr("dot_f32(pe, ce)"), col("p_norm"), col("c_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
       .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))
   }

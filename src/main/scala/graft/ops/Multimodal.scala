@@ -49,6 +49,11 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         concat(lit("img/"), element_at(lit(Array("png", "jpg", "webp")),
           (col("doc_id") % 3 + 1).cast("int"))).as("fmt"))
+      // decode contract: a payload exists and is non-empty. A lake row
+      // with a missing/empty blob is skipped here — the oracle's inner
+      // join on the per-byte aggregate drops exactly the same rows, and
+      // the stub (like any real codec) has nothing to decode.
+      .filter(col("payload").isNotNull && octet_length(col("payload")) > 0)
       .as[BinaryDoc]
   }
 

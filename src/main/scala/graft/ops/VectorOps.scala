@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Part-C vector / multimodal operators over embeddings + documents
@@ -28,6 +28,25 @@ object VectorOps {
   private val sumSq = "dot_f32(%s, %s)"
   private def sumSqOf(c: String) = expr(sumSq.format(c, c))
 
+  /** Cosine similarity at 1e-6 resolution, total over degenerate
+    * vectors: a zero/null/NaN-normed side yields NULL instead of an
+    * ANSI DIVIDE_BY_ZERO / invalid-NaN-cast job abort (one corrupt
+    * vector must not kill a lake-wide scan; NULL sims sort last under
+    * the desc ranking, so clean results are unchanged). NaN can still
+    * reach the ratio from an Inf component (Inf/Inf); floorE6's
+    * non-finite guard covers it. Shared by every cosine consumer
+    * (c3, c7, LSH, IVF) so the degenerate rule stays identical
+    * engine-wide.
+    */
+  private[ops] def cosineE6(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 > 0 && n2 > 0, floorE6(dot / (n1 * n2)))
+
+  /** floor(x·1e6) as a long, NULL when x is NaN/±Inf — ANSI mode turns
+    * the cast of a non-finite double into a job abort otherwise.
+    */
+  private[ops] def floorE6(x: Column): Column =
+    when(!isnan(x) && abs(x) =!= Double.PositiveInfinity, floor(x * 1e6).cast("long"))
+
   /** c3: exact cosine top-10 for probe vectors (vec_id < 20) against
     * the whole corpus, probes broadcast.
     */
@@ -44,8 +63,7 @@ object VectorOps {
       sqrt(sumSqOf("embedding")).as("c_norm"))
     val dot = expr("dot_f32(pe, ce)")
     val scored = corpus.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", dot / (col("p_norm") * col("c_norm")))
-      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .withColumn("sim_e6", cosineE6(dot, col("p_norm"), col("c_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim_e6").desc, col("neighbor_id"))
     scored
@@ -85,8 +103,7 @@ object VectorOps {
         col("bucket"), col("norm").as("c_norm"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", dot / (col("p_norm") * col("c_norm")))
-      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .withColumn("sim_e6", cosineE6(dot, col("p_norm"), col("c_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
       .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))
   }
@@ -102,8 +119,11 @@ object VectorOps {
         col("doc_id"), col("lang"), col("source"), col("label"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         size(col("embedding")).cast("long").as("dim"),
-        floor(sqrt(sumSqOf("embedding")) * 1e6).cast("long").as("l2_e6"),
-        floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("f0_e6"))
+        // floorE6 + try_element_at: a NaN/Inf component or an empty
+        // array must map to NULL, not an ANSI invalid-cast /
+        // out-of-bounds job abort
+        floorE6(sqrt(sumSqOf("embedding"))).as("l2_e6"),
+        floorE6(try_element_at(col("embedding"), lit(1)).cast("double")).as("f0_e6"))
       .orderBy(col("doc_id"))
   }
 
@@ -145,7 +165,7 @@ object VectorOps {
       pmod(col("b_id"), lit(NeardupBlocks)))
     val dot = expr("dot_f32(ae, be)")
     left.join(right, Seq("blk")).filter(col("a_id") < col("b_id"))
-      .withColumn("sim_e6", floor(dot / (col("a_norm") * col("b_norm")) * 1e6).cast("long"))
+      .withColumn("sim_e6", cosineE6(dot, col("a_norm"), col("b_norm")))
       .filter(col("sim_e6") >= 400000)
       .select(col("a_id"), col("b_id"), col("sim_e6"))
       .orderBy(col("a_id"), col("b_id"))
@@ -159,15 +179,21 @@ object VectorOps {
     */
   def labelCentroids(spark: SparkSession, d: String): DataFrame = {
     val centroid = graft.functions.VectorCentroidUdaf.column
+    // size(embedding) rides in the GROUP KEY: a mean over mixed
+    // dimensionalities is undefined (VectorCentroid fails loudly on it
+    // by design), so vectors of different dims are different groups —
+    // a stray ragged row in a lake table yields its own (label, dim)
+    // row instead of aborting the job. One dim per label (the clean
+    // case) produces exactly the old output.
     Tables.embeddings(spark, d)
-      .groupBy(col("label"))
+      .groupBy(col("label"), size(col("embedding")).as("in_dim"))
       .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n"))
       .select(
         col("label"), col("n"),
         size(col("c")).cast("long").as("dim"),
         expr("concat_ws(',', transform(c, x -> CAST(CAST(round(x, 3) AS DECIMAL(10,3)) AS STRING)))")
           .as("centroid_csv"))
-      .orderBy(col("label"))
+      .orderBy(col("label"), col("dim"))
   }
 
   val oracles: Map[String, String] = Map(

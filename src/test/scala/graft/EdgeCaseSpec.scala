@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dirty-corpus sweep: every documents/embeddings query executed against
+  * a fixture full of the inputs a 100 TB lake actually contains — null
+  * and empty text, sub-shingle documents, repeated tokens, unicode,
+  * quotes/backslashes, exact duplicates, null/empty/zero/ragged/NaN
+  * embedding vectors. The driver fixtures are clean, so without this
+  * sweep a null-handling regression in any C-tier operator would ship
+  * silently and only surface on real data.
+  *
+  * Assertions are deliberately light (no crash + cheap invariants):
+  * exact semantics live in the oracle gate and the per-operator specs;
+  * this spec pins TOTALITY over hostile inputs.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fixture dir, written once on first use (SparkSpec has no
+    * BeforeAndAfterAll; a lazy val gives the same once-per-suite setup).
+    */
+  private lazy val dir: String = {
+    val d = s"${graft.ops.Tables.scratch}/edgecase_fixture"
+    graft.ops.Tables.rmrf(d)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    embs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val longDoc = (0 until 500).map(i => s"w${i % 40}").mkString(" ")
+  private val docs: Seq[(Long, String, String, String, java.lang.Long)] = Seq(
+    (0L, null, null, null, null),
+    (1L, "", "en", "web", 0L: java.lang.Long),
+    (2L, "one", "en", "web", 3L: java.lang.Long),
+    (3L, "one two", null, "web", 7L: java.lang.Long),
+    (4L, "the the the the the", "en", "books", 19L: java.lang.Long),
+    (5L, "héllo wörld ünïcode 日本語 🙂 mixed", "ja", "web", 33L: java.lang.Long),
+    (6L, "it's \"quoted\" back\\slash comma,semi;", "en", "web", 36L: java.lang.Long),
+    (7L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L: java.lang.Long),
+    (8L, "alpha beta gamma delta epsilon zeta", "en", "crawl", 35L: java.lang.Long),
+    (9L, longDoc, "en", "books", longDoc.length.toLong: java.lang.Long))
+
+  private def vec(seed: Int): Seq[Option[Float]] =
+    (0 until 8).map(j => Some(((seed * 31 + j * 7) % 13 - 6).toFloat / 3f))
+  private val embs: Seq[(Long, Seq[Option[Float]], java.lang.Integer)] =
+    Seq(
+      (0L, null, null),
+      (1L, Seq.empty[Option[Float]], 0: java.lang.Integer),
+      (2L, Seq.fill(8)(Some(0f)), 1: java.lang.Integer), // zero norm
+      (13L, Seq(Some(1f), Some(2f), Some(3f)), 2: java.lang.Integer), // ragged
+      (14L, vec(14).updated(3, None), 1: java.lang.Integer), // null element
+      (15L, vec(15).updated(5, Some(Float.NaN)), 0: java.lang.Integer),
+      (16L, vec(16).updated(2, Some(Float.PositiveInfinity)), 2: java.lang.Integer)
+    ) ++ (3L to 12L).map(i => (i, vec(i.toInt), (i % 3).toInt: java.lang.Integer))
+
+  /** Every C-tier / x_* query that reads only documents/embeddings. */
+  private val corpusQueries = Seq(
+    "c1_dedup_exact", "c2_dedup_minhash", "c3_sim_topk", "c4_text_stats",
+    "c4b_top_terms", "c5_multimodal_cols", "c6_simhash", "c7_cosine_neardup",
+    "c8_text_quality", "c9_multimodal_decode", "c10_stopword_filter",
+    "c11_hash_sample", "c12_tfidf_top_terms", "x_minhash_lsh", "x_ann_lsh",
+    "x_ann_ivf", "x_label_centroids")
+
+  corpusQueries.foreach { name =>
+    test(s"$name survives the dirty corpus") {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      assert(rows != null) // totality is the point; row counts may be 0
+    }
+  }
+
+  test("c8 invariants on the dirty corpus") {
+    val out = SparkEntry.queries("c8_text_quality")(spark, dir).collect()
+    assert(out.length === docs.length, "one feature row per document, nulls included")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // sub-shingle docs (null, <3 tokens) carry null fingerprints
+    Seq(0L, 1L, 2L, 3L).foreach { id =>
+      assert(byId(id).isNullAt(byId(id).fieldIndex("fp_min")), s"doc $id fp_min")
+    }
+    // identical texts fingerprint identically
+    assert(byId(7L).getAs[Long]("fp_min") === byId(8L).getAs[Long]("fp_min"))
+    assert(byId(7L).getAs[Long]("fp_xor") === byId(8L).getAs[Long]("fp_xor"))
+  }
+
+  test("c11 assigns every document, null text or not, to exactly one split") {
+    val out = SparkEntry.queries("c11_hash_sample")(spark, dir).collect()
+    assert(out.length === docs.length)
+    assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
+  test("c10 never grows a document and tolerates null text") {
+    val out = SparkEntry.queries("c10_stopword_filter")(spark, dir).collect()
+    out.filter(r => !r.isNullAt(r.fieldIndex("n_orig"))).foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_orig"))
+    }
+  }
+
+  test("c1 collapses the exact-duplicate pair") {
+    val out = SparkEntry.queries("c1_dedup_exact")(spark, dir).collect()
+    // docs 7 and 8 share text: min-id representative survives with both
+    // counted, and id 8 must not appear as its own representative
+    assert(out.exists(r =>
+      r.getAs[Long]("keep_id") == 7L && r.getAs[Long]("dups") == 2L))
+    assert(!out.exists(_.getAs[Long]("keep_id") == 8L))
+  }
+
+  test("c3 ranks are contiguous from 1 per probe even with degenerate vectors") {
+    val out = SparkEntry.queries("c3_sim_topk")(spark, dir).collect()
+    out.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks === (1L to rnks.length).toSeq, s"probe $p ranks: $rnks")
+    }
+  }
+}
