@@ -250,15 +250,17 @@ object Extras {
       col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       assignExpr(cents).as("cell"),
       sqrt(expr("dot_f32(embedding, embedding)")).as("c_norm"))
+      .filter(VectorOps.finiteNorm(col("c_norm"))) // similarity domain
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         explode(probeCellsExpr(cents)).as("pc"),
         sqrt(expr("dot_f32(embedding, embedding)")).as("p_norm"))
       .select(col("probe_id"), col("pe"), col("pc.cell").as("cell"), col("p_norm"))
+      .filter(VectorOps.finiteNorm(col("p_norm"))) // similarity domain
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("sim_e6",
-        VectorOps.cosineE6(expr("dot_f32(pe, ce)"), col("p_norm"), col("c_norm")))
+        floor(expr("dot_f32(pe, ce)") / (col("p_norm") * col("c_norm")) * 1e6).cast("long"))
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"))
       .orderBy(col("probe_id"), col("sim_e6").desc, col("neighbor_id"))
   }

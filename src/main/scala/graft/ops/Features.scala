@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * Determinism: window orderings always include event_id as the final
   * tie-break (unique), time arithmetic is integer microseconds
   * (unix_micros ≡ DuckDB epoch_us), sums of doubles go through
-  * DECIMAL(18,2).
+  * DECIMAL(18,2). All value→decimal/cents conversions are try_cast
+  * (Spark) ≡ TRY_CAST (oracle): a NaN/Inf/out-of-range metric in one
+  * event degrades to NULL in both engines instead of aborting a
+  * lake-wide aggregate under ANSI mode (EdgeCaseEventsSpec).
   *
   * Scale notes (100 TB): every operator here is one shuffle on its
   * natural key (user_id / event_type); window functions sort within
@@ -32,7 +35,7 @@ object Features {
     val aggs = EventTypes.flatMap { t =>
       Seq(
         count(when(col("event_type") === t, 1)).as(s"${t}_cnt"),
-        sum(when(col("event_type") === t, col("value").cast("decimal(18,2)")))
+        sum(when(col("event_type") === t, col("value").try_cast("decimal(18,2)")))
           .cast("double").as(s"${t}_sum"))
     } :+ count(lit(1)).as("total_cnt")
     Tables.events(spark, d).groupBy(col("user_id"))
@@ -62,7 +65,7 @@ object Features {
   def b3_rollup(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .select(col("event_type"), to_date(col("ts")).as("day"),
-        col("value").cast("decimal(18,2)").as("v"))
+        col("value").try_cast("decimal(18,2)").as("v"))
       .rollup(col("event_type"), col("day"))
       .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("vsum"))
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
@@ -73,7 +76,7 @@ object Features {
   def b3b_cube(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .select(col("event_type"), (col("user_id") % 3).cast("long").as("cohort"),
-        col("value").cast("decimal(18,2)").as("v"))
+        col("value").try_cast("decimal(18,2)").as("v"))
       .cube(col("event_type"), col("cohort"))
       .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("vsum"))
       .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)
@@ -87,7 +90,7 @@ object Features {
   def b15_saltedAgg(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .withColumn("salt", (col("event_id") % 16).cast("int"))
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("cents", round(col("value") * 100).try_cast("long"))
       .groupBy(col("user_id"), col("salt"))
       .agg(count(lit(1)).as("pc"), sum(col("cents")).as("ps"))
       .groupBy(col("user_id"))
@@ -101,7 +104,7 @@ object Features {
     */
   def b16_percentiles(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("cents", round(col("value") * 100).try_cast("long"))
       .groupBy(col("event_type"))
       .agg(
         (expr("percentile(cents, 0.25D)") / 100.0).as("p25"),
@@ -133,7 +136,7 @@ object Features {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val frame = ord.rowsBetween(-3, Window.currentRow)
     Tables.events(spark, d)
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("cents", round(col("value") * 100).try_cast("long"))
       .select(
         col("event_id"), col("user_id"),
         count(lit(1)).over(frame).as("roll_cnt"),
@@ -211,7 +214,7 @@ object Features {
       val cols = EventTypes.flatMap { t =>
         Seq(
           s"COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_cnt",
-          s"CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_sum")
+          s"CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_sum")
       }.mkString(",\n  ")
       s"""SELECT user_id,
          |  $cols,
@@ -225,23 +228,23 @@ object Features {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "b3_groupsets_rollup" ->
       """SELECT event_type, day, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |  CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
         |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
         |GROUP BY ROLLUP(event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "b3b_cube" ->
       """SELECT event_type, cohort, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |  CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
         |FROM (SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort, value FROM events)
         |GROUP BY CUBE(event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
     "b15_salted_agg" ->
-      """WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      """WITH c AS (SELECT user_id, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(cents) AS BIGINT) / 100.0 AS vsum
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "b16_percentiles" ->
-      """WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      """WITH c AS (SELECT event_type, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
         |  quantile_cont(cents, 0.25) / 100.0 AS p25,
         |  quantile_cont(cents, 0.5) / 100.0 AS p50,
@@ -257,7 +260,7 @@ object Features {
         |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS nt
         |FROM events ORDER BY event_id""".stripMargin,
     "b5_window_frame" ->
-      """WITH c AS (SELECT *, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      """WITH c AS (SELECT *, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT event_id, user_id,
         |  COUNT(*) OVER w4 AS roll_cnt,
         |  CAST(SUM(cents) OVER w4 AS BIGINT) / 100.0 AS roll_sum,

@@ -89,7 +89,11 @@ object Ingest {
       // over 2^31 while the path form keeps them — the two columns must
       // agree on the full BIGINT domain
       from_json(col("props"), lit("k BIGINT")).getField("k").as("k"),
-      get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+      // try_cast, NOT cast: a payload whose k is a non-numeric string
+      // ("{\"k\": \"oops\"}") must parse to NULL like the schema-full
+      // form's PERMISSIVE mode does — an ANSI cast would abort the
+      // whole ingest on one malformed Kafka record
+      get_json_object(col("props"), "$.k").try_cast("long").as("k_path"))
       .orderBy(col("event_id"))
 
   /** A5: membership gate (ConsumerMultiThread.java:117). */
@@ -152,8 +156,22 @@ object Ingest {
     // JVMs on different fixture dirs — a shared path would let one
     // overwrite the other's sink mid-read-back
     val out = s"${Tables.scratch}/dwd_${Tables.sanitize(d)}"
-    dwdFrame(spark, d).write.mode("overwrite")
-      .partitionBy("EventType").parquet(out)
+    // The partition key is a PATH-SAFE copy of EventType, not EventType
+    // itself: the type string is attacker-controlled ingest input, and a
+    // value outside printable ASCII becomes a directory name some
+    // filesystems cannot even create (locally, any char the JVM's
+    // sun.jnu.encoding can't map aborts the write task; object stores
+    // have their own key charsets). Spark's Hive-escaping covers the
+    // printable specials (/, :, %…), the replacement covers the rest.
+    // The RAW EventType rides inside the files, so data is preserved
+    // verbatim and a path collision ("a🙂" and "a😡" both land in
+    // EventTypePath=a_) merely co-locates files. For clean types path
+    // == type, so the per-type layout and pruning are unchanged.
+    dwdFrame(spark, d)
+      .withColumn("EventTypePath",
+        regexp_replace(col("EventType"), "[^\\x20-\\x7E]", "_"))
+      .write.mode("overwrite")
+      .partitionBy("EventTypePath").parquet(out)
     spark.read.parquet(out).select(EventFields.map(col): _*).orderBy(eid)
   }
 
@@ -307,9 +325,11 @@ object Ingest {
       // real json extraction (a digits-only regex would mis-extract
       // negative k and match nested keys); json_valid mirrors Spark's
       // null-on-malformed where DuckDB would otherwise throw
+      // TRY_CAST mirrors Spark's null-on-unparseable k (PERMISSIVE
+      // from_json / try_cast path form) for non-numeric string payloads
       """SELECT event_id,
-        |  CASE WHEN json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
-        |  CASE WHEN json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_path
+        |  CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |  CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_path
         |FROM events ORDER BY event_id""".stripMargin,
     "a5_filter_isin" ->
       (envSql + """SELECT * FROM env WHERE EventType IN ('purchase','view')

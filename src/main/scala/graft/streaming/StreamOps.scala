@@ -41,6 +41,20 @@ object StreamOps {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Read a foreachBatch sink back — or, when the drained stream wrote
+    * no batch at all (an empty-but-valid source: a quiet topic, a
+    * fully-compacted log), an empty frame with the writer's schema. The
+    * sink directory only exists once a batch commits, and a bare
+    * `read.parquet` on the missing path would abort the read-back of a
+    * perfectly healthy pipeline.
+    */
+  private def readSink(spark: SparkSession, out: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
   /** Source descriptor for the event stream. The reference's real
     * source is a Kafka consumer — subscribe a topic, poll from offset 0,
     * drain until the log is exhausted (ConsumerMultiThread.java:
@@ -148,11 +162,18 @@ object StreamOps {
       // half of Structured Streaming's exactly-once contract. `bid=`
       // reads back as a partition column the projection drops.
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        batch.write.mode("overwrite").partitionBy("EventType").parquet(s"$out/bid=$bid")
+        // partition on the path-safe type copy, exactly like the batch
+        // a12 sink (see Ingest.a12_sinkDwd): a non-ASCII type string
+        // must not become an uncreatable directory name mid-stream
+        batch
+          .withColumn("EventTypePath",
+            regexp_replace(col("EventType"), "[^\\x20-\\x7E]", "_"))
+          .write.mode("overwrite").partitionBy("EventTypePath")
+          .parquet(s"$out/bid=$bid")
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    readSink(spark, out, dwd.schema)
       .select(Ingest.EventFields.map(col): _*)
       .orderBy(col("EventID").cast("long"))
   }
@@ -174,9 +195,9 @@ object StreamOps {
     val out = s"${Tables.scratch}/s2_out"
     val chk = s"${Tables.scratch}/s2_chk"
     rmrf(out); rmrf(chk)
-    withStreamShuffle(spark, 8) {
+    val sinkSchema = withStreamShuffle(spark, 8) {
       val agg = eventStream(spark, d)
-        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("cents", round(col("value") * 100).try_cast("long"))
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
@@ -190,8 +211,9 @@ object StreamOps {
         }
         .start()
       q.awaitTermination()
+      agg.schema
     }
-    spark.read.parquet(out).select(
+    readSink(spark, out, sinkSchema).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
       date_format(col("window.end"), "yyyy-MM-dd HH:mm").as("win_end"),
       col("event_type"),
@@ -275,6 +297,11 @@ object StreamOps {
     val out = s"${Tables.scratch}/s3_out"
     rmrf(out); rmrf(chk)
     val evs = eventStream(spark, d)
+      // a record without a user or a clock cannot belong to any session;
+      // dropping it here is the semantic choice — and the mechanical
+      // necessity: SessEv's primitive Long fields NPE on encode otherwise
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
       .as[SessEv]
     withStreamShuffle(spark, 8) {
@@ -296,7 +323,7 @@ object StreamOps {
     // max(struct(end_us, n_events, ...)) is the lexicographic latest —
     // a map-side-combining aggregate, cheaper than a row_number window
     // (no per-partition sort of all snapshots).
-    spark.read.parquet(out)
+    readSink(spark, out, org.apache.spark.sql.Encoders.product[SessOut].schema)
       .groupBy(col("user_id"), col("sess"))
       .agg(max(struct(col("end_us"), col("n_events"), col("start_us"))).as("s"))
       .select(col("user_id"), col("sess"), col("s.n_events").as("n_events"),
@@ -321,10 +348,10 @@ object StreamOps {
     val out = s"${Tables.scratch}/s4_out"
     val chk = s"${Tables.scratch}/s4_chk"
     rmrf(out); rmrf(chk)
-    withStreamShuffle(spark, 8) {
+    val sinkSchema = withStreamShuffle(spark, 8) {
       val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
       val agg = eventStream(spark, d)
-        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("cents", round(col("value") * 100).try_cast("long"))
         .join(cust, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
@@ -337,8 +364,9 @@ object StreamOps {
         }
         .start()
       q.awaitTermination()
+      agg.schema
     }
-    spark.read.parquet(out).select(
+    readSink(spark, out, sinkSchema).select(
       col("c_mktsegment"), col("cnt"),
       (col("cents_sum") / 100.0).as("vsum"))
       .orderBy(col("c_mktsegment"))
@@ -347,7 +375,7 @@ object StreamOps {
   val oracles: Map[String, String] = Map(
     "s4_stream_join" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
+        |  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // batch twin of the streamed A14 pipeline (same rows, same sink layout)
@@ -372,7 +400,7 @@ object StreamOps {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
         |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS win_end,
         |  event_type, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
+        |  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
         |FROM events
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
         |  (SELECT make_timestamp((epoch_us(max(ts)) // 1000 - 600000) * 1000) FROM events)

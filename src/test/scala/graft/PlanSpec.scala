@@ -186,10 +186,12 @@ class PlanSpec extends SparkSpec {
 
   test("a12: partition pruning — reading one EventType touches one partition") {
     Ingest.a12_sinkDwd(spark, sf0001).count() // materialize the partitioned sink
+    // the layout partitions on the path-safe EventTypePath (== EventType
+    // for every clean type); per-type reads filter the partition column
     val one = spark.read.parquet(s"${Tables.scratch}/dwd_${Tables.sanitize(sf0001)}")
-      .filter(org.apache.spark.sql.functions.col("EventType") === "purchase")
+      .filter(org.apache.spark.sql.functions.col("EventTypePath") === "purchase")
     val p = plan(one)
-    assert(p.contains("PartitionFilters: [isnotnull(EventType"), s"no partition pruning:\n$p")
+    assert(p.contains("PartitionFilters: [isnotnull(EventTypePath"), s"no partition pruning:\n$p")
   }
 
   test("b19: bucketed join reads shuffle-free — no Exchange below the join") {
