@@ -102,6 +102,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // small-dim vectors with forced near-parallel pairs (scaled copies)
+  // so sim >= 0.4 pairs actually occur, plus sign flips for negatives
+  private val vecGen: Gen[List[Seq[Float]]] = for {
+    bases <- Gen.listOfN(10, Gen.listOfN(6, Gen.choose(-5, 5).map(_.toFloat)))
+    scaled = bases.map(v => v.map(x => x * 2.5f + 0.01f))
+    flipped = bases.map(v => v.map(x => -x))
+  } yield bases ++ scaled ++ flipped
+
+  test("c7 equals a brute-force cosine model on generated vectors") {
+    samples(vecGen, 4).zipWithIndex.foreach { case (vecs, round) =>
+      val dir = s"${graft.ops.Tables.scratch}/c7_prop_$round"
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 3) }
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // model mirrors the engine's arithmetic exactly: float products
+      // accumulated left-to-right in double (dot_f32's fold), floor at 1e6
+      def dot(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+      val norms = vecs.map(v => math.sqrt(dot(v, v)))
+      val expected = (for {
+        i <- vecs.indices; j <- vecs.indices
+        if i < j && norms(i) > 0 && norms(j) > 0
+        e6 = math.floor(dot(vecs(i), vecs(j)) / (norms(i) * norms(j)) * 1e6).toLong
+        if e6 >= 400000
+      } yield (i.toLong, j.toLong, e6)).toSet
+      val got = graft.ops.VectorOps.c7_cosineNeardup(spark, dir).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Long]("sim_e6"))).toSet
+      assert(got === expected, s"vector round $round")
+    }
+  }
+
   private val asofGen: Gen[(List[Long], List[Long])] = for {
     feats <- Gen.listOfN(20, Gen.choose(0L, 100000L))
     probes <- Gen.listOfN(10, Gen.choose(0L, 100000L))
