@@ -233,10 +233,16 @@ object Extras {
       .groupBy(size(col("embedding")).as("d")).count()
       .orderBy(col("count").desc, col("d")).limit(1)
       .collect().headOption.map(_.getAs[Int]("d"))
-    val train = modalDim match {
-      case Some(dim) => trainAll.filter(size(col("embedding")) === dim)
-      case None      => trainAll // empty/all-null sample: centroidsOf says so plainly
+    if (modalDim.isEmpty) {
+      // empty corpus (or a pathological all-null training sample):
+      // nothing to train on and nothing meaningful to search. A
+      // scheduled job over an empty partition returns the empty result,
+      // it does not die in the trainer.
+      trainAll.unpersist(blocking = false)
+      return emb.select(col("vec_id").as("probe_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("sim_e6")).limit(0)
     }
+    val train = trainAll.filter(size(col("embedding")) === modalDim.get)
     var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
     for (_ <- 1 to IvfTrainIters)
       cents = centroidsOf(train.withColumn("cell", assignExpr(cents)), cents)

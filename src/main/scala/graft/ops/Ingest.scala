@@ -167,12 +167,17 @@ object Ingest {
     // verbatim and a path collision ("a🙂" and "a😡" both land in
     // EventTypePath=a_) merely co-locates files. For clean types path
     // == type, so the per-type layout and pruning are unchanged.
-    dwdFrame(spark, d)
+    val frame = dwdFrame(spark, d)
+    frame
       .withColumn("EventTypePath",
         regexp_replace(col("EventType"), "[^\\x20-\\x7E]", "_"))
       .write.mode("overwrite")
       .partitionBy("EventTypePath").parquet(out)
-    spark.read.parquet(out).select(EventFields.map(col): _*).orderBy(eid)
+    // read back with the writer's schema, not inference: a fully-empty
+    // input (first run, quiet day) commits a sink with zero data files,
+    // and schema inference over it would abort the read-back
+    spark.read.schema(frame.schema).parquet(out)
+      .select(EventFields.map(col): _*).orderBy(eid)
   }
 
   /** Derby reads `derby.stream.error.file` once at engine boot, so it

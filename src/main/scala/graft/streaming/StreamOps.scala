@@ -51,7 +51,11 @@ object StreamOps {
   private def readSink(spark: SparkSession, out: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
-      spark.read.parquet(out)
+      // writer's schema, not inference: an EMPTY micro-batch commits the
+      // directory with zero data files, which inference cannot read.
+      // (The `bid=`/`EventTypePath=` partition columns are absent from
+      // the schema and therefore dropped — no read-back selects them.)
+      spark.read.schema(schema).parquet(out)
     else
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 

@@ -75,6 +75,30 @@ class EdgeCaseEventsSpec extends SparkSpec {
     }
   }
 
+  /** Zero-event log with the real schema: quiet topic / first run. */
+  private lazy val emptyDir: String = {
+    val d = s"${graft.ops.Tables.scratch}/edgecase_empty_events"
+    graft.ops.Tables.rmrf(d)
+    val tmp = s"$d/_tmp_events"
+    spark.read.parquet(s"$dir/events.parquet").limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    graft.ops.Tables.rmrf(tmp)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/customer.parquet"),
+      java.nio.file.Paths.get(s"$d/customer.parquet"))
+    d
+  }
+
+  eventQueries.foreach { name =>
+    test(s"$name returns empty from an empty event log") {
+      assert(SparkEntry.queries(name)(spark, emptyDir).collect().isEmpty)
+    }
+  }
+
   test("a3 nulls unparseable k in BOTH forms instead of aborting the ingest") {
     val out = SparkEntry.queries("a3_parse_json")(spark, dir).collect()
       .filter(r => !r.isNullAt(r.fieldIndex("event_id")))

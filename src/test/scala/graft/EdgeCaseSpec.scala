@@ -72,6 +72,28 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  /** Zero-row tables with the real schemas: the empty-partition /
+    * first-run case a scheduled lake job must return empty from, not
+    * die in (schema inference over no files, untrainable IVF, …).
+    */
+  private lazy val emptyDir: String = {
+    val d = s"${graft.ops.Tables.scratch}/edgecase_empty_corpus"
+    graft.ops.Tables.rmrf(d)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    embs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  corpusQueries.foreach { name =>
+    test(s"$name returns empty from an empty corpus") {
+      assert(SparkEntry.queries(name)(spark, emptyDir).collect().isEmpty)
+    }
+  }
+
   test("c8 invariants on the dirty corpus") {
     val out = SparkEntry.queries("c8_text_quality")(spark, dir).collect()
     assert(out.length === docs.length, "one feature row per document, nulls included")
