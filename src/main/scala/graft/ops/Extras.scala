@@ -105,11 +105,16 @@ object Extras {
       .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
       .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      // NULLIF on the denominator: a month whose revenue nets to exactly
+      // zero (degenerate but reachable — all-zero prices, or discounts
+      // of 1.00) yields NULL, not an ANSI DIVIDE_BY_ZERO job abort
+      // (Spark 4 ANSI throws even for double division). Same NULLIF in
+      // the DuckDB oracle so both engines agree on the degenerate case.
       .agg(expr(
         """CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO'
           |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
           |  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
-          |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"""
+          |NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 0.0D)"""
           .stripMargin).as("promo_revenue"))
 
   /** x_ann_ivf: IVF ANN — coarse quantizer trained by spherical k-means
@@ -299,7 +304,7 @@ object Extras {
       """SELECT CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO'
         |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
         |  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 0.0)
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'

@@ -48,6 +48,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.filter(col("x").isNotNull).count() > 0)
   }
 
+  test("optimizer rule leaves the ANSI-mode cast untouched (round-7 ADVICE gate)") {
+    // ANSI cast of the idiom THROWS on the no-match empty string where
+    // the native expression returns null, so the rule must not touch it.
+    // The session runs with Spark 4's ANSI default, so a plain .cast IS
+    // the ANSI form — a rewrite here would change user-visible errors.
+    assume(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val df = graft.ops.Ingest.envelope(spark, sf0001)
+      .select(regexp_extract(col("EventDetails"), graft.ops.Ingest.NumRegex, 1)
+        .cast("float").as("x"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("extract_numeric"),
+      s"ANSI cast must not be rewritten:\n$optimized")
+  }
+
   test("a6 results are unchanged under the extension rewrite") {
     val out = graft.ops.Ingest.a6_regexpExtract(spark, sf0001)
       .filter(col("extracted").isNotNull).count()

@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 
 class NewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("b20: a zero-revenue month yields NULL promo ratio, not a divide abort") {
+    // degenerate-but-reachable warehouse data: every price in the month
+    // is 0, so the denominator sums to exactly 0.0 and Spark 4's ANSI
+    // double division would abort the job without the NULLIF guard
+    val dir = s"${graft.ops.Tables.scratch}/b20_zero_month"
+    graft.ops.Tables.rmrf(dir)
+    Seq((1L, java.sql.Timestamp.valueOf("1996-03-05 00:00:00"), 0.0, 0.0),
+        (2L, java.sql.Timestamp.valueOf("1996-03-20 00:00:00"), 0.0, 0.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Extras.b20_q14like(spark, dir).collect()
+    assert(out.length === 1 && out.head.isNullAt(0))
+  }
 
   test("c6: banded candidate generation is lossless for hamming <= 3 (vs brute force)") {
     val sig = Simhash.signatures(spark, sf0001).collect()
