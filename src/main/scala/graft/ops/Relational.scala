@@ -91,6 +91,11 @@ object Relational {
 
   /** b11: scalar-function suite — string/date/math/array/map/json in one
     * wide, fully codegen'd projection over events.
+    *
+    * Dirty-data posture (EdgeCaseEventsSpec): double→long conversions
+    * are try_cast ≡ oracle TRY_CAST (a NaN/Inf metric degrades to NULL,
+    * never an ANSI abort), and the single-entry map is built only under
+    * a non-null key (ANSI refuses null map keys).
     */
   def b11_scalarSuite(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d).select(
@@ -104,17 +109,18 @@ object Relational {
       year(col("ts")).cast("long").as("yr"),
       hour(col("ts")).cast("long").as("hr"),
       datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("days_since"),
-      round(col("value")).cast("long").as("v_round"),
+      round(col("value")).try_cast("long").as("v_round"),
       abs(col("value") - 100.0).as("v_absdev"),
       sqrt(col("value")).as("v_sqrt"),
-      floor(col("value")).cast("long").as("v_floor"),
-      ceil(col("value")).cast("long").as("v_ceil"),
+      floor(col("value")).try_cast("long").as("v_floor"),
+      ceil(col("value")).try_cast("long").as("v_ceil"),
       size(split(concat(col("event_type"), lit("-"), col("user_id").cast("string")), "-"))
         .cast("long").as("arr_n"),
       element_at(split(concat(col("event_type"), lit("-"), col("user_id").cast("string")), "-"), 1)
         .as("arr_first"),
-      element_at(map(col("event_type"), col("value")), "click").as("map_click"),
-      get_json_object(col("props"), "$.k").cast("long").as("json_k"))
+      when(col("event_type").isNotNull,
+        element_at(map(col("event_type"), col("value")), "click")).as("map_click"),
+      get_json_object(col("props"), "$.k").try_cast("long").as("json_k"))
       .orderBy(col("event_id"))
 
   /** b13: TPC-H Q5-shaped star join — revenue per nation through
@@ -224,15 +230,15 @@ object Relational {
         |  CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
         |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
-        |  CAST(ROUND(value) AS BIGINT) AS v_round,
+        |  TRY_CAST(ROUND(value) AS BIGINT) AS v_round,
         |  ABS(value - 100.0) AS v_absdev,
         |  SQRT(value) AS v_sqrt,
-        |  CAST(FLOOR(value) AS BIGINT) AS v_floor,
-        |  CAST(CEIL(value) AS BIGINT) AS v_ceil,
+        |  TRY_CAST(FLOOR(value) AS BIGINT) AS v_floor,
+        |  TRY_CAST(CEIL(value) AS BIGINT) AS v_ceil,
         |  CAST(len(str_split(event_type || '-' || CAST(user_id AS VARCHAR), '-')) AS BIGINT) AS arr_n,
         |  str_split(event_type || '-' || CAST(user_id AS VARCHAR), '-')[1] AS arr_first,
         |  CASE WHEN event_type = 'click' THEN value END AS map_click,
-        |  CASE WHEN json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS json_k
+        |  CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS json_k
         |FROM events ORDER BY event_id""".stripMargin,
   )
 
