@@ -61,8 +61,8 @@ object Extras {
         .filter(col("c_mktsegment") === "BUILDING")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-              (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)""")
+      .agg(expr("""CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)""")
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -89,7 +89,7 @@ object Extras {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+        expr("CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -112,9 +112,9 @@ object Extras {
       // the DuckDB oracle so both engines agree on the degenerate case.
       .agg(expr(
         """CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO'
-          |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          |  THEN TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(l_discount AS DECIMAL(4,2)))
           |  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
-          |NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 0.0D)"""
+          |NULLIF(CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 0.0D)"""
           .stripMargin).as("promo_revenue"))
 
   /** x_ann_ivf: IVF ANN — coarse quantizer trained by spherical k-means
@@ -286,7 +286,7 @@ object Extras {
         |ORDER BY user_id, event_type""".stripMargin,
     "b18_q3like" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -297,14 +297,14 @@ object Extras {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "b19_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "b20_q14like" ->
       """SELECT CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO'
-        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |  THEN TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(l_discount AS DECIMAL(4,2)))
         |  ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) /
-        |NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 0.0)
+        |NULLIF(CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 0.0)
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
