@@ -170,6 +170,32 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected one shared user_id exchange, saw $hashEx:\n$p")
   }
 
+  test("b1: conditional aggregation is ONE shuffle — never pivot's two-pass shape") {
+    // b1 exists in this form because groupBy().pivot() runs a separate
+    // distinct-values job first; the conditional-agg form must stay a
+    // single partial+final hash aggregate over one user_id exchange
+    val p = plan(Features.b1_userFeatures(spark, sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected one user_id exchange, saw $hashEx:\n$p")
+  }
+
+  test("b16: exact percentiles are one typed aggregate over one exchange") {
+    val p = plan(Features.b16_percentiles(spark, sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected one event_type exchange, saw $hashEx:\n$p")
+    // percentile() buffers per group imperatively → ObjectHashAggregate
+    assert(p.contains("ObjectHashAggregate"), s"expected typed percentile aggregate:\n$p")
+  }
+
+  test("b4/b5: ranking and frame windows are one shuffle + one in-partition sort each") {
+    Seq(Features.b4_windowRank(spark, sf0001) -> "b4",
+        Features.b5_windowFrame(spark, sf0001) -> "b5").foreach { case (df, n) =>
+      val p = plan(df)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$n: expected one user_id window exchange, saw $hashEx:\n$p")
+    }
+  }
+
   test("b15: salted aggregation is two aggregate stages, not a collapsed single groupBy") {
     val p = plan(Features.b15_saltedAgg(spark, sf0001))
     // (user_id, salt) partial stage then user_id merge stage — two hash
