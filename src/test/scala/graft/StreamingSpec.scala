@@ -58,6 +58,29 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("props") === """{"k":1}""")
   }
 
+  test("kafka value decode is total over garbage records (poison-pill topic)") {
+    import spark.implicits._
+    // a real topic carries these: truncated JSON, non-JSON bytes, empty
+    // payloads, tombstone nulls, wrong-typed fields, binary junk. The
+    // reference would throw in JSON.parseObject and stall the consumer
+    // on the poison record; the Spark decode degrades each to an
+    // all-null (or partially-null) envelope row and the A7 validation
+    // stage drops it downstream — one bad record never stops the drain.
+    val junk: Seq[Array[Byte]] = Seq(
+      """{"event_id":1,"ts":1,"user_id":1,"event_type":"ok","value":1.0,"props":"{}"}""".getBytes("UTF-8"),
+      """{"event_id":2,"ts":""".getBytes("UTF-8"), // truncated mid-object
+      "not json at all".getBytes("UTF-8"),
+      Array[Byte](), // empty payload
+      null, // tombstone
+      """{"event_id":"seven","ts":"later","value":"much"}""".getBytes("UTF-8"),
+      Array[Byte](0x00, -0x01, 0x13, 0x37)) // binary junk
+    val rows = graft.streaming.StreamOps.decodeKafkaValue(junk.toDF("value")).collect()
+    assert(rows.length === junk.length, "every record yields a row — none aborts the batch")
+    val ok = rows.filter(r => !r.isNullAt(r.fieldIndex("event_id")))
+    assert(ok.length === 1 && ok.head.getAs[Long]("event_id") === 1L,
+      "only the well-formed record carries a usable envelope")
+  }
+
   test("s3 GroupState: a session straddling micro-batches continues, not restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
