@@ -376,6 +376,108 @@ object StreamOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** s5: stream-stream interval join — the streaming attribution shape:
+    * the purchase stream joins the view stream of the SAME user within
+    * the preceding hour (watermarks on both sides + an event-time range
+    * condition), append mode, AvailableNow drain.
+    *
+    * This is the one join kind where BOTH inputs are unbounded, so the
+    * state story is the whole design: each side buffers rows only until
+    * the other side's watermark passes the end of the join window
+    * (here: a view can stop waiting for purchases one hour + delay
+    * after its event time) — state is O(rows per watermark horizon),
+    * never O(stream). The range condition is written on the event-time
+    * columns themselves so Spark derives that state-eviction bound; a
+    * condition on derived epoch integers would join identically but
+    * buffer forever. Oracle = the batch interval join (all µs-domain
+    * comparisons: both engines truncate the fixture's ns clock to µs
+    * identically).
+    */
+  def s5_streamStreamJoin(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s5_out"
+    val chk = s"${Tables.scratch}/s5_chk"
+    rmrf(out); rmrf(chk)
+    // a row without a key or a clock can never satisfy the equi+range
+    // condition; dropping it at the source keeps the watermark total
+    // over dirty logs (a null event time would abort the stateful op)
+    def side(tag: String, typ: String) =
+      eventStream(spark, d)
+        .filter(col("event_type") === typ && col("user_id").isNotNull &&
+          col("ts").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"),
+          col("event_id").as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "10 minutes")
+    val sinkSchema = withStreamShuffle(spark, 8) {
+      val joined = side("p", "purchase").join(side("v", "view"),
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+        .select(col("p_user").as("user_id"),
+          col("p_id").as("purchase_id"), col("v_id").as("view_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        // batchId-keyed overwrite: replay-idempotent (see s1)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+        }
+        .start()
+      q.awaitTermination()
+      joined.schema
+    }
+    // explicit projection: the sink's `bid=` partition directory reads
+    // back as an extra column the join never produced
+    readSink(spark, out, sinkSchema)
+      .select(sinkSchema.fieldNames.map(col): _*)
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
+  /** s6: streaming dedup within the watermark horizon — the
+    * exactly-once-from-at-least-once operator every 100 TB ingest needs
+    * in front of it (Kafka redelivery, producer retries, replayed
+    * batches). The at-least-once source is modeled honestly: TWO
+    * streams over the same log unioned, so every event arrives twice;
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * event_id and evicts each key's state once the watermark passes it
+    * — state is O(keys per horizon), never O(stream), which is the
+    * whole difference from a batch `dropDuplicates` at this scale.
+    * Oracle: each event exactly once (the duplicated delivery is
+    * invisible downstream).
+    */
+  def s6_streamDedup(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s6_out"
+    val chk = s"${Tables.scratch}/s6_chk"
+    rmrf(out); rmrf(chk)
+    val sinkSchema = withStreamShuffle(spark, 8) {
+      val once = eventStream(spark, d).unionByName(eventStream(spark, d))
+        // dedup state is keyed by event_id and evicted by event time:
+        // a record carrying neither can't be deduplicated, only dropped
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).try_cast("long").as("cents"))
+      val q = once.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        // batchId-keyed overwrite: replay-idempotent (see s1)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+        }
+        .start()
+      q.awaitTermination()
+      once.schema
+    }
+    // explicit projection drops the sink's `bid=` partition column
+    readSink(spark, out, sinkSchema)
+      .select(sinkSchema.fieldNames.map(col): _*)
+      .orderBy(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "s4_stream_join" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt,
@@ -410,6 +512,25 @@ object StreamOps {
         |  (SELECT make_timestamp((epoch_us(max(ts)) // 1000 - 600000) * 1000) FROM events)
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY win_start, event_type""".stripMargin,
+    // batch twin of the watermarked interval join: nothing is late under
+    // AvailableNow's drain, so the streamed matches are exactly the
+    // batch interval join. All comparisons in the µs domain (epoch_us
+    // truncates DuckDB's ns clock exactly like the Spark reader's
+    // `ts div 1000`).
+    "s5_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    // the duplicated delivery is invisible downstream: each event once
+    "s6_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |  TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -417,5 +538,7 @@ object StreamOps {
     "s2_stream_window"   -> s2_streamWindow _,
     "s3_stream_sessionize" -> s3_streamSessionize _,
     "s4_stream_join"     -> s4_streamJoin _,
+    "s5_stream_stream_join" -> s5_streamStreamJoin _,
+    "s6_stream_dedup"    -> s6_streamDedup _,
   )
 }

@@ -66,7 +66,7 @@ class EdgeCaseEventsSpec extends SparkSpec {
     "b7_asof_join", "b11_scalar_suite", "b15_salted_agg", "b16_percentiles",
     "b17_latest_features", "x_approx_distinct",
     "s1_stream_pipeline", "s2_stream_window", "s3_stream_sessionize",
-    "s4_stream_join")
+    "s4_stream_join", "s5_stream_stream_join", "s6_stream_dedup")
 
   eventQueries.foreach { name =>
     test(s"$name survives the dirty event log") {

@@ -184,6 +184,61 @@ class StreamingSpec extends SparkSpec {
       "an empty drain must not re-emit anything")
   }
 
+  test("s6 semantics: dropDuplicatesWithinWatermark drops a cross-batch redelivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val once = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = once.writeStream.outputMode("append")
+      .format("memory").queryName("s6_redelivery").start()
+    try {
+      // batch 1: event 1 twice in the same batch (producer retry)
+      input.addData((1L, ts(10, 0)), (1L, ts(10, 0)), (2L, ts(10, 1)))
+      q.processAllAvailable()
+      // batch 2: event 1 AGAIN (redelivery in a later batch, still
+      // inside the watermark horizon) + a genuinely new event
+      input.addData((1L, ts(10, 0)), (3L, ts(10, 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("s6_redelivery").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L),
+      "each event exactly once across batches — dedup state survives the batch boundary")
+  }
+
+  test("s5 semantics: interval join matches views in the preceding hour, inclusive bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val p = pIn.toDF().toDF("p_user", "p_ts", "p_id").withWatermark("p_ts", "10 minutes")
+    val v = vIn.toDF().toDF("v_user", "v_ts", "v_id").withWatermark("v_ts", "10 minutes")
+    val joined = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("s5_bounds").start()
+    try {
+      // purchase at 12:00; views at 11:00 (boundary: in), 10:59 (out),
+      // 12:00 (same instant: in), 12:01 (future: out), other user (out)
+      pIn.addData((1L, ts(12, 0), 100L))
+      vIn.addData((1L, ts(11, 0), 1L), (1L, ts(10, 59), 2L),
+        (1L, ts(12, 0), 3L), (1L, ts(12, 1), 4L), (2L, ts(11, 30), 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s5_bounds").select("v_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 3L),
+      "exactly the same-user views in [purchase - 1h, purchase] join")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
