@@ -1,15 +1,41 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Dev utility: per-query scan census. Executes every SparkEntry query
-  * at a small SF and prints how many FileScans the FINAL adaptive plan
-  * ran and which tables they hit — the quick way to spot a query that
-  * reads a table twice where a ReusedExchange or a per-row rewrite
-  * (e.g. round 8's c8 fingerprint fold) could make it one pass.
-  * Usage: runMain graft.tools.ScanAudit <sfDir> [name ...]
+/** Per-query scan census. Executes a query and reports how many
+  * FileScans the FINAL adaptive plan ran, how many exchanges were
+  * reused, and which tables the scans hit — the quick way to spot a
+  * query that reads a table twice where a ReusedExchange or a per-row
+  * rewrite (e.g. round 8's c8 fingerprint fold) could make it one pass.
+  * Both round-8 double-scan bugs (c8's join-back, c12's pruning-broken
+  * exchange reuse) were caught by exactly this census, so ScanCensusSpec
+  * pins the expected counts per query in `sbt test`; this main stays as
+  * the interactive form. Usage: runMain graft.tools.ScanAudit <sfDir> [name ...]
   */
 object ScanAudit {
+
+  final case class Census(scans: Int, reused: Int, tables: Map[String, Int]) {
+    def tablesStr: String =
+      tables.toSeq.sorted.map { case (t, n) => s"$t×$n" }.mkString(" ")
+  }
+
+  private val tablePat = "([a-z_]+)\\.parquet".r
+
+  /** Materialize the frame (so AQE reuse shows in the final plan) and
+    * census it. The split drops the pre-adaptive "Initial Plan" section,
+    * which double-counts every node.
+    */
+  def census(df: DataFrame): Census = {
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    Census(
+      "FileScan".r.findAllIn(p).size,
+      "ReusedExchange".r.findAllIn(p).size,
+      tablePat.findAllMatchIn(p).map(_.group(1)).toSeq
+        .groupBy(identity).map { case (t, xs) => t -> xs.size })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val only = args.drop(1).toSet
@@ -22,21 +48,12 @@ object ScanAudit {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tablePat = "([a-z_]+)\\.parquet".r
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
         try {
-          val df = fn(spark, sfDir)
-          df.collect() // materialize so AQE reuse shows in the final plan
-          val p = df.queryExecution.executedPlan.toString
-            .split("== Initial Plan ==").head
-          val scans = "FileScan".r.findAllIn(p).size
-          val reused = "ReusedExchange".r.findAllIn(p).size
-          val tables = tablePat.findAllMatchIn(p).map(_.group(1)).toSeq
-            .groupBy(identity).map { case (t, xs) => s"$t×${xs.size}" }
-            .toSeq.sorted.mkString(" ")
-          println(f"[scan-audit] $name%-22s scans=$scans reused=$reused  $tables")
+          val c = census(fn(spark, sfDir))
+          println(f"[scan-audit] $name%-22s scans=${c.scans} reused=${c.reused}  ${c.tablesStr}")
         } catch {
           case e: Throwable =>
             println(s"[scan-audit] $name FAILED: ${e.getMessage}")

@@ -1,0 +1,108 @@
+package graft
+
+import graft.tools.ScanAudit
+
+/** Committed-expectation scan census over the whole inventory.
+  *
+  * Both round-8 double-scan bugs — c8 re-reading `documents` for its
+  * fingerprint join-back, and c12's pruning-divergent tf subtrees
+  * breaking ReuseExchange — were caught by running ScanAudit by hand.
+  * This spec commits the expected (FileScan, ReusedExchange) counts of
+  * every query's FINAL adaptive plan, so the next regression of the
+  * same class is a red test instead of a manual audit: a query that
+  * starts reading a table twice (or loses an exchange reuse) changes
+  * its census even when its results stay correct.
+  *
+  * The counts are structural plan properties at any SF (BENCH_NOTES (l)
+  * verified the shapes match between sf0.001 and sf0.1), so the cheap
+  * fixture is authoritative. A deliberate plan change updates the
+  * committed pair in the same commit — that's the point: scan-count
+  * changes must be intentional.
+  */
+class ScanCensusSpec extends SparkSpec {
+
+  /** query -> (FileScans in the final plan, ReusedExchange nodes).
+    * Notes on the non-obvious rows:
+    * - a13 reads back through JDBC (Derby), not files: 0 FileScans.
+    * - b8/b10 are multi-join exemplar BUNDLES (union of join kinds):
+    *   their scan counts are the sum over the bundled shapes.
+    * - c2/c6/x_minhash: the reuse counts ARE the one-corpus-scan
+    *   design (PlanSpec pins the shapes; this pins the multiplicity).
+    * - c3/c7/x_ann_*: probe+corpus pairs read `embeddings` twice by
+    *   design (the probe side is a tiny filtered subset).
+    * - s1-s6 census the sink READ-BACK (the streamed run has its own
+    *   plans per micro-batch): exactly one scan of the sink, ever.
+    */
+  private val expected: Map[String, (Int, Int)] = Map(
+    "a1_scan_events" -> ((1, 0)),
+    "a3_parse_json" -> ((1, 0)),
+    "a5_filter_isin" -> ((1, 0)),
+    "a6_regexp_extract" -> ((1, 0)),
+    "a7_validate_notnull" -> ((1, 0)),
+    "a8_project" -> ((1, 0)),
+    "a9_partition_by_type" -> ((1, 0)),
+    "a12_sink_dwd" -> ((1, 0)),
+    "a13_sink_jdbc" -> ((0, 0)),
+    "a14_pipeline_e2e" -> ((1, 0)),
+    "a15_json_roundtrip" -> ((1, 0)),
+    "a16_csv_roundtrip" -> ((1, 0)),
+    "a17_orc_roundtrip" -> ((1, 0)),
+    "b1_agg_user_features" -> ((1, 0)),
+    "b2_agg_distinct" -> ((1, 0)),
+    "b3_groupsets_rollup" -> ((1, 0)),
+    "b3b_cube" -> ((1, 0)),
+    "b4_window_rank" -> ((1, 0)),
+    "b5_window_frame" -> ((1, 0)),
+    "b6_sessionize" -> ((1, 0)),
+    "b7_asof_join" -> ((1, 0)),
+    "b8_join_suite" -> ((17, 1)),
+    "b9_sort_topk" -> ((1, 0)),
+    "b10_setops" -> ((6, 0)),
+    "b11_scalar_suite" -> ((1, 0)),
+    "b12_tpch_q1like" -> ((1, 0)),
+    "b13_q5like" -> ((5, 0)),
+    "b14_sql_cte" -> ((2, 0)),
+    "b15_salted_agg" -> ((1, 0)),
+    "b16_percentiles" -> ((1, 0)),
+    "b17_latest_features" -> ((1, 0)),
+    "b18_q3like" -> ((3, 0)),
+    "b19_bucketed_join" -> ((2, 0)),
+    "b20_q14like" -> ((2, 0)),
+    "c1_dedup_exact" -> ((1, 0)),
+    "c2_dedup_minhash" -> ((1, 3)),
+    "c3_sim_topk" -> ((2, 0)),
+    "c4_text_stats" -> ((1, 0)),
+    "c4b_top_terms" -> ((1, 0)),
+    "c5_multimodal_cols" -> ((2, 0)),
+    "c6_simhash" -> ((1, 1)),
+    "c7_cosine_neardup" -> ((2, 0)),
+    "c8_text_quality" -> ((1, 0)),
+    "c9_multimodal_decode" -> ((1, 0)),
+    "c10_stopword_filter" -> ((1, 0)),
+    "c11_hash_sample" -> ((1, 0)),
+    "c12_tfidf_top_terms" -> ((2, 1)),
+    "s1_stream_pipeline" -> ((1, 0)),
+    "s2_stream_window" -> ((1, 0)),
+    "s3_stream_sessionize" -> ((1, 0)),
+    "s4_stream_join" -> ((1, 0)),
+    "s5_stream_stream_join" -> ((1, 0)),
+    "s6_stream_dedup" -> ((1, 0)),
+    "x_approx_distinct" -> ((1, 0)),
+    "x_ann_lsh" -> ((2, 0)),
+    "x_ann_ivf" -> ((2, 0)),
+    "x_label_centroids" -> ((1, 0)),
+    "x_minhash_lsh" -> ((2, 6)))
+
+  test("the census table covers exactly the query inventory") {
+    assert(expected.keySet === SparkEntry.queries.keySet)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val (scans, reused) = expected.getOrElse(name, (-1, -1))
+    test(s"$name final plan: scans=$scans reused=$reused") {
+      val c = ScanAudit.census(fn(spark, sf0001))
+      assert((c.scans, c.reused) === ((scans, reused)),
+        s"census drifted — actual scans=${c.scans} reused=${c.reused} tables=[${c.tablesStr}]")
+    }
+  }
+}
