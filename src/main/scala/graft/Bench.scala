@@ -80,10 +80,14 @@ object Bench {
     val medians = names.map { case (name, _) =>
       name -> samples(name).sorted.apply(reps / 2)
     }.toMap
-    def j(x: Double): String = if (java.lang.Double.isFinite(x)) x.toString else "-1"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + j(v) }
+    // 4-decimal rendering (0.1 ms, far below the noise floor) keeps the
+    // contract line compact; Locale.ROOT so no locale prints 1,2345
+    def j(x: Double): String =
+      if (java.lang.Double.isFinite(x)) "%.4f".formatLocal(java.util.Locale.ROOT, x)
+      else "-1"
+    val qs = names.map { case (k, _) => s"\"" + k + "\":" + j(results(k)) }
       .mkString("{", ",", "}")
-    val med = medians.map { case (k, v) => s"\"" + k + "\":" + j(v) }
+    val med = names.map { case (k, _) => s"\"" + k + "\":" + j(medians(k)) }
       .mkString("{", ",", "}")
     // all raw samples ride along so a surprising value is explainable
     // from the artifact alone (stall vs real regression)
@@ -91,7 +95,15 @@ object Bench {
       s"\"" + k + "\":" + samples(k).reverse.map(j).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.filter(java.lang.Double.isFinite).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$med,"samples":$raw,"sf":"$sfDir"}""")
+    // Two lines, audit detail FIRST: the round-7 artifact arrived
+    // truncated mid-line, and one ~10 KB JSON line loses everything past
+    // the cut. The detail line carries the full sample evidence behind a
+    // non-JSON prefix (any per-line JSON parser skips it); the CONTRACT
+    // line stays last and compact (~1.6 KB: headline second-smallest per
+    // query only), so whichever capture convention the driver uses —
+    // last line, or last parseable JSON — it gets an intact summary.
+    println(s"""#bench-detail {"medians":$med,"samples":$raw,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
