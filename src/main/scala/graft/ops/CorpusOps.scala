@@ -88,6 +88,71 @@ object CorpusOps {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Per-stratum cap for c13 — sized so the dominant `en` stratum is
+    * downsampled while the minority languages pass through whole at the
+    * fixture scales (en ≈ 200/stratum at sf0.01, others 60-80).
+    */
+  val StratumCap = 100L
+
+  /** c13: stratified downsampling — cap each language stratum at
+    * [[StratumCap]] documents, chosen by md5 rank so the selection is
+    * deterministic, engine-independent, and stable under reruns (the
+    * same property c11 gives splits, lifted to per-group selection).
+    * This is the "cap the dominant language" step of corpus balancing.
+    *
+    * Scale (100 TB): one shuffle on `lang`, then a sort-based running
+    * row_number — WindowExec streams the sorted partition with O(1)
+    * state, and the sort itself spills, so a dominant stratum costs
+    * disk, not memory. If one stratum out-sizes a single task's spill
+    * budget, pre-filter with an approximate hash threshold
+    * (rate ≈ cap/count, broadcast per-stratum counts) before the exact
+    * window — the census-then-filter pattern; not needed at any tested
+    * scale, so the shipped plan stays the exact one-shuffle form.
+    */
+  def c13_stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    val key = md5(concat(coalesce(col("lang"), lit("")), lit("|"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("rank_key"), col("doc_id"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), key.as("rank_key"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= StratumCap)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** Token budget per packed training sequence for c14. */
+  val SeqBudget = 256L
+
+  /** c14: sequence packing — the concatenate-then-chunk step that turns
+    * a document corpus into fixed-budget training sequences. Documents
+    * are ordered deterministically (md5) within their `source` shard,
+    * token counts are cumulated, and each document is assigned the
+    * sequence its first token lands in (`seq_id`) plus its offset
+    * there. All integer arithmetic (DIV / %), so the assignment is
+    * bit-identical across engines — no float cumsum drift.
+    *
+    * Scale (100 TB): one shuffle on the shard key, one spillable sort,
+    * then a running sum with O(1) state per row — the same
+    * shuffle-sort-scan shape every production packer uses. Sequences
+    * never span shards, so shards parallelize perfectly and a re-run
+    * with more executors yields byte-identical packing.
+    */
+  def c14_packSequences(spark: SparkSession, d: String): DataFrame = {
+    val ntok = when(col("text").isNull, lit(0L))
+      .otherwise(size(split(col("text"), " ")).cast("long"))
+    val w = Window.partitionBy(col("source")).orderBy(col("order_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), ntok.as("n_tok"),
+        md5(col("doc_id").cast("string")).as("order_key"))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"(tok_end - n_tok) DIV $SeqBudget").as("seq_id"),
+        expr(s"(tok_end - n_tok) % $SeqBudget").as("offset"))
+      .orderBy(col("source"), col("seq_id"), col("offset"), col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "c10_stopword_filter" ->
       """SELECT doc_id,
@@ -113,11 +178,37 @@ object CorpusOps {
         |FROM tf JOIN df USING (term), n
         |QUALIFY rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "c13_stratified_sample" ->
+      """SELECT doc_id, lang, rnk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(coalesce(lang, '') || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 100 ORDER BY lang, rnk""".stripMargin,
+    "c14_pack_sequences" ->
+      """WITH sized AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE CAST(len(str_split(text, ' ')) AS BIGINT) END AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS order_key
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY order_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS tok_end
+        |  FROM sized)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((tok_end - n_tok) // 256 AS BIGINT) AS seq_id,
+        |  CAST((tok_end - n_tok) % 256 AS BIGINT) AS offset
+        |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_stopword_filter" -> c10_stopwordFilter _,
     "c11_hash_sample"     -> c11_hashSample _,
     "c12_tfidf_top_terms" -> c12_tfidfTopTerms _,
+    "c13_stratified_sample" -> c13_stratifiedSample _,
+    "c14_pack_sequences"  -> c14_packSequences _,
   )
 }

@@ -42,8 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 58 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 58)
-    assert(SparkEntry.oracleSql.size === 53)
+  test("the inventory holds all 60 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 60)
+    assert(SparkEntry.oracleSql.size === 55)
   }
 }

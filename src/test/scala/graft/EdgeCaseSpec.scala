@@ -62,7 +62,8 @@ class EdgeCaseSpec extends SparkSpec {
     "c1_dedup_exact", "c2_dedup_minhash", "c3_sim_topk", "c4_text_stats",
     "c4b_top_terms", "c5_multimodal_cols", "c6_simhash", "c7_cosine_neardup",
     "c8_text_quality", "c9_multimodal_decode", "c10_stopword_filter",
-    "c11_hash_sample", "c12_tfidf_top_terms", "x_minhash_lsh", "x_ann_lsh",
+    "c11_hash_sample", "c12_tfidf_top_terms", "c13_stratified_sample",
+    "c14_pack_sequences", "x_minhash_lsh", "x_ann_lsh",
     "x_ann_ivf", "x_label_centroids")
 
   corpusQueries.foreach { name =>

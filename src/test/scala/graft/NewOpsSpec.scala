@@ -119,4 +119,52 @@ class NewOpsSpec extends SparkSpec {
       c3.get(k).foreach(s3 => assert(s3 === s, s"sim mismatch for $k"))
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("c13: per-stratum selection equals the direct md5-rank model") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy { case (id, l) => (md5hex(s"${Option(l).getOrElse("")}|$id"), id) }
+        .take(CorpusOps.StratumCap.toInt)
+        .zipWithIndex.map { case ((id, _), i) => (id, lang, (i + 1).toLong) }
+    }.toSet
+    val got = CorpusOps.c13_stratifiedSample(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("rnk")))
+      .toSet
+    assert(got === expected)
+    // the dominant stratum is actually capped at this SF (the test bites)
+    assert(docs.count(_._2 == "en") > CorpusOps.StratumCap)
+  }
+
+  test("c14: packing equals the direct cumulative model; sequences are dense") {
+    val b = CorpusOps.SeqBudget
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .map { case (id, src, text) =>
+          val n = if (text == null) 0L else text.split(" ", -1).length.toLong
+          val start = cum; cum += n
+          (id, src, n, start / b, start % b)
+        }
+    }.toSet
+    val got = CorpusOps.c14_packSequences(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset")))
+      .toSet
+    assert(got === expected)
+    // offsets are in-budget and each shard starts a sequence 0
+    assert(got.forall { case (_, _, _, _, off) => off >= 0 && off < b })
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.exists(r => r._4 == 0L && r._5 == 0L), s"shard $src has no seq-0 head")
+    }
+  }
 }

@@ -81,6 +81,8 @@ class ScanCensusSpec extends SparkSpec {
     "c10_stopword_filter" -> ((1, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
+    "c13_stratified_sample" -> ((1, 0)),
+    "c14_pack_sequences" -> ((1, 0)),
     "s1_stream_pipeline" -> ((1, 0)),
     "s2_stream_window" -> ((1, 0)),
     "s3_stream_sessionize" -> ((1, 0)),
