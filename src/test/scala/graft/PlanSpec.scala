@@ -256,4 +256,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p)
     assert(!p.toLowerCase.contains("props"), "props must be pruned from the envelope scan")
   }
+
+  test("c13/c14: corpus-prep windows are ONE hash shuffle each — no join, no extra exchange") {
+    Seq(CorpusOps.c13_stratifiedSample(spark, sf0001) -> "c13",
+        CorpusOps.c14_packSequences(spark, sf0001) -> "c14").foreach { case (df, n) =>
+      val p = plan(df)
+      // the stratum/shard window shuffle is the only hashpartitioning
+      // exchange (the cosmetic output orderBy is rangepartitioning)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$n: expected one window exchange, saw $hashEx:\n$p")
+      assert(!p.contains("Join"), s"$n must not join:\n$p")
+      assert(p.contains("Window"), s"$n should rank/sum in a window:\n$p")
+    }
+  }
 }
