@@ -235,6 +235,60 @@ object TextOps {
     jaccardOf(pairs)
   }
 
+  /** Safety valve on c15's label-propagation sweeps. Min-label
+    * propagation converges in component-diameter sweeps; near-dup
+    * components are clique-ish (fixture max diameter 3), so the cap is
+    * never the terminator — it only bounds a pathological chain-shaped
+    * graph, where production would switch to large-star/small-star
+    * (O(log n) rounds) instead of raising the cap.
+    */
+  val MaxCcIters = 20
+
+  /** c15: near-dup CLUSTER resolution — the step after pair generation
+    * that an actual dedup pipeline needs: connected components over
+    * c2's verified pairs, labeling every member with the component's
+    * min doc_id (`cluster_id`) and flagging the canonical keeper.
+    * Iterative min-label propagation: each sweep joins labels to the
+    * adjacency list and takes the per-node min over self + neighbors,
+    * until a sweep changes nothing. Deterministic (min is order-free).
+    *
+    * Scale (100 TB): each sweep is one equi-join + one partial-agg'd
+    * min — label state is 16 bytes/node, never the documents. The
+    * edge list and each sweep's labels are localCheckpoint'ed: the
+    * checkpoint both materializes the expensive minhash lineage ONCE
+    * and truncates plan growth, the standard Spark idiom for iterative
+    * graph algorithms (on a cluster one uses reliable checkpoints so
+    * executor loss can't orphan an iteration). The convergence count
+    * per sweep is control state, not a data collect.
+    */
+  def c15_dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val pairs = c2_dedupJaccard(spark, d).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint()
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    var sweep = 0
+    var done = labels.isEmpty
+    while (!done && sweep < MaxCcIters) {
+      val nmin = edges
+        .join(labels.select(col("id").as("b_id"), col("lab").as("nl")), "b_id")
+        .groupBy(col("a_id")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(nmin.select(col("a_id").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+          col("lab").as("prev"))
+        .localCheckpoint()
+      done = next.filter(col("lab") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("lab"))
+      sweep += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+        (col("id") === col("lab")).as("is_canonical"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   /** c4: per-document text statistics (token counts, distinct tokens,
     * char lengths, type-token ratio) — language-ID-style features.
     */
@@ -276,6 +330,25 @@ object TextOps {
         |JOIN card cb ON cb.doc_id = p.b_id
         |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "c15_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
+        |pairs0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |           FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |verified AS (SELECT p.a_id, p.b_id FROM pairs0 p
+        |  JOIN card ca ON ca.doc_id = p.a_id JOIN card cb ON cb.doc_id = p.b_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5),
+        |e AS (SELECT a_id, b_id FROM verified UNION SELECT b_id AS a_id, a_id AS b_id FROM verified),
+        |reach(id, r) AS (
+        |  SELECT a_id, b_id FROM e
+        |  UNION
+        |  SELECT reach.id, e.b_id FROM reach JOIN e ON reach.r = e.a_id)
+        |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id, id = MIN(r) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
     "c4_text_stats" ->
       """SELECT doc_id, lang,
         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -292,6 +365,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact"   -> c1_dedupExact _,
     "c2_dedup_minhash" -> c2_dedupJaccard _,
+    "c15_dedup_clusters" -> c15_dedupClusters _,
     "x_minhash_lsh"    -> minhashLsh _,
     "c4_text_stats"    -> c4_textStats _,
     "c4b_top_terms"    -> c4b_topTerms _,

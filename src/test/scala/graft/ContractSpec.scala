@@ -42,8 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 60 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 60)
-    assert(SparkEntry.oracleSql.size === 55)
+  test("the inventory holds all 61 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 61)
+    assert(SparkEntry.oracleSql.size === 56)
   }
 }

@@ -167,4 +167,28 @@ class NewOpsSpec extends SparkSpec {
       assert(rows.exists(r => r._4 == 0L && r._5 == 0L), s"shard $src has no seq-0 head")
     }
   }
+
+  test("c15: cluster labels equal a union-find over c2's verified pairs") {
+    val pairs = TextOps.c2_dedupJaccard(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.getOrElseUpdate(x, x)
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys
+      .map(x => (x, find(x), x == find(x))).toSet
+    val got = TextOps.c15_dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_canonical"))).toSet
+    assert(got === expected)
+    // the test bites: multi-node clusters exist, so propagation ran
+    assert(expected.exists { case (id, c, _) => id != c })
+  }
 }

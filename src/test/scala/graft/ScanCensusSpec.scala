@@ -82,6 +82,11 @@ class ScanCensusSpec extends SparkSpec {
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),
+    // c15 localCheckpoints the edge list and every sweep's labels (the
+    // iterative-algorithm idiom), so its FINAL plan reads RDD blocks,
+    // not files — 0 FileScans is the designed shape, and a reappearing
+    // FileScan would mean an un-truncated lineage re-deriving minhash.
+    "c15_dedup_clusters" -> ((0, 0)),
     "c14_pack_sequences" -> ((1, 0)),
     "s1_stream_pipeline" -> ((1, 0)),
     "s2_stream_window" -> ((1, 0)),
