@@ -138,19 +138,69 @@ object CorpusOps {
     * never span shards, so shards parallelize perfectly and a re-run
     * with more executors yields byte-identical packing.
     */
-  def c14_packSequences(spark: SparkSession, d: String): DataFrame = {
+  def c14_packSequences(spark: SparkSession, d: String): DataFrame =
+    packSized(sizeDocs(Tables.documents(spark, d)))
+
+  /** Stage 1 of packing: (doc_id, source, n_tok, order_key) — token
+    * count (null text packs as 0 tokens) and the deterministic md5
+    * shard order key.
+    */
+  private[ops] def sizeDocs(docs: DataFrame): DataFrame = {
     val ntok = when(col("text").isNull, lit(0L))
       .otherwise(size(split(col("text"), " ")).cast("long"))
+    docs.select(col("doc_id"), col("source"), ntok.as("n_tok"),
+      md5(col("doc_id").cast("string")).as("order_key"))
+  }
+
+  /** Stage 2 of packing: running token sum per shard → (seq_id, offset)
+    * by all-integer DIV/%.
+    */
+  private[ops] def packSized(sized: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("order_key"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, d)
-      .select(col("doc_id"), col("source"), ntok.as("n_tok"),
-        md5(col("doc_id").cast("string")).as("order_key"))
+    sized
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("source"), col("n_tok"),
         expr(s"(tok_end - n_tok) DIV $SeqBudget").as("seq_id"),
         expr(s"(tok_end - n_tok) % $SeqBudget").as("offset"))
       .orderBy(col("source"), col("seq_id"), col("offset"), col("doc_id"))
+  }
+
+  /** Quality-gate bounds for c16: survivors must carry between
+    * [[MinTok]] and [[MaxTok]] whitespace tokens — the cheap
+    * length-based cut every corpus prep applies before packing.
+    */
+  val MinTok = 5L
+  val MaxTok = 5000L
+
+  /** c16: the corpus-prep pipeline END-TO-END — what a user of this
+    * library actually runs to turn a raw document lake into a training
+    * manifest: exact dedup (keep the min-id doc per sha256 digest,
+    * c1's rule), near-dup cluster resolution (drop every non-canonical
+    * member of a c15 cluster), a token-count quality gate
+    * ([[MinTok]]..[[MaxTok]]), then token-budget sequence packing
+    * (c14). The C-tier twin of a14_pipeline_e2e.
+    *
+    * Scale (100 TB): the keep list is one hash aggregation over
+    * 32-byte digests; the drop list is c15's label state (16 B/node,
+    * near-dup members only — vastly smaller than the corpus), so the
+    * anti-join's right side stays broadcastable long after the corpus
+    * itself is not; packing adds its one shard-key shuffle. No stage
+    * ever shuffles document bytes except the initial digest groupBy.
+    */
+  def c16_corpusPipeline(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val keeps = docs
+      .groupBy(sha2(lower(col("text")), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val drops = TextOps.c15_dedupClusters(spark, d)
+      .filter(!col("is_canonical")).select(col("doc_id"))
+    val survivors = docs
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .join(drops, Seq("doc_id"), "left_anti")
+    packSized(sizeDocs(survivors)
+      .filter(col("n_tok").between(MinTok, MaxTok)))
   }
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +252,41 @@ object CorpusOps {
         |  CAST((tok_end - n_tok) // 256 AS BIGINT) AS seq_id,
         |  CAST((tok_end - n_tok) % 256 AS BIGINT) AS offset
         |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin,
+    "c16_corpus_pipeline" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
+        |pairs0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |           FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |verified AS (SELECT p.a_id, p.b_id FROM pairs0 p
+        |  JOIN card ca ON ca.doc_id = p.a_id JOIN card cb ON cb.doc_id = p.b_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5),
+        |e AS (SELECT a_id, b_id FROM verified UNION SELECT b_id AS a_id, a_id AS b_id FROM verified),
+        |reach(id, r) AS (
+        |  SELECT a_id, b_id FROM e
+        |  UNION
+        |  SELECT reach.id, e.b_id FROM reach JOIN e ON reach.r = e.a_id),
+        |drops AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(r)),
+        |keeps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(lower(text))),
+        |surv AS (SELECT d.doc_id, d.source,
+        |    CASE WHEN d.text IS NULL THEN 0
+        |         ELSE CAST(len(str_split(d.text, ' ')) AS BIGINT) END AS n_tok,
+        |    md5(CAST(d.doc_id AS VARCHAR)) AS order_key
+        |  FROM documents d
+        |  JOIN keeps USING (doc_id)
+        |  LEFT JOIN drops ON drops.doc_id = d.doc_id
+        |  WHERE drops.doc_id IS NULL),
+        |q AS (SELECT * FROM surv WHERE n_tok BETWEEN 5 AND 5000),
+        |cum AS (SELECT doc_id, source, n_tok,
+        |  SUM(n_tok) OVER (PARTITION BY source ORDER BY order_key, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS tok_end FROM q)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((tok_end - n_tok) // 256 AS BIGINT) AS seq_id,
+        |  CAST((tok_end - n_tok) % 256 AS BIGINT) AS offset
+        |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,5 +295,6 @@ object CorpusOps {
     "c12_tfidf_top_terms" -> c12_tfidfTopTerms _,
     "c13_stratified_sample" -> c13_stratifiedSample _,
     "c14_pack_sequences"  -> c14_packSequences _,
+    "c16_corpus_pipeline" -> c16_corpusPipeline _,
   )
 }

@@ -42,8 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 61 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 61)
-    assert(SparkEntry.oracleSql.size === 56)
+  test("the inventory holds all 62 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 62)
+    assert(SparkEntry.oracleSql.size === 57)
   }
 }

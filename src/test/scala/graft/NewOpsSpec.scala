@@ -191,4 +191,66 @@ class NewOpsSpec extends SparkSpec {
     // the test bites: multi-node clusters exist, so propagation ran
     assert(expected.exists { case (id, c, _) => id != c })
   }
+
+  test("c16: pipeline equals compose(exact-keep, cluster-drop, gate, pack)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source")))
+    val keeps = docs.groupBy { case (_, t, _) => Option(t).map(_.toLowerCase) }
+      .map { case (_, rows) => rows.map(_._1).min }.toSet
+    // c15's output is the drop authority (itself union-find-model-tested)
+    val drops = TextOps.c15_dedupClusters(spark, sf0001).collect()
+      .filter(!_.getAs[Boolean]("is_canonical"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    def ntok(t: String): Long = if (t == null) 0L else t.split(" ", -1).length.toLong
+    val surv = docs.filter { case (id, t, _) =>
+      keeps(id) && !drops(id) &&
+        ntok(t) >= CorpusOps.MinTok && ntok(t) <= CorpusOps.MaxTok }
+    val b = CorpusOps.SeqBudget
+    val expected = surv.groupBy(_._3).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .map { case (id, t, src) =>
+          val n = ntok(t); val start = cum; cum += n
+          (id, src, n, start / b, start % b)
+        }
+    }.toSet
+    val got = CorpusOps.c16_corpusPipeline(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset")))
+      .toSet
+    assert(got === expected)
+    // near-dup resolution bites at this SF; the exact-dedup and gate
+    // stages are vacuous here (500 distinct texts, all 10-99 tokens) —
+    // the staged-corpus test below exercises those
+    assert(drops.nonEmpty, "no near-dup drops in fixture")
+  }
+
+  test("c16: every stage bites on a corpus built to trigger each") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/c16_stages"
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, "tiny doc", "web", "en"),                   // gate: 2 tokens < MinTok
+      (2L, near, "web", "en"),                         // near-dup canonical
+      (3L, near + " iota", "web", "en"),               // near-dup, dropped by c15
+      (4L, "THE quick brown fox jumps over dogs", "web", "en"),
+      (5L, "lazy dogs sleep under warm summer sun", "web", "en"),
+      (6L, "one two three four five six seven", "books", "en"),
+      (7L, "ONE TWO three four five six seven", "books", "en")  // case-folded exact dup of 6
+    ).map { case (id, t, src, l) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.c16_corpusPipeline(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(!out.contains(1L), "quality gate must drop the 2-token doc")
+    assert(out.contains(2L) && !out.contains(3L),
+      "cluster resolution must keep the canonical near-dup and drop the other")
+    assert(out.contains(6L) && !out.contains(7L),
+      "exact dedup must keep the min-id case-folded duplicate only")
+    assert(out.contains(4L) && out.contains(5L), "non-dups must survive")
+  }
 }

@@ -87,6 +87,9 @@ class ScanCensusSpec extends SparkSpec {
     // not files — 0 FileScans is the designed shape, and a reappearing
     // FileScan would mean an un-truncated lineage re-deriving minhash.
     "c15_dedup_clusters" -> ((0, 0)),
+    // c16's drop list is c15 label state (checkpointed RDD, no file
+    // read); the corpus scan and the digest-keeps scan are the two.
+    "c16_corpus_pipeline" -> ((2, 0)),
     "c14_pack_sequences" -> ((1, 0)),
     "s1_stream_pipeline" -> ((1, 0)),
     "s2_stream_window" -> ((1, 0)),
