@@ -181,12 +181,13 @@ object CorpusOps {
     * ([[MinTok]]..[[MaxTok]]), then token-budget sequence packing
     * (c14). The C-tier twin of a14_pipeline_e2e.
     *
-    * Scale (100 TB): the keep list is one hash aggregation over
-    * 32-byte digests; the drop list is c15's label state (16 B/node,
-    * near-dup members only — vastly smaller than the corpus), so the
-    * anti-join's right side stays broadcastable long after the corpus
-    * itself is not; packing adds its one shard-key shuffle. No stage
-    * ever shuffles document bytes except the initial digest groupBy.
+    * Scale (100 TB): document BYTES never shuffle — the digest
+    * aggregation map-side-combines to (digest, min-id) pairs before its
+    * exchange, the joins move only the ~40-byte sized projection
+    * (doc_id, source, n_tok, order_key), and the drop list is c15's
+    * label state (16 B/node, near-dup members only — broadcastable long
+    * after the corpus itself is not); packing adds its one shard-key
+    * shuffle over the same slim rows.
     */
   def c16_corpusPipeline(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
@@ -196,11 +197,11 @@ object CorpusOps {
       .select(col("doc_id"))
     val drops = TextOps.c15_dedupClusters(spark, d)
       .filter(!col("is_canonical")).select(col("doc_id"))
-    val survivors = docs
+    val survivors = sizeDocs(docs)
       .join(keeps, Seq("doc_id"), "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
-    packSized(sizeDocs(survivors)
-      .filter(col("n_tok").between(MinTok, MaxTok)))
+      .filter(col("n_tok").between(MinTok, MaxTok))
+    packSized(survivors)
   }
 
   val oracles: Map[String, String] = Map(
