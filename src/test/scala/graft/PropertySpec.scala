@@ -167,4 +167,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Corpora that straddle the c13 cap and carry null text/lang/source. */
+  private val prepCorpusGen: Gen[List[(String, String, String)]] =
+    Gen.listOfN(260, for {
+      text <- Gen.frequency(
+        1 -> Gen.const(null: String),
+        9 -> Gen.listOfN(8, Gen.oneOf("a", "b", "c", "dd")).map(_.mkString(" ")))
+      lang <- Gen.oneOf("en", "en", "en", "de", null) // en-heavy: cap bites
+      source <- Gen.oneOf("s0", "s1", null)
+    } yield (text, lang, source))
+
+  test("c13/c14 invariants hold on generated corpora with nulls") {
+    samples(prepCorpusGen, 3).foreach { docs =>
+      val dir = s"${graft.ops.Tables.scratch}/corpus_prop"
+      docs.zipWithIndex.map { case ((t, l, s), i) =>
+        (i.toLong, t, l, s, Option(t).map(_.length.toLong).getOrElse(0L))
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      // c13: each stratum yields exactly min(cap, size) rows, ranks dense
+      val cap = graft.ops.CorpusOps.StratumCap
+      val strata = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val got13 = graft.ops.CorpusOps.c13_stratifiedSample(spark, dir).collect()
+        .groupBy(r => Option(r.getAs[String]("lang")).getOrElse(" null"))
+      strata.foreach { case (lang, n) =>
+        val key = Option(lang).getOrElse(" null")
+        val rows = got13.getOrElse(key, Array.empty)
+        assert(rows.length.toLong === math.min(cap, n), s"stratum $lang")
+        assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+          (1L to math.min(cap, n)).toSeq, s"ranks not dense in $lang")
+      }
+
+      // c14: per shard, token mass is conserved and starts chain exactly
+      val b = graft.ops.CorpusOps.SeqBudget
+      val got14 = graft.ops.CorpusOps.c14_packSequences(spark, dir).collect()
+        .map(r => (Option(r.getAs[String]("source")), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("seq_id"), r.getAs[Long]("offset")))
+      got14.groupBy(_._1).foreach { case (src, rows) =>
+        // zero-token docs share their successor's start; n-asc tiebreak
+        // reproduces the only order the chain invariant admits
+        val starts = rows.map { case (_, n, sq, off) => (sq * b + off, n) }
+          .sortBy(x => (x._1, x._2))
+        var cum = 0L
+        starts.foreach { case (start, n) =>
+          assert(start === cum, s"shard $src: gap or overlap at $start")
+          cum += n
+        }
+      }
+      assert(got14.length === docs.length, "every doc packs, null text included")
+    }
+  }
 }
