@@ -257,6 +257,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("props"), "props must be pruned from the envelope scan")
   }
 
+  test("c16: no exchange carries document text — only slim rows shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = CorpusOps.c16_corpusPipeline(spark, sf0001)
+    df.collect() // resolve AQE to the final plan
+    // AQE wraps materialized stages in leaf QueryStageExec nodes (the
+    // root itself is a ResultQueryStageExec), so plain collect() never
+    // reaches the exchanges — expand every wrapper explicitly
+    def exchanges(p: SparkPlan): Seq[Seq[String]] = {
+      val here = p match {
+        case e: Exchange => Seq(e.output.map(_.name))
+        case _ => Seq.empty
+      }
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case q: QueryStageExec => exchanges(q.plan)
+        case _ => p.children.flatMap(exchanges)
+      }
+      here ++ deeper
+    }
+    val exchanged = exchanges(df.queryExecution.executedPlan)
+    assert(exchanged.nonEmpty, "expected at least the digest and pack exchanges")
+    exchanged.foreach { out =>
+      assert(!out.contains("text"),
+        s"document text crossed an exchange: ${out.mkString(",")}")
+    }
+  }
+
   test("c13/c14: corpus-prep windows are ONE hash shuffle each — no join, no extra exchange") {
     Seq(CorpusOps.c13_stratifiedSample(spark, sf0001) -> "c13",
         CorpusOps.c14_packSequences(spark, sf0001) -> "c14").foreach { case (df, n) =>
