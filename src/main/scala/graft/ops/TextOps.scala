@@ -261,8 +261,17 @@ object TextOps {
     * executor loss can't orphan an iteration). The convergence count
     * per sweep is control state, not a data collect.
     */
-  def c15_dedupClusters(spark: SparkSession, d: String): DataFrame = {
-    val pairs = c2_dedupJaccard(spark, d).select(col("a_id"), col("b_id"))
+  def c15_dedupClusters(spark: SparkSession, d: String): DataFrame =
+    clustersOf(c2_dedupJaccard(spark, d))
+
+  /** Library form of c15: resolve ANY undirected pair list with
+    * (a_id, b_id) columns — c2's exact Jaccard pairs, x_minhash_lsh's
+    * sketch pairs, c6's simhash pairs, c7's cosine pairs — into
+    * connected-component clusters, so a caller who already paid for
+    * pair generation does not pay for it again.
+    */
+  def clustersOf(pairList: DataFrame): DataFrame = {
+    val pairs = pairList.select(col("a_id"), col("b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()

@@ -168,9 +168,8 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
-  test("c15: cluster labels equal a union-find over c2's verified pairs") {
-    val pairs = TextOps.c2_dedupJaccard(spark, sf0001).collect()
-      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+  /** Union-find reference model: (member, component-min, isMin). */
+  private def ufClusters(pairs: Array[(Long, Long)]): Set[(Long, Long, Boolean)] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -182,14 +181,28 @@ class NewOpsSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val expected = parent.keys
-      .map(x => (x, find(x), x == find(x))).toSet
+    parent.keys.map(x => (x, find(x), x == find(x))).toSet
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+
+  test("c15: cluster labels equal a union-find over c2's verified pairs") {
+    val expected = ufClusters(pairsOf(TextOps.c2_dedupJaccard(spark, sf0001)))
     val got = TextOps.c15_dedupClusters(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
         r.getAs[Boolean]("is_canonical"))).toSet
     assert(got === expected)
     // the test bites: multi-node clusters exist, so propagation ran
     assert(expected.exists { case (id, c, _) => id != c })
+  }
+
+  test("clustersOf composes with any pair source: simhash pairs resolve too") {
+    val simPairs = Simhash.c6_simhash(spark, sf0001)
+    val got = TextOps.clustersOf(simPairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_canonical"))).toSet
+    assert(got === ufClusters(pairsOf(simPairs)))
   }
 
   test("c16: pipeline equals compose(exact-keep, cluster-drop, gate, pack)") {
