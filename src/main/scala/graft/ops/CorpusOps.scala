@@ -121,6 +121,46 @@ object CorpusOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Pre-filter safety factor for the x_stratified_prefilter scale
+    * path: the hash threshold keeps ~Safety×cap of each stratum, so the
+    * probability that a true top-cap row is cut (which would diverge
+    * from c13) is Chernoff-negligible at cap=100, Safety=4.
+    */
+  val PrefilterSafety = 4.0
+
+  /** The 100 TB path c13's scaladoc names: census-then-filter. A
+    * stratum bigger than one task's spill budget would make c13's
+    * exact per-stratum sort the bottleneck, so first broadcast the
+    * per-stratum counts (one tiny map-side-combined aggregate), keep
+    * only rows whose uniform md5 fraction falls inside
+    * Safety×cap/count, THEN run the exact window on the ~Safety×cap
+    * survivors per stratum — sort input is bounded by a constant,
+    * independent of stratum size. Output equals c13 whenever the
+    * pre-filter retains every true top-cap row (always, at the tested
+    * scales — pinned by the equality test); rows-only in the driver
+    * gate, like the other x_* scale variants.
+    */
+  def x_stratifiedPrefilter(spark: SparkSession, d: String): DataFrame = {
+    val key = md5(concat(coalesce(col("lang"), lit("")), lit("|"),
+      col("doc_id").cast("string")))
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), key.as("rank_key"))
+    val counts = docs.groupBy(col("lang").as("lang_c"))
+      .agg(count(lit(1)).as("n_stratum"))
+    val frac = conv(substring(col("rank_key"), 1, 8), 16, 10)
+      .cast("double") / lit(4294967295.0)
+    val rate = least(lit(1.0),
+      lit(PrefilterSafety * StratumCap) / col("n_stratum").cast("double"))
+    val pre = docs
+      .join(broadcast(counts), col("lang") <=> col("lang_c"), "left")
+      .filter(frac <= rate)
+    val w = Window.partitionBy(col("lang")).orderBy(col("rank_key"), col("doc_id"))
+    pre.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= StratumCap)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** Token budget per packed training sequence for c14. */
   val SeqBudget = 256L
 
@@ -297,5 +337,6 @@ object CorpusOps {
     "c13_stratified_sample" -> c13_stratifiedSample _,
     "c14_pack_sequences"  -> c14_packSequences _,
     "c16_corpus_pipeline" -> c16_corpusPipeline _,
+    "x_stratified_prefilter" -> x_stratifiedPrefilter _,
   )
 }

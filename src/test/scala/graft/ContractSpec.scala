@@ -38,12 +38,12 @@ class ContractSpec extends AnyFunSuite {
   test("the rows-only set is exactly the five declared x_* variants") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("x_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
-      "x_ann_ivf", "x_label_centroids"),
+      "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter"),
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 62 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 62)
+  test("the inventory holds all 63 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 63)
     assert(SparkEntry.oracleSql.size === 57)
   }
 }

@@ -197,6 +197,18 @@ class NewOpsSpec extends SparkSpec {
     assert(expected.exists { case (id, c, _) => id != c })
   }
 
+  test("x_stratified_prefilter equals c13 exactly at both fixture scales") {
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val exact = CorpusOps.c13_stratifiedSample(spark, d).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          r.getAs[Long]("rnk"))).toSet
+      val pre = CorpusOps.x_stratifiedPrefilter(spark, d).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          r.getAs[Long]("rnk"))).toSet
+      assert(pre === exact, s"prefilter diverged from exact at $d")
+    }
+  }
+
   test("clustersOf composes with any pair source: simhash pairs resolve too") {
     val simPairs = Simhash.c6_simhash(spark, sf0001)
     val got = TextOps.clustersOf(simPairs).collect()

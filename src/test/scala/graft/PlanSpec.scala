@@ -298,4 +298,13 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Window"), s"$n should rank/sum in a window:\n$p")
     }
   }
+
+  test("x_stratified_prefilter: the stratum census joins BROADCAST — the corpus is never shuffled for it") {
+    val p = plan(CorpusOps.x_stratifiedPrefilter(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast census join:\n$p")
+    // exactly two hash exchanges: the tiny (lang, count) census agg and
+    // the post-filter window — the full corpus shuffles ONCE, as in c13
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected census-agg + window exchanges only, saw $hashEx:\n$p")
+  }
 }

@@ -101,7 +101,8 @@ class ScanCensusSpec extends SparkSpec {
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),
     "x_label_centroids" -> ((1, 0)),
-    "x_minhash_lsh" -> ((2, 6)))
+    "x_minhash_lsh" -> ((2, 6)),
+    "x_stratified_prefilter" -> ((2, 0)))
 
   test("the census table covers exactly the query inventory") {
     assert(expected.keySet === SparkEntry.queries.keySet)
