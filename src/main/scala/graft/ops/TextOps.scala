@@ -293,6 +293,13 @@ object TextOps {
       labels = next.select(col("id"), col("lab"))
       sweep += 1
     }
+    if (!done)
+      // partially-propagated labels are NOT components; surface it
+      // loudly rather than returning silently-wrong clusters
+      throw new IllegalStateException(
+        s"clustersOf did not converge in $MaxCcIters sweeps — component " +
+          "diameter exceeds the valve; use large-star/small-star for " +
+          "chain-shaped graphs")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
         (col("id") === col("lab")).as("is_canonical"))
       .orderBy(col("cluster_id"), col("doc_id"))

@@ -209,6 +209,19 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("clustersOf refuses to return partial labels past the sweep valve") {
+    // a 25-link chain has diameter > MaxCcIters: propagation cannot
+    // finish, and silently-wrong clusters must be an error, not a result
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException](TextOps.clustersOf(chain).collect())
+    assert(e.getMessage.contains("did not converge"))
+    // a clique of the same size converges in one sweep (diameter 1)
+    val clique = (for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j))
+      .toDF("a_id", "b_id")
+    val rows = TextOps.clustersOf(clique).collect()
+    assert(rows.length === 8 && rows.forall(_.getAs[Long]("cluster_id") == 0L))
+  }
+
   test("clustersOf composes with any pair source: simhash pairs resolve too") {
     val simPairs = Simhash.c6_simhash(spark, sf0001)
     val got = TextOps.clustersOf(simPairs).collect()
