@@ -218,4 +218,35 @@ class PropertySpec extends SparkSpec {
       assert(got14.length === docs.length, "every doc packs, null text included")
     }
   }
+
+  /** Random sparse graphs on 16 nodes: multi-component, bridges, and
+    * isolated pairs — shapes the clique-ish fixture clusters never
+    * produce. 16 nodes bound the diameter under the sweep valve.
+    */
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(14, for {
+      a <- Gen.choose(0L, 15L)
+      b <- Gen.choose(0L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+
+  test("clustersOf equals union-find on generated graphs") {
+    samples(graphGen, 6).foreach { edges =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        parent.getOrElseUpdate(x, x)
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => (x, find(x), x == find(x))).toSet
+      val got = graft.ops.TextOps.clustersOf(edges.toDF("a_id", "b_id")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+          r.getAs[Boolean]("is_canonical"))).toSet
+      assert(got === expected, s"edges: $edges")
+    }
+  }
 }
