@@ -109,12 +109,26 @@ object CorpusOps {
     * window — the census-then-filter pattern; not needed at any tested
     * scale, so the shipped plan stays the exact one-shuffle form.
     */
-  def c13_stratifiedSample(spark: SparkSession, d: String): DataFrame = {
-    val key = md5(concat(coalesce(col("lang"), lit("")), lit("|"),
+  def c13_stratifiedSample(spark: SparkSession, d: String): DataFrame =
+    capStrata(Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), stratumKey.as("rank_key")))
+
+  /** The deterministic per-stratum rank key. ONE definition shared by
+    * c13 and x_stratified_prefilter: the variant's whole contract is
+    * bit-equality with c13, so the key must be impossible to
+    * desynchronize.
+    */
+  private[ops] def stratumKey =
+    md5(concat(coalesce(col("lang"), lit("")), lit("|"),
       col("doc_id").cast("string")))
+
+  /** Exact cap stage shared by c13 (whole corpus) and
+    * x_stratified_prefilter (pre-cut survivors): rank within stratum by
+    * (rank_key, doc_id), keep the top [[StratumCap]].
+    */
+  private[ops] def capStrata(ranked: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("rank_key"), col("doc_id"))
-    Tables.documents(spark, d)
-      .select(col("doc_id"), col("lang"), key.as("rank_key"))
+    ranked
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= StratumCap)
       .select(col("doc_id"), col("lang"), col("rnk"))
@@ -141,10 +155,8 @@ object CorpusOps {
     * gate, like the other x_* scale variants.
     */
   def x_stratifiedPrefilter(spark: SparkSession, d: String): DataFrame = {
-    val key = md5(concat(coalesce(col("lang"), lit("")), lit("|"),
-      col("doc_id").cast("string")))
     val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), col("lang"), key.as("rank_key"))
+      .select(col("doc_id"), col("lang"), stratumKey.as("rank_key"))
     val counts = docs.groupBy(col("lang").as("lang_c"))
       .agg(count(lit(1)).as("n_stratum"))
     val frac = conv(substring(col("rank_key"), 1, 8), 16, 10)
@@ -154,11 +166,7 @@ object CorpusOps {
     val pre = docs
       .join(broadcast(counts), col("lang") <=> col("lang_c"), "left")
       .filter(frac <= rate)
-    val w = Window.partitionBy(col("lang")).orderBy(col("rank_key"), col("doc_id"))
-    pre.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= StratumCap)
-      .select(col("doc_id"), col("lang"), col("rnk"))
-      .orderBy(col("lang"), col("rnk"))
+    capStrata(pre)
   }
 
   /** Token budget per packed training sequence for c14. */

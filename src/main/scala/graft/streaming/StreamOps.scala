@@ -439,12 +439,18 @@ object StreamOps {
     * in front of it (Kafka redelivery, producer retries, replayed
     * batches). The at-least-once source is modeled honestly: TWO
     * streams over the same log unioned, so every event arrives twice;
-    * `dropDuplicatesWithinWatermark` keeps the first arrival per
-    * event_id and evicts each key's state once the watermark passes it
-    * — state is O(keys per horizon), never O(stream), which is the
-    * whole difference from a batch `dropDuplicates` at this scale.
-    * Oracle: each event exactly once (the duplicated delivery is
-    * invisible downstream).
+    * `dropDuplicatesWithinWatermark` keeps one arrival per record and
+    * evicts each key's state once the watermark passes it — state is
+    * O(keys per horizon), never O(stream), which is the whole
+    * difference from a batch `dropDuplicates` at this scale.
+    *
+    * Identity is the FULL projected record, not event_id alone: a
+    * redelivery is byte-identical, so it still collapses, while two
+    * DISTINCT records that happen to collide on event_id (a dirty-log
+    * shape the gate fixtures don't contain but real logs do) both
+    * survive — under an id-only key the winner would be whichever
+    * copy arrived first, i.e. nondeterministic and oracle-divergent.
+    * Oracle: SELECT DISTINCT of the same projection.
     */
   def s6_streamDedup(spark: SparkSession, d: String): DataFrame = {
     val out = s"${Tables.scratch}/s6_out"
@@ -452,14 +458,16 @@ object StreamOps {
     rmrf(out); rmrf(chk)
     val sinkSchema = withStreamShuffle(spark, 8) {
       val once = eventStream(spark, d).unionByName(eventStream(spark, d))
-        // dedup state is keyed by event_id and evicted by event time:
+        // state is evicted by event time and the id anchors the record:
         // a record carrying neither can't be deduplicated, only dropped
         .filter(col("event_id").isNotNull && col("ts").isNotNull)
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("user_id"), col("event_type"),
+        .select(col("ts"), col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"),
           round(col("value") * 100).try_cast("long").as("cents"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(
+          "event_id", "user_id", "event_type", "us", "cents")
+        .drop("ts")
       val q = once.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -524,10 +532,12 @@ object StreamOps {
         |  ON p.user_id = v.user_id
         | AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.event_id IS NOT NULL AND v.event_id IS NOT NULL
         |ORDER BY purchase_id, view_id""".stripMargin,
-    // the duplicated delivery is invisible downstream: each event once
+    // the duplicated delivery is invisible downstream: each DISTINCT
+    // record once (full-record identity — see the s6 scaladoc)
     "s6_stream_dedup" ->
-      """SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      """SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS us,
         |  TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
         |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY event_id""".stripMargin,

@@ -35,7 +35,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the five declared x_* variants") {
+  test("the rows-only set is exactly the six declared x_* variants") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("x_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
       "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter"),

@@ -198,7 +198,10 @@ class NewOpsSpec extends SparkSpec {
   }
 
   test("x_stratified_prefilter equals c13 exactly at both fixture scales") {
-    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+    // sf0.1 included: it is the only tested scale where the en stratum
+    // (~2000 docs) exceeds Safety*cap=400 and the pre-filter actually
+    // cuts rows — without it the equality pin never exercises the cut
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
       val exact = CorpusOps.c13_stratifiedSample(spark, d).collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
           r.getAs[Long]("rnk"))).toSet

@@ -190,9 +190,11 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     val input = MemoryStream[(Long, java.sql.Timestamp)]
+    // full-record identity, as shipped: redeliveries are byte-identical
+    // and collapse; id-colliding DISTINCT records both survive
     val once = input.toDF().toDF("event_id", "ts")
       .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark("event_id", "ts")
     val q = once.writeStream.outputMode("append")
       .format("memory").queryName("s6_redelivery").start()
     try {
@@ -200,14 +202,15 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, ts(10, 0)), (1L, ts(10, 0)), (2L, ts(10, 1)))
       q.processAllAvailable()
       // batch 2: event 1 AGAIN (redelivery in a later batch, still
-      // inside the watermark horizon) + a genuinely new event
-      input.addData((1L, ts(10, 0)), (3L, ts(10, 2)))
+      // inside the watermark horizon), a genuinely new event, and a
+      // DISTINCT record colliding with id 2 (dirty-log id reuse)
+      input.addData((1L, ts(10, 0)), (3L, ts(10, 2)), (2L, ts(10, 3)))
       q.processAllAvailable()
     } finally q.stop()
     val ids = spark.table("s6_redelivery").select("event_id")
       .collect().map(_.getLong(0)).sorted
-    assert(ids.toSeq === Seq(1L, 2L, 3L),
-      "each event exactly once across batches — dedup state survives the batch boundary")
+    assert(ids.toSeq === Seq(1L, 2L, 2L, 3L),
+      "redeliveries collapse across batches; id-colliding distinct records survive")
   }
 
   test("s5 semantics: interval join matches views in the preceding hour, inclusive bounds") {
