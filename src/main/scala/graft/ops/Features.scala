@@ -169,6 +169,51 @@ object Features {
       .orderBy(col("user_id"), col("sess"))
   }
 
+  /** Decay horizon for b21: events older than this many days (relative
+    * to the corpus' latest event date) fall out of the counter
+    * entirely, so the scan is bounded by the horizon, not the log.
+    */
+  val DecayHorizonDays = 20
+
+  /** b21: time-decayed feature counters — the serving-store "recent
+    * activity" primitive: each event contributes its cents weighted by
+    * 2^-(age_days), so yesterday's dollar counts half of today's and
+    * the horizon (>[[DecayHorizonDays]] days) contributes nothing.
+    *
+    * Determinism: the weight is held as the exact integer
+    * 2^(horizon - age) — numerator of the weight at fixed denominator
+    * 2^horizon — so every product and the whole sum stay BIGINT:
+    * bit-identical across engines, executor counts, and reruns, where
+    * a float pow()/exp() sum would drift by libm ulps and summation
+    * order. `decayed_e20` is the counter scaled by 2^20; metrics
+    * beyond ~9e12 cents fall outside the fixed-point domain (try_cast
+    * already nulls anything past BIGINT on both engines).
+    *
+    * Scale (100 TB): one tiny max-date census broadcasts (like c12's
+    * N), the horizon filter cuts the scan to the trailing window — on
+    * a date-partitioned lake with the as-of date passed as a parameter
+    * instead of derived, that filter is static partition pruning (read
+    * 21 days, not 10 years) — and the counter itself is ONE map-side-
+    * combinable groupBy(user, type) shuffle of 24-byte rows.
+    */
+  def b21_decayedFeatures(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val t0 = ev.agg(max(to_date(col("ts"))).as("t0"))
+    ev.crossJoin(broadcast(t0))
+      .withColumn("age", datediff(col("t0"), to_date(col("ts"))))
+      .filter(col("age").between(0, DecayHorizonDays))
+      .withColumn("cents", round(col("value") * 100).try_cast("long"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(col("cents") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), $DecayHorizonDays - age)"))
+          .as("decayed_e20"),
+        count(lit(1)).as("n_recent"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -282,6 +327,20 @@ object Features {
         |SELECT user_id, sess, COUNT(*) AS n_events,
         |  MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS dur_us
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "b21_decayed_features" ->
+      s"""WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |t AS (SELECT MAX(CAST(ts AS DATE)) AS t0 FROM ev),
+         |e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |        date_diff('day', CAST(ts AS DATE), t.t0) AS age,
+         |        TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |      FROM ev, t)
+         |SELECT user_id, event_type,
+         |  CAST(SUM(cents * (CAST(1 AS BIGINT) << ($DecayHorizonDays - age))) AS BIGINT) AS decayed_e20,
+         |  COUNT(*) AS n_recent,
+         |  MAX(us) AS last_us
+         |FROM e WHERE age BETWEEN 0 AND $DecayHorizonDays
+         |GROUP BY user_id, event_type
+         |ORDER BY user_id, event_type""".stripMargin,
     "b7_asof_join" ->
       """SELECT p.event_id AS probe_eid, p.user_id, f.event_id AS feat_eid, f.value AS feat_value
         |FROM events p JOIN events f
@@ -302,6 +361,7 @@ object Features {
     "b6_sessionize"        -> b6_sessionize _,
     "b7_asof_join"         -> b7_asofJoin _,
     "b15_salted_agg"       -> b15_saltedAgg _,
+    "b21_decayed_features" -> b21_decayedFeatures _,
     "b16_percentiles"      -> b16_percentiles _,
   )
 }

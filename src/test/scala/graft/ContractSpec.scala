@@ -42,8 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 63 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 63)
-    assert(SparkEntry.oracleSql.size === 57)
+  test("the inventory holds all 64 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 64)
+    assert(SparkEntry.oracleSql.size === 58)
   }
 }

@@ -57,6 +57,30 @@ class FeaturesSpec extends SparkSpec {
     assert(out === Map(10L -> 2L, 11L -> 5L))
   }
 
+  test("b21 decayed counter: halves per day, horizon excludes, null metric counts but adds 0") {
+    // user 1 purchases: 1.00 on the as-of day (t0 = 2024-02-01) and
+    // 2.00 the day before — the halving makes them contribute EQUALLY
+    // (100·2^20 == 200·2^19); a 4.00 purchase 25 days back is past the
+    // 20-day horizon and must vanish from the counter AND n_recent.
+    // user 2's single view has a null metric: counted, sum stays null.
+    val ev = Seq(
+      (1L, 1L, ts("2024-02-01 12:00:00"), "purchase", Some(1.0)),
+      (2L, 1L, ts("2024-01-31 12:00:00"), "purchase", Some(2.0)),
+      (3L, 1L, ts("2024-01-07 12:00:00"), "purchase", Some(4.0)),
+      (4L, 2L, ts("2024-02-01 08:00:00"), "view", None: Option[Double])
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = s"${graft.ops.Tables.scratch}/b21_case"
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Features.b21_decayedFeatures(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (Option(r.getAs[Any]("decayed_e20")), r.getAs[Long]("n_recent"))).toMap
+    assert(out === Map(
+      (1L, "purchase") -> ((Some(100L * (1L << 20) + 200L * (1L << 19)), 2L)),
+      (2L, "view") -> ((None, 1L))))
+  }
+
   test("b7 on fixture: every matched feature is at or before its probe") {
     val ev = graft.ops.Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"))

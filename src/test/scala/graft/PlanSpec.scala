@@ -179,6 +179,15 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected one user_id exchange, saw $hashEx:\n$p")
   }
 
+  test("b21: as-of census broadcasts; the decayed counter is one hash exchange") {
+    val p = plan(Features.b21_decayedFeatures(spark, sf0001))
+    // the single-row max-date census must attach via broadcast (like
+    // c12's N) — re-shuffling the event scan against it would be wrong
+    assert(p.contains("BroadcastExchange"), s"expected broadcast t0 census:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected one (user_id, event_type) exchange, saw $hashEx:\n$p")
+  }
+
   test("b16: exact percentiles are one typed aggregate over one exchange") {
     val p = plan(Features.b16_percentiles(spark, sf0001))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -68,6 +68,8 @@ class ScanCensusSpec extends SparkSpec {
     "b13_q5like" -> ((5, 0)),
     "b14_sql_cte" -> ((2, 0)),
     "b15_salted_agg" -> ((1, 0)),
+    // two scans by design: the tiny max-date census + the horizon scan
+    "b21_decayed_features" -> ((2, 0)),
     "b16_percentiles" -> ((1, 0)),
     "b17_latest_features" -> ((1, 0)),
     "b18_q3like" -> ((3, 0)),
