@@ -214,6 +214,49 @@ object Features {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** b22: feature drift monitoring — the data-quality check every
+    * production feature store runs: has the distribution of a feature
+    * (here `value`, bucketed to $10 cells capped at $190+) shifted
+    * between the early and late halves of the log? The statistic is
+    * the two-sample chi-square Σ (a-b)²/(a+b) over buckets, scaled by
+    * 1e6 and floored per bucket so every term and the sum stay BIGINT.
+    *
+    * Determinism traps avoided by construction: the window split is
+    * the integer midpoint (min+max) DIV 2 of event-time micros (no
+    * float percentile interpolation), and bucketing clamps to
+    * non-negative BEFORE dividing — Spark's DIV truncates toward zero
+    * while DuckDB's // floors, which diverges exactly on negatives.
+    *
+    * Scale (100 TB): the min/max census is a tiny broadcast (b21's
+    * pattern), bucket counts are ONE map-side-combinable shuffle of
+    * (type, bucket) rows, and the per-type reduce that follows runs
+    * over ≤ types×20 rows — nothing downstream of the first aggregate
+    * is data-sized. The e6 scaling keeps the per-bucket term exact up
+    * to |a-b| ≈ 3e6; normalize counts first past that.
+    */
+  def b22_featureDrift(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .filter(col("ts").isNotNull)
+      .withColumn("cents", round(col("value") * 100).try_cast("long"))
+      .filter(col("cents").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+    val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("t_mid"))
+    ev.crossJoin(broadcast(mid))
+      .withColumn("bucket", expr("least(greatest(cents, 0L) DIV 1000, 19L)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(when(col("us") <= col("t_mid"), 1)).as("n_a"),
+        count(when(col("us") > col("t_mid"), 1)).as("n_b"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_a")).as("n_early"),
+        sum(col("n_b")).as("n_late"),
+        sum(expr("((n_a - n_b) * (n_a - n_b) * 1000000) DIV (n_a + n_b)"))
+          .as("drift_e6"))
+      .orderBy(col("event_type"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -341,6 +384,24 @@ object Features {
          |FROM e WHERE age BETWEEN 0 AND $DecayHorizonDays
          |GROUP BY user_id, event_type
          |ORDER BY user_id, event_type""".stripMargin,
+    "b22_feature_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |            TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |          FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT * FROM e WHERE cents IS NOT NULL),
+        |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS t_mid FROM f),
+        |b AS (SELECT event_type, LEAST(GREATEST(cents, 0) // 1000, 19) AS bucket,
+        |        CASE WHEN us <= t_mid THEN 1 ELSE 0 END AS ea
+        |      FROM f, m),
+        |c AS (SELECT event_type, bucket,
+        |        CAST(SUM(ea) AS BIGINT) AS n_a,
+        |        CAST(COUNT(*) - SUM(ea) AS BIGINT) AS n_b
+        |      FROM b GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(SUM(n_a) AS BIGINT) AS n_early,
+        |  CAST(SUM(n_b) AS BIGINT) AS n_late,
+        |  CAST(SUM(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)) AS BIGINT) AS drift_e6
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "b7_asof_join" ->
       """SELECT p.event_id AS probe_eid, p.user_id, f.event_id AS feat_eid, f.value AS feat_value
         |FROM events p JOIN events f
@@ -362,6 +423,7 @@ object Features {
     "b7_asof_join"         -> b7_asofJoin _,
     "b15_salted_agg"       -> b15_saltedAgg _,
     "b21_decayed_features" -> b21_decayedFeatures _,
+    "b22_feature_drift"    -> b22_featureDrift _,
     "b16_percentiles"      -> b16_percentiles _,
   )
 }

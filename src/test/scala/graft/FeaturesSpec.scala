@@ -81,6 +81,30 @@ class FeaturesSpec extends SparkSpec {
       (2L, "view") -> ((None, 1L))))
   }
 
+  test("b22 drift: fully-shifted type scores 2e6 per moved bucket pair, stable type scores 0") {
+    // log spans 10:00..11:00 → t_mid = 10:30 (rows AT the midpoint are
+    // early). Type p moves entirely: two early rows in bucket 0
+    // ($1.00), two late rows in bucket 1 ($10.00) → per-bucket terms
+    // (2-0)²·1e6/2 = 2e6 twice → drift 4e6. Type q is identical on
+    // both sides of the split → drift 0.
+    val ev = Seq(
+      (1L, 1L, ts("2024-03-01 10:00:00"), "p", 1.0),
+      (2L, 1L, ts("2024-03-01 10:10:00"), "p", 1.0),
+      (3L, 1L, ts("2024-03-01 10:50:00"), "p", 10.0),
+      (4L, 1L, ts("2024-03-01 11:00:00"), "p", 10.0),
+      (5L, 2L, ts("2024-03-01 10:00:00"), "q", 1.0),
+      (6L, 2L, ts("2024-03-01 11:00:00"), "q", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = s"${graft.ops.Tables.scratch}/b22_case"
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Features.b22_featureDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_early"), r.getAs[Long]("n_late"), r.getAs[Long]("drift_e6")))).toMap
+    assert(out === Map("p" -> ((2L, 2L, 4000000L)), "q" -> ((1L, 1L, 0L))))
+  }
+
   test("b7 on fixture: every matched feature is at or before its probe") {
     val ev = graft.ops.Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"))

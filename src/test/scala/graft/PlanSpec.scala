@@ -188,6 +188,15 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected one (user_id, event_type) exchange, saw $hashEx:\n$p")
   }
 
+  test("b22: drift census broadcasts; bucket counts + type reduce are two exchanges") {
+    val p = plan(Features.b22_featureDrift(spark, sf0001))
+    assert(p.contains("BroadcastExchange"), s"expected broadcast t_mid census:\n$p")
+    // (type, bucket) counts then the ≤types×20-row per-type reduce —
+    // the second exchange moves almost nothing and must stay that way
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected bucket + type exchanges, saw $hashEx:\n$p")
+  }
+
   test("b16: exact percentiles are one typed aggregate over one exchange") {
     val p = plan(Features.b16_percentiles(spark, sf0001))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
