@@ -249,4 +249,87 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"edges: $edges")
     }
   }
+
+  /** Generated event logs for the b21/b22 model checks: nullable users
+    * and metrics, 31-day span (so b21's 20-day horizon bites), exact
+    * 2-decimal metrics incl. negatives (so b22's clamp-before-divide
+    * bites). Cents are generated and divided by 100 so the value→cents
+    * round-trip is the same HALF_UP round both the query and the model
+    * apply.
+    */
+  private val logGen: Gen[List[(Option[Long], String, Long, Long, Option[Long])]] =
+    Gen.listOfN(80, for {
+      user <- Gen.option(Gen.choose(0L, 2L))
+      typ <- Gen.oneOf("p", "q", "r")
+      day <- Gen.choose(0L, 30L)
+      sec <- Gen.choose(0L, 86399L)
+      cents <- Gen.option(Gen.choose(-5000L, 50000L))
+    } yield (user, typ, day, sec, cents))
+
+  private def writeLog(rows: Seq[(Option[Long], String, Long, Long, Option[Long])],
+      dir: String): Unit =
+    rows.zipWithIndex.map { case ((u, t, day, sec, c), i) =>
+      (i.toLong, u, 1704067200000000L + (day * 86400L + sec) * 1000000L, t,
+        c.map(_ / 100.0))
+    }.toDF("event_id", "user_id", "us", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("b21 decayed counters equal a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b21"
+    samples(logGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val kept = rows.zipWithIndex.flatMap { case ((u, t, day, sec, c), i) =>
+        u.map(user => (user, t, day, sec, c, i))
+      }
+      val t0 = kept.map(_._3).max
+      val recent = kept.filter { case (_, _, day, _, _, _) => t0 - day <= 20 }
+      val expected = recent.groupBy { case (u, t, _, _, _, _) => (u, t) }
+        .map { case ((u, t), rs) =>
+          val terms = rs.collect { case (_, _, day, _, Some(c), _) =>
+            c * (1L << (20 - (t0 - day))) }
+          (u, t) -> ((
+            if (terms.isEmpty) None else Some(terms.sum),
+            rs.size.toLong,
+            rs.map { case (_, _, day, sec, _, _) =>
+              1704067200000000L + (day * 86400L + sec) * 1000000L }.max))
+        }
+      val got = graft.ops.Features.b21_decayedFeatures(spark, dir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+          ((Option(r.getAs[Any]("decayed_e20")).map(_.asInstanceOf[Long]),
+            r.getAs[Long]("n_recent"), r.getAs[Long]("last_us")))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("b22 drift equals a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b22"
+    samples(logGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val f = rows.collect { case (_, t, day, sec, Some(c)) =>
+        (t, 1704067200000000L + (day * 86400L + sec) * 1000000L, c)
+      }
+      if (f.nonEmpty) {
+        val tMid = (f.map(_._2).min + f.map(_._2).max) / 2
+        val buckets = f.groupBy { case (t, us, c) =>
+          (t, math.min(math.max(c, 0L) / 1000L, 19L))
+        }.map { case (k, rs) =>
+          k -> ((rs.count(_._2 <= tMid).toLong, rs.count(_._2 > tMid).toLong))
+        }
+        val expected = buckets.groupBy(_._1._1).map { case (t, bs) =>
+          val ab = bs.values.toSeq
+          t -> ((ab.map(_._1).sum, ab.map(_._2).sum,
+            ab.map { case (a, b) => (a - b) * (a - b) * 1000000L / (a + b) }.sum))
+        }
+        val got = graft.ops.Features.b22_featureDrift(spark, dir).collect()
+          .map(r => r.getAs[String]("event_type") ->
+            ((r.getAs[Long]("n_early"), r.getAs[Long]("n_late"),
+              r.getAs[Long]("drift_e6")))).toMap
+        assert(got === expected)
+      }
+    }
+  }
 }
