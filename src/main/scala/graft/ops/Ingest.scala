@@ -115,6 +115,29 @@ object Ingest {
   def a7_validate(spark: SparkSession, d: String): DataFrame =
     envelope(spark, d).na.drop("any", EventFields).orderBy(eid)
 
+  /** A18 (engine addition): dead-letter quarantine — the complement of
+    * A7 and the production upgrade of the reference's silent discard
+    * (the "Invalid Events → Discard" edge, doc/数据流图.png; the
+    * `continue` at ConsumerMultiThread.java:130-132 loses the row
+    * forever). Invalid envelopes are KEPT, each labeled with the
+    * comma-joined list of its missing required fields, so a lake job
+    * can `write.partitionBy("reject_reason")` a dead-letter area and
+    * replay repaired records later instead of destroying evidence.
+    * a7 ∪ a18 = a1, disjointly (pinned in IngestSpec).
+    *
+    * Cross-engine exactness: concat_ws skips NULL arguments in BOTH
+    * Spark and DuckDB, so the reason string is the same ordered subset
+    * of field names on both sides. Narrow map + filter — no shuffle.
+    */
+  def a18_quarantine(spark: SparkSession, d: String): DataFrame = {
+    val reason = concat_ws(",",
+      EventFields.map(f => when(col(f).isNull, lit(f))): _*)
+    envelope(spark, d)
+      .withColumn("reject_reason", reason)
+      .filter(col("reject_reason") =!= "")
+      .orderBy(eid)
+  }
+
   /** The validated + rewritten + projected frame (A6∘A7∘A8): the
     * reference overwrites EventDetails with the extracted numeric for
     * gated types (ConsumerMultiThread.java:125) then projects the 7
@@ -352,6 +375,20 @@ object Ingest {
         |  AND EventDetails IS NOT NULL AND DeviceType IS NOT NULL
         |  AND Location IS NOT NULL
         |ORDER BY CAST(EventID AS BIGINT)""".stripMargin),
+    "a18_quarantine" ->
+      (envSql + """SELECT *, concat_ws(',',
+        |    CASE WHEN EventID IS NULL THEN 'EventID' END,
+        |    CASE WHEN PlayerID IS NULL THEN 'PlayerID' END,
+        |    CASE WHEN EventTimestamp IS NULL THEN 'EventTimestamp' END,
+        |    CASE WHEN EventType IS NULL THEN 'EventType' END,
+        |    CASE WHEN EventDetails IS NULL THEN 'EventDetails' END,
+        |    CASE WHEN DeviceType IS NULL THEN 'DeviceType' END,
+        |    CASE WHEN Location IS NULL THEN 'Location' END) AS reject_reason
+        |FROM env
+        |WHERE EventID IS NULL OR PlayerID IS NULL OR EventTimestamp IS NULL
+        |   OR EventType IS NULL OR EventDetails IS NULL OR DeviceType IS NULL
+        |   OR Location IS NULL
+        |ORDER BY CAST(EventID AS BIGINT)""".stripMargin),
     "a8_project" ->
       (dwdSql + "SELECT * FROM dwd ORDER BY CAST(EventID AS BIGINT)"),
     "a9_partition_by_type" ->
@@ -371,6 +408,7 @@ object Ingest {
     "a5_filter_isin"       -> a5_filterIsin _,
     "a6_regexp_extract"    -> a6_regexpExtract _,
     "a7_validate_notnull"  -> a7_validate _,
+    "a18_quarantine"       -> a18_quarantine _,
     "a8_project"           -> a8_project _,
     "a9_partition_by_type" -> a9_partitionByType _,
     "a12_sink_dwd"         -> a12_sinkDwd _,

@@ -42,8 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 65 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 65)
-    assert(SparkEntry.oracleSql.size === 59)
+  test("the inventory holds all 66 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 66)
+    assert(SparkEntry.oracleSql.size === 60)
   }
 }

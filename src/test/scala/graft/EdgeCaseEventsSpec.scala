@@ -59,6 +59,7 @@ class EdgeCaseEventsSpec extends SparkSpec {
   private val eventQueries = Seq(
     "a1_scan_events", "a3_parse_json", "a5_filter_isin", "a6_regexp_extract",
     "a7_validate_notnull", "a8_project", "a9_partition_by_type",
+    "a18_quarantine",
     "a12_sink_dwd", "a13_sink_jdbc", "a14_pipeline_e2e",
     "a15_json_roundtrip", "a16_csv_roundtrip", "a17_orc_roundtrip",
     "b1_agg_user_features", "b2_agg_distinct", "b3_groupsets_rollup",

@@ -79,6 +79,19 @@ class IngestSpec extends SparkSpec {
     assert(!Ingest.isDerbyBootFailure(new RuntimeException("no sql at all")))
   }
 
+  test("A18 quarantine is the exact disjoint complement of A7") {
+    val all = Ingest.a1_scan(spark, sf0001).count()
+    val valid = Ingest.a7_validate(spark, sf0001).count()
+    val q = Ingest.a18_quarantine(spark, sf0001)
+    assert(q.count() + valid === all, "a7 ∪ a18 must partition a1")
+    // the fixture's only invalid shape is the every-97th null Location,
+    // so every reject carries exactly that reason and id % 97 == 0
+    val bad = q.filter(col("reject_reason") =!= "Location" ||
+      col("EventID").cast("long") % 97 =!= 0)
+    assert(bad.count() === 0)
+    assert(q.count() > 0, "the census fixture must actually exercise quarantine")
+  }
+
   test("A6 rewrite only applies to gated event types") {
     val dwd = Ingest.dwdFrame(spark, sf0001)
     val gated = dwd.filter(col("EventType").isin(Ingest.GatedTypes: _*))

@@ -48,6 +48,7 @@ class ScanCensusSpec extends SparkSpec {
     "a9_partition_by_type" -> ((1, 0)),
     "a12_sink_dwd" -> ((1, 0)),
     "a13_sink_jdbc" -> ((0, 0)),
+    "a18_quarantine" -> ((1, 0)),
     "a14_pipeline_e2e" -> ((1, 0)),
     "a15_json_roundtrip" -> ((1, 0)),
     "a16_csv_roundtrip" -> ((1, 0)),
