@@ -486,7 +486,61 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** s7: streaming dead-letter split — the a18 quarantine as a side
+    * output of the live pipeline: every micro-batch is written ONCE to
+    * two sinks (valid envelopes to the dwd area, rejects labeled with
+    * their missing-field reason to the dead-letter area), the
+    * production shape where invalid records are not lost mid-stream
+    * but parked for replay. The micro-batch is persisted so the two
+    * filtered writes share one pass, and both sinks are batchId-keyed
+    * overwrites — replay-idempotent like s1.
+    *
+    * Returns the dead-letter side (that's the query under test; the
+    * valid side equals a7 and is pinned in StreamingSpec). Oracle: the
+    * batch a18 SQL.
+    */
+  def s7_streamQuarantine(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s7_out"
+    val chk = s"${Tables.scratch}/s7_chk"
+    rmrf(out); rmrf(chk)
+    val reason = concat_ws(",",
+      Ingest.EventFields.map(f => when(col(f).isNull, lit(f))): _*)
+    val labeled = Ingest.envelopeOf(eventStream(spark, d))
+      .withColumn("reject_reason", reason)
+    val q = labeled.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col("reject_reason") === "").drop("reject_reason")
+            .write.mode("overwrite").parquet(s"$out/valid/bid=$bid")
+          batch.filter(col("reject_reason") =!= "")
+            .write.mode("overwrite").parquet(s"$out/dead/bid=$bid")
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    // explicit projection drops the sink's `bid=` partition column
+    readSink(spark, s"$out/dead", labeled.schema)
+      .select(labeled.schema.fieldNames.map(col): _*)
+      .orderBy(col("EventID").cast("long"))
+  }
+
+  /** The valid-side read-back of the s7 split (test hook, not a
+    * registered query): must equal the a7 validation output.
+    */
+  private[graft] def s7ValidSide(spark: SparkSession): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Ingest.EventFields.map(f =>
+        org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.StringType)))
+    readSink(spark, s"${Tables.scratch}/s7_out/valid", schema)
+      .select(schema.fieldNames.map(col): _*)
+  }
+
   val oracles: Map[String, String] = Map(
+    "s7_stream_quarantine" -> Ingest.oracles("a18_quarantine"),
     "s4_stream_join" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt,
         |  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
@@ -550,5 +604,6 @@ object StreamOps {
     "s4_stream_join"     -> s4_streamJoin _,
     "s5_stream_stream_join" -> s5_streamStreamJoin _,
     "s6_stream_dedup"    -> s6_streamDedup _,
+    "s7_stream_quarantine" -> s7_streamQuarantine _,
   )
 }

@@ -107,6 +107,7 @@ class ScanCensusSpec extends SparkSpec {
     "s4_stream_join" -> ((1, 0)),
     "s5_stream_stream_join" -> ((1, 0)),
     "s6_stream_dedup" -> ((1, 0)),
+    "s7_stream_quarantine" -> ((1, 0)),
     "x_approx_distinct" -> ((1, 0)),
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),

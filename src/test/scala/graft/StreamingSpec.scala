@@ -242,6 +242,19 @@ class StreamingSpec extends SparkSpec {
       "exactly the same-user views in [purchase - 1h, purchase] join")
   }
 
+  test("s7 semantics: the streamed split partitions the log — valid side equals a7") {
+    // running the query populates BOTH sink sides; the registered query
+    // returns dead letters (oracled against a18), so pin the valid side
+    val dead = graft.streaming.StreamOps.s7_streamQuarantine(spark, sf0001)
+    val valid = graft.streaming.StreamOps.s7ValidSide(spark)
+    val batchValid = graft.ops.Ingest.a7_validate(spark, sf0001)
+    assert(valid.count() === batchValid.count())
+    assert(valid.unionByName(batchValid).distinct().count() === batchValid.count(),
+      "streamed valid side must carry exactly the a7 rows")
+    assert(dead.count() + valid.count() ===
+      graft.ops.Ingest.a1_scan(spark, sf0001).count(), "the split must partition a1")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
