@@ -257,6 +257,69 @@ object Features {
       .orderBy(col("event_type"))
   }
 
+  /** b23: funnel analysis — the game-analytics staple over the
+    * reference's own event domain: per user, the ORDERED progression
+    * signup → first view at-or-after the signup → first purchase
+    * at-or-after that view, with the reached stage (0-3). A view
+    * before signup does not count; stages are anchored to microsecond
+    * event time, so the funnel is ordered, not just present.
+    *
+    * Shape: three sequential whole-partition window aggregates over
+    * the SAME user_id partitioning (each stage min conditions on the
+    * previous stage's column) followed by a groupBy(user_id) that
+    * collapses the per-user constants — all four passes ride ONE hash
+    * exchange (the b6 reuse pattern, PlanSpec-pinned). At 100 TB this
+    * is a single shuffle of (user, type, us) triples; no joins, no
+    * second scan.
+    */
+  def b23_funnel(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("s_us", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("v_us", min(when(col("event_type") === "view" &&
+        col("us") >= col("s_us"), col("us"))).over(w))
+      .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+        col("us") >= col("v_us"), col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("s_us")).as("signup_us"), min(col("v_us")).as("view_us"),
+        min(col("p_us")).as("purchase_us"),
+        max(when(col("p_us").isNotNull, 3L).when(col("v_us").isNotNull, 2L)
+          .when(col("s_us").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** b24: retention cohorts — the other game-analytics staple: group
+    * users by their first-seen day (the cohort), report how many came
+    * back exactly one day and exactly seven days later. All date
+    * arithmetic is integer day indices (unix epoch days), so the
+    * cohort assignment and retention flags are bit-identical across
+    * engines — no timezone or interval semantics in the hot path.
+    *
+    * Shape: a whole-partition window min (first day) + groupBy(user)
+    * over the SAME user_id exchange (the b23/b6 reuse pattern), then a
+    * tiny groupBy(cohort_day) whose input is one row per user. At
+    * 100 TB: one shuffle of (user, day) pairs, one user-sized reduce —
+    * the cohort table is days×1 rows, never data-sized.
+    */
+  def b24_retention(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_date(to_date(ts))").cast("long").as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("cohort_day")).as("cohort_day"),
+        max(when(col("day") === col("cohort_day") + 1, 1L).otherwise(0L)).as("d1"),
+        max(when(col("day") === col("cohort_day") + 7, 1L).otherwise(0L)).as("d7"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("d1")).as("n_d1"), sum(col("d7")).as("n_d7"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -402,6 +465,32 @@ object Features {
         |  CAST(SUM(n_b) AS BIGINT) AS n_late,
         |  CAST(SUM(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)) AS BIGINT) AS drift_e6
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b24_retention" ->
+      """WITH e AS (SELECT user_id,
+        |            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+        |u AS (SELECT user_id, MIN(cohort_day) AS cohort_day,
+        |        MAX(CASE WHEN day = cohort_day + 1 THEN 1 ELSE 0 END) AS d1,
+        |        MAX(CASE WHEN day = cohort_day + 7 THEN 1 ELSE 0 END) AS d7
+        |      FROM c GROUP BY user_id)
+        |SELECT cohort_day, COUNT(*) AS n_users,
+        |  CAST(SUM(d1) AS BIGINT) AS n_d1, CAST(SUM(d7) AS BIGINT) AS n_d7
+        |FROM u GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "b23_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN us END)
+        |         OVER (PARTITION BY user_id) AS s_us FROM e),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND us >= s_us THEN us END)
+        |         OVER (PARTITION BY user_id) AS v_us FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= v_us THEN us END)
+        |         OVER (PARTITION BY user_id) AS p_us FROM s2)
+        |SELECT user_id, MIN(s_us) AS signup_us, MIN(v_us) AS view_us,
+        |  MIN(p_us) AS purchase_us,
+        |  CAST(MAX(CASE WHEN p_us IS NOT NULL THEN 3 WHEN v_us IS NOT NULL THEN 2
+        |           WHEN s_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "b7_asof_join" ->
       """SELECT p.event_id AS probe_eid, p.user_id, f.event_id AS feat_eid, f.value AS feat_value
         |FROM events p JOIN events f
@@ -424,6 +513,8 @@ object Features {
     "b15_salted_agg"       -> b15_saltedAgg _,
     "b21_decayed_features" -> b21_decayedFeatures _,
     "b22_feature_drift"    -> b22_featureDrift _,
+    "b23_funnel"           -> b23_funnel _,
+    "b24_retention"        -> b24_retention _,
     "b16_percentiles"      -> b16_percentiles _,
   )
 }

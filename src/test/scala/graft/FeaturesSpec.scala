@@ -105,6 +105,62 @@ class FeaturesSpec extends SparkSpec {
     assert(out === Map("p" -> ((2L, 2L, 4000000L)), "q" -> ((1L, 1L, 0L))))
   }
 
+  test("b23 funnel: stages are ordered — pre-signup views and pre-view purchases don't count") {
+    // user 1: the 09:00 view precedes signup (ignored), the 10:15
+    // purchase precedes the first qualifying view (ignored) — the
+    // funnel resolves signup 10:00 → view 10:30 → purchase 11:00.
+    // user 2 never signs up: strict funnel → stage 0 despite activity.
+    // user 3 signs up and stops → stage 1.
+    val ev = Seq(
+      (1L, 1L, ts("2024-04-01 09:00:00"), "view", 1.0),
+      (2L, 1L, ts("2024-04-01 10:00:00"), "signup", 1.0),
+      (3L, 1L, ts("2024-04-01 10:15:00"), "purchase", 1.0),
+      (4L, 1L, ts("2024-04-01 10:30:00"), "view", 1.0),
+      (5L, 1L, ts("2024-04-01 11:00:00"), "purchase", 1.0),
+      (6L, 2L, ts("2024-04-01 10:00:00"), "view", 1.0),
+      (7L, 2L, ts("2024-04-01 10:30:00"), "purchase", 1.0),
+      (8L, 3L, ts("2024-04-01 10:00:00"), "signup", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = s"${graft.ops.Tables.scratch}/b23_case"
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def us(s: String) = ts(s).getTime * 1000L
+    val out = Features.b23_funnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[Any]("signup_us")), Option(r.getAs[Any]("view_us")),
+          Option(r.getAs[Any]("purchase_us")), r.getAs[Long]("stage")))).toMap
+    assert(out === Map(
+      1L -> ((Some(us("2024-04-01 10:00:00")), Some(us("2024-04-01 10:30:00")),
+        Some(us("2024-04-01 11:00:00")), 3L)),
+      2L -> ((None, None, None, 0L)),
+      3L -> ((Some(us("2024-04-01 10:00:00")), None, None, 1L))))
+  }
+
+  test("b24 retention: D1/D7 flags anchor to each user's first-seen day") {
+    // user 1: days 0,1,8 → D1 yes, D7 no (day 8 is not day 7);
+    // user 2: days 0,7 → D7 yes; user 3: day 2 alone → its own cohort.
+    val base = java.time.LocalDate.of(2024, 5, 1)
+    def at(day: Int) = Timestamp.valueOf(base.plusDays(day).atTime(12, 0))
+    val ev = Seq(
+      (1L, 1L, at(0), "click", 1.0), (2L, 1L, at(1), "click", 1.0),
+      (3L, 1L, at(8), "click", 1.0),
+      (4L, 2L, at(0), "click", 1.0), (5L, 2L, at(7), "click", 1.0),
+      (6L, 3L, at(2), "click", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = s"${graft.ops.Tables.scratch}/b24_case"
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val day0 = base.toEpochDay
+    val out = Features.b24_retention(spark, dir).collect()
+      .map(r => r.getAs[Long]("cohort_day") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_d1"), r.getAs[Long]("n_d7")))).toMap
+    assert(out === Map(
+      day0 -> ((2L, 1L, 1L)),
+      (day0 + 2) -> ((1L, 0L, 0L))))
+  }
+
   test("b7 on fixture: every matched feature is at or before its probe") {
     val ev = graft.ops.Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"))

@@ -197,6 +197,18 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 2, s"expected bucket + type exchanges, saw $hashEx:\n$p")
   }
 
+  test("b23/b24: stage windows and the user collapse ride one user_id exchange") {
+    // b23's three sequential whole-partition windows + groupBy(user)
+    // must all reuse ONE hashpartitioning(user_id) exchange (the b6
+    // pattern); b24 adds only the tiny cohort reduce on top
+    val p23 = plan(Features.b23_funnel(spark, sf0001))
+    val ex23 = "Exchange hashpartitioning".r.findAllIn(p23).size
+    assert(ex23 == 1, s"b23: expected one shared user_id exchange, saw $ex23:\n$p23")
+    val p24 = plan(Features.b24_retention(spark, sf0001))
+    val ex24 = "Exchange hashpartitioning".r.findAllIn(p24).size
+    assert(ex24 == 2, s"b24: expected user + cohort exchanges, saw $ex24:\n$p24")
+  }
+
   test("b16: exact percentiles are one typed aggregate over one exchange") {
     val p = plan(Features.b16_percentiles(spark, sf0001))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -73,6 +73,8 @@ class ScanCensusSpec extends SparkSpec {
     "b21_decayed_features" -> ((2, 0)),
     // two scans by design: the tiny min/max census + the bucket scan
     "b22_feature_drift" -> ((2, 0)),
+    "b23_funnel" -> ((1, 0)),
+    "b24_retention" -> ((1, 0)),
     "b16_percentiles" -> ((1, 0)),
     "b17_latest_features" -> ((1, 0)),
     "b18_q3like" -> ((3, 0)),
