@@ -161,6 +161,26 @@ class FeaturesSpec extends SparkSpec {
       (day0 + 2) -> ((1L, 0L, 0L))))
   }
 
+  test("b23/b24 on fixture: funnel stages are monotone, retention flags bounded") {
+    val f = Features.b23_funnel(spark, sf0001)
+    // wherever two adjacent stages resolved, their times are ordered,
+    // and the stage number matches the nullness pattern exactly
+    assert(f.filter(col("view_us") < col("signup_us")).count() === 0)
+    assert(f.filter(col("purchase_us") < col("view_us")).count() === 0)
+    assert(f.filter(
+      (col("stage") === 3 && col("purchase_us").isNull) ||
+      (col("stage") === 2 && (col("view_us").isNull || col("purchase_us").isNotNull)) ||
+      (col("stage") === 1 && (col("signup_us").isNull || col("view_us").isNotNull)) ||
+      (col("stage") === 0 && col("signup_us").isNotNull)).count() === 0)
+    val r = Features.b24_retention(spark, sf0001)
+    assert(r.filter(col("n_d1") > col("n_users") || col("n_d7") > col("n_users")).count() === 0)
+    assert(r.agg(sum(col("n_users"))).head.getLong(0) ===
+      graft.ops.Tables.events(spark, sf0001)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id")).distinct().count(),
+      "every active user belongs to exactly one cohort")
+  }
+
   test("b7 on fixture: every matched feature is at or before its probe") {
     val ev = graft.ops.Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"))
