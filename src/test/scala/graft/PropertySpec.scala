@@ -260,7 +260,9 @@ class PropertySpec extends SparkSpec {
   private val logGen: Gen[List[(Option[Long], String, Long, Long, Option[Long])]] =
     Gen.listOfN(80, for {
       user <- Gen.option(Gen.choose(0L, 2L))
-      typ <- Gen.oneOf("p", "q", "r")
+      // the funnel types, so the b23 model check sees real progressions
+      // (b21/b22 treat the type as opaque — any alphabet works there)
+      typ <- Gen.oneOf("signup", "view", "purchase")
       day <- Gen.choose(0L, 30L)
       sec <- Gen.choose(0L, 86399L)
       cents <- Gen.option(Gen.choose(-5000L, 50000L))
@@ -301,6 +303,53 @@ class PropertySpec extends SparkSpec {
         .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
           ((Option(r.getAs[Any]("decayed_e20")).map(_.asInstanceOf[Long]),
             r.getAs[Long]("n_recent"), r.getAs[Long]("last_us")))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("b23 funnel equals a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b23"
+    samples(logGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val kept = rows.collect { case (Some(u), t, day, sec, _) =>
+        (u, t, 1704067200000000L + (day * 86400L + sec) * 1000000L)
+      }
+      val expected = kept.groupBy(_._1).map { case (u, rs) =>
+        val s = rs.collect { case (_, "signup", us) => us }.minOption
+        val v = s.flatMap(su =>
+          rs.collect { case (_, "view", us) if us >= su => us }.minOption)
+        val p = v.flatMap(vu =>
+          rs.collect { case (_, "purchase", us) if us >= vu => us }.minOption)
+        val stage = if (p.isDefined) 3L else if (v.isDefined) 2L
+          else if (s.isDefined) 1L else 0L
+        u -> ((s, v, p, stage))
+      }
+      val got = graft.ops.Features.b23_funnel(spark, dir).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((Option(r.getAs[Any]("signup_us")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("view_us")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("purchase_us")).map(_.asInstanceOf[Long]),
+            r.getAs[Long]("stage")))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("b24 retention equals a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b24"
+    samples(logGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val kept = rows.collect { case (Some(u), _, day, _, _) => (u, 19723L + day) }
+      val expected = kept.groupBy(_._1).map { case (_, rs) =>
+        val days = rs.map(_._2).toSet
+        val cohort = days.min
+        (cohort, days.contains(cohort + 1), days.contains(cohort + 7))
+      }.groupBy(_._1).map { case (c, us) =>
+        c -> ((us.size.toLong, us.count(_._2).toLong, us.count(_._3).toLong))
+      }
+      val got = graft.ops.Features.b24_retention(spark, dir).collect()
+        .map(r => r.getAs[Long]("cohort_day") ->
+          ((r.getAs[Long]("n_users"), r.getAs[Long]("n_d1"),
+            r.getAs[Long]("n_d7")))).toMap
       assert(got === expected)
     }
   }
