@@ -320,6 +320,39 @@ object Features {
       .orderBy(col("cohort_day"))
   }
 
+  /** b25: LTV curve — cumulative purchase revenue per cohort by days
+    * since first activity: the monetization view that joins b24's
+    * cohorts with revenue. The cohort anchors to ANY first event (a
+    * user's lifetime starts at first sight, not first spend); revenue
+    * counts purchases only. Integer cents + integer epoch days + a
+    * running-sum window, so the whole curve is engine- and
+    * order-exact; a null/NaN metric purchase still counts as a
+    * purchase but adds nothing (try_cast + SUM's null-skip, both
+    * engines).
+    *
+    * Shape: user_id window (cohort) → (cohort, age) aggregate →
+    * cohort-partitioned running sum. Three exchanges, but only the
+    * first moves data-sized rows — the second carries one row per
+    * (cohort, age) pair and the third one row per curve point.
+    */
+  def b25_ltvCurve(spark: SparkSession, d: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_date(to_date(ts))").cast("long").as("day"),
+        round(col("value") * 100).try_cast("long").as("cents"))
+      .withColumn("cohort_day", min(col("day")).over(wUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("age", col("day") - col("cohort_day"))
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -465,6 +498,21 @@ object Features {
         |  CAST(SUM(n_b) AS BIGINT) AS n_late,
         |  CAST(SUM(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)) AS BIGINT) AS drift_e6
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b25_ltv_curve" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |            TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+        |p AS (SELECT cohort_day, day - cohort_day AS age, cents FROM c
+        |      WHERE event_type = 'purchase'),
+        |g AS (SELECT cohort_day, age, COUNT(*) AS n_purchases,
+        |        CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |      FROM p GROUP BY 1, 2)
+        |SELECT cohort_day, age, n_purchases, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM g ORDER BY cohort_day, age""".stripMargin,
     "b24_retention" ->
       """WITH e AS (SELECT user_id,
         |            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
@@ -515,6 +563,7 @@ object Features {
     "b22_feature_drift"    -> b22_featureDrift _,
     "b23_funnel"           -> b23_funnel _,
     "b24_retention"        -> b24_retention _,
+    "b25_ltv_curve"        -> b25_ltvCurve _,
     "b16_percentiles"      -> b16_percentiles _,
   )
 }

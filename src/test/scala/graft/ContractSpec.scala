@@ -42,8 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 69 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 69)
-    assert(SparkEntry.oracleSql.size === 63)
+  test("the inventory holds all 70 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 70)
+    assert(SparkEntry.oracleSql.size === 64)
   }
 }

@@ -66,6 +66,7 @@ class EdgeCaseEventsSpec extends SparkSpec {
     "b3b_cube", "b4_window_rank", "b5_window_frame", "b6_sessionize",
     "b7_asof_join", "b11_scalar_suite", "b15_salted_agg", "b16_percentiles",
     "b21_decayed_features", "b22_feature_drift", "b23_funnel", "b24_retention",
+    "b25_ltv_curve",
     "b17_latest_features", "x_approx_distinct",
     "s1_stream_pipeline", "s2_stream_window", "s3_stream_sessionize",
     "s4_stream_join", "s5_stream_stream_join", "s6_stream_dedup",

@@ -181,6 +181,38 @@ class FeaturesSpec extends SparkSpec {
       "every active user belongs to exactly one cohort")
   }
 
+  test("b25 LTV: cohort anchors to first activity, curve accumulates, null metric counts") {
+    // user 1 first appears via a CLICK on day 0 (lifetime starts at
+    // first sight, not first spend): purchases 10.00 on day 0, then on
+    // day 1 a 5.00 purchase AND a null-metric purchase (counted, adds
+    // nothing) → curve (0,0): 1 purchase 1000 cum 1000; (0,1): 2
+    // purchases 500 cum 1500. user 2's first event is day 3, purchase
+    // day 10 → its own cohort at age 7.
+    val base = java.time.LocalDate.of(2024, 6, 1)
+    def at(day: Int) = Timestamp.valueOf(base.plusDays(day).atTime(12, 0))
+    val ev = Seq(
+      (1L, 1L, at(0), "click", Some(9.99)),
+      (2L, 1L, at(0), "purchase", Some(10.0)),
+      (3L, 1L, at(1), "purchase", Some(5.0)),
+      (4L, 1L, at(1), "purchase", None: Option[Double]),
+      (5L, 2L, at(3), "view", Some(1.0)),
+      (6L, 2L, at(10), "purchase", Some(2.5))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = s"${graft.ops.Tables.scratch}/b25_case"
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val day0 = base.toEpochDay
+    val out = Features.b25_ltvCurve(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("age")) ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("rev_cents"),
+          r.getAs[Long]("cum_rev_cents")))).toMap
+    assert(out === Map(
+      (day0, 0L) -> ((1L, 1000L, 1000L)),
+      (day0, 1L) -> ((2L, 500L, 1500L)),
+      (day0 + 3, 7L) -> ((1L, 250L, 250L))))
+  }
+
   test("b7 on fixture: every matched feature is at or before its probe") {
     val ev = graft.ops.Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"))

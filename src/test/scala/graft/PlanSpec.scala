@@ -207,6 +207,11 @@ class PlanSpec extends SparkSpec {
     val p24 = plan(Features.b24_retention(spark, sf0001))
     val ex24 = "Exchange hashpartitioning".r.findAllIn(p24).size
     assert(ex24 == 2, s"b24: expected user + cohort exchanges, saw $ex24:\n$p24")
+    // b25 adds the curve's running-sum window: user + (cohort, age)
+    // + cohort exchanges — only the first is data-sized
+    val p25 = plan(Features.b25_ltvCurve(spark, sf0001))
+    val ex25 = "Exchange hashpartitioning".r.findAllIn(p25).size
+    assert(ex25 == 3, s"b25: expected user + curve-point + cohort exchanges, saw $ex25:\n$p25")
   }
 
   test("b16: exact percentiles are one typed aggregate over one exchange") {

@@ -75,6 +75,7 @@ class ScanCensusSpec extends SparkSpec {
     "b22_feature_drift" -> ((2, 0)),
     "b23_funnel" -> ((1, 0)),
     "b24_retention" -> ((1, 0)),
+    "b25_ltv_curve" -> ((1, 0)),
     "b16_percentiles" -> ((1, 0)),
     "b17_latest_features" -> ((1, 0)),
     "b18_q3like" -> ((3, 0)),
