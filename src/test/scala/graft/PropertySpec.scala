@@ -354,6 +354,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("b25 LTV equals a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b25"
+    samples(logGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val kept = rows.collect { case (Some(u), t, day, _, c) => (u, t, 19723L + day, c) }
+      val cohort = kept.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+      val purchases = kept.collect { case (u, "purchase", day, c) =>
+        (cohort(u), day - cohort(u), c)
+      }
+      val byPoint = purchases.groupBy(p => (p._1, p._2)).view.mapValues { ps =>
+        val cs = ps.flatMap(_._3)
+        (ps.size.toLong, if (cs.isEmpty) None else Some(cs.sum))
+      }.toMap
+      val expected = byPoint.keys.toSeq.sorted.map { case (c, a) =>
+        val (n, rev) = byPoint((c, a))
+        val cum = byPoint.collect {
+          case ((`c`, a2), (_, Some(r))) if a2 <= a => r
+        }.toSeq
+        (c, a) -> ((n, rev, if (cum.isEmpty) None else Some(cum.sum)))
+      }.toMap
+      val got = graft.ops.Features.b25_ltvCurve(spark, dir).collect()
+        .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("age")) ->
+          ((r.getAs[Long]("n_purchases"),
+            Option(r.getAs[Any]("rev_cents")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("cum_rev_cents")).map(_.asInstanceOf[Long])))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("b22 drift equals a Scala model on generated logs") {
     val dir = s"${graft.ops.Tables.scratch}/prop_b22"
     samples(logGen, 5).foreach { rows =>
