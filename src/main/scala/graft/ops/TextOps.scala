@@ -235,12 +235,14 @@ object TextOps {
     jaccardOf(pairs)
   }
 
-  /** Safety valve on c15's label-propagation sweeps. Min-label
+  /** Strategy valve on c15's label-propagation sweeps. Min-label
     * propagation converges in component-diameter sweeps; near-dup
     * components are clique-ish (fixture max diameter 3), so the cap is
-    * never the terminator — it only bounds a pathological chain-shaped
-    * graph, where production would switch to large-star/small-star
-    * (O(log n) rounds) instead of raising the cap.
+    * never the terminator on real dedup graphs — it detects a
+    * pathological chain-shaped graph, at which point [[clustersOf]]
+    * switches to the O(log n)-round alternating-star algorithm
+    * ([[starLabels]]) on the same checkpointed edges instead of
+    * sweeping O(diameter) more times.
     */
   val MaxCcIters = 20
 
@@ -304,15 +306,125 @@ object TextOps {
       sweep += 1
     }
     if (!done)
-      // partially-propagated labels are NOT components; surface it
-      // loudly rather than returning silently-wrong clusters
-      throw new IllegalStateException(
-        s"clustersOf did not converge in $MaxCcIters sweeps — component " +
-          "diameter exceeds the valve; use large-star/small-star for " +
-          "chain-shaped graphs")
+      // the optimistic path hit the valve: component diameter exceeds
+      // MaxCcIters, so per-sweep propagation would need O(diameter)
+      // more rounds. Switch to the O(log n)-round alternating-star
+      // algorithm on the SAME checkpointed edge list — the expensive
+      // pair-generation lineage is not re-paid, and the caller gets
+      // correct labels instead of an abort.
+      labels = starLabels(edges)
+    finishClusters(labels)
+  }
+
+  private def finishClusters(labels: DataFrame): DataFrame =
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
         (col("id") === col("lab")).as("is_canonical"))
       .orderBy(col("cluster_id"), col("doc_id"))
+
+  /** Alternating-round valve for [[starLabels]]. Convergence is
+    * provably O(log² n) rounds and empirically < 10 even for
+    * path-shaped graphs of 10⁹ nodes (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014), so 40 is a
+    * bound only a logic bug could reach — unlike MaxCcIters it is a
+    * tripwire, not an expected control path.
+    */
+  val MaxStarRounds = 40
+
+  /** Connected components by alternating large-star/small-star — the
+    * O(log n)-round scale path for high-diameter (chain-shaped)
+    * graphs, where per-sweep min-label propagation ([[clustersOf]])
+    * needs O(diameter) rounds. Same output contract as clustersOf:
+    * (doc_id, cluster_id=component min, is_canonical).
+    *
+    * Scale (100 TB): each round is two groupBy-min + join passes over
+    * an edge list that only ever SHRINKS toward the star forest (every
+    * emitted edge points to a neighborhood minimum; no operation adds
+    * edges beyond the current set's endpoints). State is 16 B/edge,
+    * never documents; each round localCheckpoints to truncate lineage
+    * exactly as clustersOf's sweeps do. The round count is the
+    * logarithm of the largest component diameter, so 100 TB of
+    * chain-shaped pairs converges in ~tens of rounds, not millions.
+    */
+  def clustersOfBigStar(pairList: DataFrame): DataFrame = {
+    val pairs = pairList.select(col("a_id"), col("b_id"))
+    finishClusters(starLabels(pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint()))
+  }
+
+  /** Core alternating-star rounds over a BIDIRECTIONAL checkpointed
+    * edge list; returns per-node (id, lab=component min).
+    *
+    * Large-star (Kiveris et al. alg. 2): every node links its
+    * strictly-larger neighbors to the minimum of its closed
+    * neighborhood — long chains halve each round. Small-star: every
+    * node links its smaller neighbors (and itself) to their minimum —
+    * partial stars flatten onto the true center. The fixpoint of the
+    * alternation is a star forest whose centers are the component
+    * minima; both operators preserve connectivity, so labels read off
+    * the final stars are exact, not approximate.
+    */
+  private def starLabels(bidEdges: DataFrame): DataFrame = {
+    // the node universe up front: star rounds drop self-loops, but a
+    // node appearing only in a degenerate (a,a) pair still gets a label
+    val nodes = bidEdges.select(col("a_id").as("id")).distinct()
+      .localCheckpoint()
+    // one orientation (big -> small) of each undirected edge; the bid
+    // list holds both directions so the filter loses nothing
+    var e = bidEdges.filter(col("a_id") > col("b_id")).distinct()
+      .localCheckpoint()
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < MaxStarRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // both sides are distinct sets, so equal count + empty difference
+      // is set equality; the per-round counts are control state
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starLabels did not converge in $MaxStarRounds alternating " +
+          "rounds — impossible for a correct implementation (O(log² n) " +
+          "bound); refusing to return partial labels")
+    // at the fixpoint every non-center node has exactly one star edge
+    // (child -> center); centers and degenerate singletons label
+    // themselves via the coalesce
+    nodes
+      .join(e.select(col("a_id").as("id"), col("b_id").as("lab")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("lab"))
+  }
+
+  /** One large-star round: for each node u, connect every neighbor
+    * v > u to min(N(u) ∪ u). Output edges are oriented big → small
+    * and deduplicated.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bid = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val m = bid.groupBy(col("a_id")).agg(min(col("b_id")).as("mn"))
+      .select(col("a_id"), least(col("a_id"), col("mn")).as("m"))
+    bid.join(m, "a_id")
+      .filter(col("b_id") > col("a_id"))
+      .select(col("b_id").as("a_id"), col("m").as("b_id"))
+      .distinct()
+  }
+
+  /** One small-star round: for each node u, connect every neighbor
+    * v < u — and u itself — to min(N⁻(u) ∪ u). Self-loops dropped;
+    * output oriented big → small and deduplicated.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("a_id"), col("b_id")).as("a_id"),
+        least(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val m = or.groupBy(col("a_id")).agg(min(col("b_id")).as("m"))
+    val j = or.join(m, "a_id")
+    j.select(col("b_id").as("a_id"), col("m").as("b_id"))
+      .union(j.select(col("a_id"), col("m").as("b_id")))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
   }
 
   /** c4: per-document text statistics (token counts, distinct tokens,

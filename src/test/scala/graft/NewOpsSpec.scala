@@ -212,17 +212,51 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
-  test("clustersOf refuses to return partial labels past the sweep valve") {
-    // a 25-link chain has diameter > MaxCcIters: propagation cannot
-    // finish, and silently-wrong clusters must be an error, not a result
+  test("clustersOf converges past the sweep valve via the alternating-star fallback") {
+    // a 25-link chain has diameter > MaxCcIters: per-sweep propagation
+    // cannot finish inside the valve, so this exercises the
+    // large-star/small-star strategy switch end-to-end — correct
+    // labels, not an abort and not silently-partial propagation
     val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val e = intercept[IllegalStateException](TextOps.clustersOf(chain).collect())
-    assert(e.getMessage.contains("did not converge"))
+    val rows = TextOps.clustersOf(chain).collect()
+    assert(rows.length === 26 && rows.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(rows.count(_.getAs[Boolean]("is_canonical")) === 1)
     // a clique of the same size converges in one sweep (diameter 1)
     val clique = (for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j))
       .toDF("a_id", "b_id")
-    val rows = TextOps.clustersOf(clique).collect()
-    assert(rows.length === 8 && rows.forall(_.getAs[Long]("cluster_id") == 0L))
+    val cr = TextOps.clustersOf(clique).collect()
+    assert(cr.length === 8 && cr.forall(_.getAs[Long]("cluster_id") == 0L))
+  }
+
+  test("clustersOfBigStar equals union-find on fixture pairs, chains, and stars") {
+    // same pair source as the c15 model test: real near-dup pairs
+    val pairs = TextOps.c2_dedupJaccard(spark, sf0001)
+    val got = TextOps.clustersOfBigStar(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_canonical"))).toSet
+    assert(got === ufClusters(pairsOf(pairs)))
+    // a 40-link chain (diameter 40 > MaxStarRounds sweeps would need)
+    // converges in O(log n) alternating rounds
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cg = TextOps.clustersOfBigStar(chain).collect()
+    assert(cg.length === 41 && cg.forall(_.getAs[Long]("cluster_id") == 0L))
+    // reversed-id star: center has the LARGEST id, so the component min
+    // is a leaf — exercises the small-star re-centering
+    val star = (0L until 6L).map(i => (i, 99L)).toDF("a_id", "b_id")
+    val sg = TextOps.clustersOfBigStar(star).collect()
+    assert(sg.length === 7 && sg.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(sg.count(_.getAs[Boolean]("is_canonical")) === 1)
+  }
+
+  test("clustersOfBigStar census: checkpointed rounds leave 0 FileScans in the final plan") {
+    // same designed shape as c15's committed (0, 0) census: every round
+    // localCheckpoints, so the final plan reads RDD blocks, not files —
+    // a reappearing FileScan would mean an un-truncated lineage
+    // re-deriving the pair generation each round
+    val c = graft.tools.ScanAudit.census(
+      TextOps.clustersOfBigStar(TextOps.c2_dedupJaccard(spark, sf0001)))
+    assert((c.scans, c.reused) === ((0, 0)),
+      s"big-star census drifted — scans=${c.scans} reused=${c.reused}")
   }
 
   test("clustersOf composes with any pair source: simhash pairs resolve too") {

@@ -190,9 +190,9 @@ class PropertySpec extends SparkSpec {
       val cap = graft.ops.CorpusOps.StratumCap
       val strata = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
       val got13 = graft.ops.CorpusOps.c13_stratifiedSample(spark, dir).collect()
-        .groupBy(r => Option(r.getAs[String]("lang")).getOrElse(" null"))
+        .groupBy(r => Option(r.getAs[String]("lang")).getOrElse("\u0000null"))
       strata.foreach { case (lang, n) =>
-        val key = Option(lang).getOrElse(" null")
+        val key = Option(lang).getOrElse("\u0000null")
         val rows = got13.getOrElse(key, Array.empty)
         assert(rows.length.toLong === math.min(cap, n), s"stratum $lang")
         assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
@@ -229,7 +229,7 @@ class PropertySpec extends SparkSpec {
       b <- Gen.choose(0L, 15L) if a != b
     } yield (math.min(a, b), math.max(a, b)))
 
-  test("clustersOf equals union-find on generated graphs") {
+  test("clustersOf and clustersOfBigStar equal union-find on generated graphs") {
     samples(graphGen, 6).foreach { edges =>
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x0: Long): Long = {
@@ -247,6 +247,15 @@ class PropertySpec extends SparkSpec {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
           r.getAs[Boolean]("is_canonical"))).toSet
       assert(got === expected, s"edges: $edges")
+      // the O(log n) alternating-star path resolves the same graphs to
+      // the same labels — both algorithms are exact, so they must agree
+      // on every generated shape, not just the chain that forces the
+      // strategy switch
+      val star = graft.ops.TextOps.clustersOfBigStar(edges.toDF("a_id", "b_id"))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+          r.getAs[Boolean]("is_canonical"))).toSet
+      assert(star === expected, s"big-star diverged, edges: $edges")
     }
   }
 
