@@ -237,19 +237,49 @@ object CorpusOps {
     * after the corpus itself is not); packing adds its one shard-key
     * shuffle over the same slim rows.
     */
-  def c16_corpusPipeline(spark: SparkSession, d: String): DataFrame = {
+  def c16_corpusPipeline(spark: SparkSession, d: String): DataFrame =
+    corpusFromClusters(spark, d, TextOps.c15_dedupClusters(spark, d))
+
+  /** The pipeline STAGES of c16, parameterized on the cluster table —
+    * the composable form a real deployment runs: pair generation and
+    * cluster resolution are paid once, written to the lake, and every
+    * downstream corpus build consumes the materialized
+    * (doc_id, cluster_id, is_canonical) table instead of re-deriving
+    * it. c16 passes the inline c15 frame here; x_corpus_from_clusters
+    * passes a parquet read of the same frame.
+    */
+  private[ops] def corpusFromClusters(spark: SparkSession, d: String,
+      clusters: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, d)
     val keeps = docs
       .groupBy(sha2(lower(col("text")), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val drops = TextOps.c15_dedupClusters(spark, d)
+    val drops = clusters
       .filter(!col("is_canonical")).select(col("doc_id"))
     val survivors = sizeDocs(docs)
       .join(keeps, Seq("doc_id"), "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
       .filter(col("n_tok").between(MinTok, MaxTok))
     packSized(survivors)
+  }
+
+  /** x: c16 with the cluster table MATERIALIZED — writes c15's labels
+    * to parquet once, then builds the manifest from the written table.
+    * Byte-equal to c16_corpusPipeline (pinned in NewOpsSpec at two
+    * scales); its census proves the point of the composition: the
+    * consumer's plan holds NO shingle/minhash stages, only the
+    * documents scans and one slim cluster-table scan, so N downstream
+    * corpus builds pay the near-dup resolution exactly once. Rows-only
+    * by declared design: the c16 oracle covers the identical output.
+    */
+  def x_corpusFromClusters(spark: SparkSession, d: String): DataFrame = {
+    val dir = s"${Tables.scratch}/x_clusters_${new java.io.File(d).getName}"
+    Tables.rmrf(dir)
+    TextOps.c15_dedupClusters(spark, d)
+      .write.mode("overwrite").parquet(s"$dir/clusters.parquet")
+    corpusFromClusters(spark, d,
+      spark.read.parquet(s"$dir/clusters.parquet"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +376,6 @@ object CorpusOps {
     "c14_pack_sequences"  -> c14_packSequences _,
     "c16_corpus_pipeline" -> c16_corpusPipeline _,
     "x_stratified_prefilter" -> x_stratifiedPrefilter _,
+    "x_corpus_from_clusters" -> x_corpusFromClusters _,
   )
 }

@@ -64,7 +64,8 @@ class EdgeCaseSpec extends SparkSpec {
     "c8_text_quality", "c9_multimodal_decode", "c10_stopword_filter",
     "c11_hash_sample", "c12_tfidf_top_terms", "c13_stratified_sample",
     "c14_pack_sequences", "c15_dedup_clusters", "c16_corpus_pipeline", "x_minhash_lsh", "x_ann_lsh",
-    "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter")
+    "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
+    "x_corpus_from_clusters")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

@@ -259,6 +259,27 @@ class NewOpsSpec extends SparkSpec {
       s"big-star census drifted — scans=${c.scans} reused=${c.reused}")
   }
 
+  test("x_corpus_from_clusters: byte-equal to c16; the consumer plan is shingle-free") {
+    // the materialized-cluster composition must change NOTHING about
+    // the manifest — same rows, same order, at both fixture scales
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val got = CorpusOps.x_corpusFromClusters(spark, d).collect().map(_.toSeq).toSeq
+      val exp = CorpusOps.c16_corpusPipeline(spark, d).collect().map(_.toSeq).toSeq
+      assert(got === exp, s"composed pipeline diverged from c16 at $d")
+    }
+    // …and the consumer provably does not re-derive pair generation:
+    // its scans are documents×2 + the slim cluster table, with no
+    // shingle-hash expressions and no checkpointed-RDD input anywhere
+    val x = CorpusOps.x_corpusFromClusters(spark, sf0001)
+    val c = graft.tools.ScanAudit.census(x)
+    assert(c.tables.get("documents").contains(2) &&
+      c.tables.get("clusters").contains(1),
+      s"unexpected scan breakdown: ${c.tablesStr}")
+    val plan = x.queryExecution.executedPlan.toString
+    assert(!plan.contains("xxhash64") && !plan.contains("ExistingRDD"),
+      "consumer plan re-derives the near-dup computation")
+  }
+
   test("clustersOf composes with any pair source: simhash pairs resolve too") {
     val simPairs = Simhash.c6_simhash(spark, sf0001)
     val got = TextOps.clustersOf(simPairs).collect()

@@ -116,7 +116,11 @@ class ScanCensusSpec extends SparkSpec {
     "x_ann_ivf" -> ((2, 0)),
     "x_label_centroids" -> ((1, 0)),
     "x_minhash_lsh" -> ((2, 6)),
-    "x_stratified_prefilter" -> ((2, 0)))
+    "x_stratified_prefilter" -> ((2, 0)),
+    // the composed form's POINT: documents×2 (sized + digest-keeps) +
+    // the materialized cluster table×1 — no shingle/minhash stages, no
+    // checkpointed-RDD scan; NewOpsSpec asserts the table breakdown
+    "x_corpus_from_clusters" -> ((3, 0)))
 
   test("the census table covers exactly the query inventory") {
     assert(expected.keySet === SparkEntry.queries.keySet)
