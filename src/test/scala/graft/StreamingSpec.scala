@@ -184,6 +184,60 @@ class StreamingSpec extends SparkSpec {
       "an empty drain must not re-emit anything")
   }
 
+  test("s1 crash recovery: a batch killed after its sink write replays idempotently on restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val scratch = graft.ops.Tables.scratch
+    val (src, out, outRef, chk, chkRef) =
+      (s"$scratch/crash_src", s"$scratch/crash_out", s"$scratch/crash_ref",
+        s"$scratch/crash_chk", s"$scratch/crash_chk_ref")
+    Seq(src, out, outRef, chk, chkRef).foreach(graft.ops.Tables.rmrf)
+    val ev = graft.ops.Tables.events(spark, sf0001)
+    // four single-file drops + maxFilesPerTrigger=1 → a four-batch drain,
+    // so there IS a "between micro-batches" to die in
+    (0L until 4L).foreach(g =>
+      ev.filter(col("event_id") % 4 === g).coalesce(1)
+        .write.mode("append").parquet(src))
+
+    // the s1 pipeline + bid-keyed overwrite sink; optionally crash AFTER
+    // batch `crashAt`'s sink write lands but BEFORE its offset commits —
+    // the worst-case crash point: data on disk, checkpoint unaware
+    def run(sink: String, ckpt: String, crashAt: Option[Long]): Boolean = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.ops.Ingest.dwdOf(graft.ops.Ingest.envelopeOf(stream))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/bid=$bid")
+          if (crashAt.contains(bid))
+            throw new RuntimeException("injected crash after sink write")
+        }
+        .start()
+      try { q.awaitTermination(); true }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => false
+      }
+    }
+
+    assert(run(outRef, chkRef, None), "reference drain must complete")
+    assert(!run(out, chk, Some(1L)), "the injected crash must abort the query")
+    // the crash landed mid-drain: batch 1's data is on disk, unacknowledged
+    val bidsAfterCrash = new java.io.File(out).list().count(_.startsWith("bid="))
+    assert(bidsAfterCrash === 2, s"expected bids 0,1 on disk, saw $bidsAfterCrash")
+    // restart from the SAME checkpoint: batch 1 REPLAYS (overwriting its
+    // own bid dir — the idempotent-sink half of exactly-once), 2..3 resume
+    assert(run(out, chk, None), "the resumed drain must complete")
+
+    def slurp(dir: String) = spark.read.parquet(dir)
+      .select(graft.ops.Ingest.EventFields.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = slurp(out)
+    val ref = slurp(outRef)
+    assert(got.length === ref.length, "restart lost or duplicated rows")
+    assert(got === ref, "recovered sink differs from the uninterrupted run")
+  }
+
   test("s6 semantics: dropDuplicatesWithinWatermark drops a cross-batch redelivery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
