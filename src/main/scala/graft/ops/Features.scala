@@ -367,7 +367,23 @@ object Features {
     * shape that survives 100 TB; on a lake bucketed+sorted by
     * (user_id, ts) even that one exchange disappears.
     */
-  def b7_asofJoin(spark: SparkSession, d: String): DataFrame = {
+  def b7_asofJoin(spark: SparkSession, d: String): DataFrame =
+    asofOf(asofInput(spark, d))
+
+  /** b7's input projection: view/purchase events with the merge-form
+    * kind flag (feature=0 / probe=1) — also what [[x_asofBucketed]]
+    * writes to its bucketed layout.
+    */
+  private[ops] def asofInput(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+
+  /** b7's window stage over any (user_id, ts, event_id, value, kind)
+    * frame — the merge-form as-of resolution itself.
+    */
+  private[ops] def asofOf(ev: DataFrame): DataFrame = {
     // features sort before probes at equal ts (kind 0 < 1); among equal-ts
     // features the largest event_id wins because last() takes the latest.
     val ord = Window.partitionBy(col("user_id"))
@@ -382,15 +398,36 @@ object Features {
     val lastFeat =
       last(when(col("kind") === 0, struct(col("event_id"), col("value"))),
         ignoreNulls = true).over(ord)
-    Tables.events(spark, d)
-      .filter(col("event_type").isin("view", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
-        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+    ev
       .withColumn("feat", lastFeat)
       .filter(col("kind") === 1 && col("feat").isNotNull)
       .select(col("event_id").as("probe_eid"), col("user_id"),
         col("feat.event_id").as("feat_eid"), col("feat.value").as("feat_value"))
       .orderBy(col("probe_eid"))
+  }
+
+  /** x: b7 on the bucketed+sorted lake layout its scaladoc promises —
+    * the as-of input written `bucketBy(8, user_id)` / sorted
+    * (user_id, ts, kind, event_id), then the SAME window stage over the
+    * bucketed table. The bucketed scan already satisfies the window's
+    * ClusteredDistribution(user_id), so the one hash exchange b7 pays
+    * disappears (PlanSpec pins the contrast); only the presentation
+    * sort remains. Rows-only by declared design: output is byte-equal
+    * to b7 (pinned in FeatureSpec), whose oracle covers the semantics.
+    *
+    * Scale (100 TB): this is THE feature-store as-of layout — events
+    * land bucketed by user once at ingest, and every subsequent
+    * point-in-time training-set build windows in place with zero
+    * shuffle of the fact table.
+    */
+  def x_asofBucketed(spark: SparkSession, d: String): DataFrame = {
+    val wh = s"${Tables.scratch}/asof_bucketed_${Tables.sanitize(d)}"
+    spark.sql("DROP TABLE IF EXISTS events_asof_b")
+    Tables.rmrf(wh)
+    asofInput(spark, d).write
+      .bucketBy(8, "user_id").sortBy("user_id", "ts", "kind", "event_id")
+      .option("path", s"$wh/events_asof_b").saveAsTable("events_asof_b")
+    asofOf(spark.table("events_asof_b"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -558,6 +595,7 @@ object Features {
     "b5_window_frame"      -> b5_windowFrame _,
     "b6_sessionize"        -> b6_sessionize _,
     "b7_asof_join"         -> b7_asofJoin _,
+    "x_asof_bucketed"      -> x_asofBucketed _,
     "b15_salted_agg"       -> b15_saltedAgg _,
     "b21_decayed_features" -> b21_decayedFeatures _,
     "b22_feature_drift"    -> b22_featureDrift _,

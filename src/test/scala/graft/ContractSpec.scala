@@ -35,16 +35,16 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the seven declared x_* variants") {
+  test("the rows-only set is exactly the eight declared x_* variants") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("x_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
       "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
-      "x_corpus_from_clusters"),
+      "x_corpus_from_clusters", "x_asof_bucketed"),
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 71 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 71)
+  test("the inventory holds all 72 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 72)
     assert(SparkEntry.oracleSql.size === 64)
   }
 }

@@ -223,4 +223,14 @@ class FeaturesSpec extends SparkSpec {
       .filter(col("fts") > col("pts"))
     assert(bad.count() === 0)
   }
+
+  test("x_asof_bucketed: byte-equal to b7 at both fixture scales") {
+    // the bucketed layout is a physical-plan change only — the as-of
+    // resolution must be row-for-row identical to the shuffled form
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val got = Features.x_asofBucketed(spark, d).collect().map(_.toSeq).toSeq
+      val exp = Features.b7_asofJoin(spark, d).collect().map(_.toSeq).toSeq
+      assert(got === exp, s"bucketed as-of diverged from b7 at $d")
+    }
+  }
 }

@@ -280,6 +280,22 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected one events scan, saw $scans:\n$p")
   }
 
+  test("x_asof_bucketed: the user_id hash exchange disappears on the bucketed layout") {
+    // SURVEY §8's claim made executable: b7's one shuffle is the window's
+    // ClusteredDistribution(user_id), and a scan bucketed on user_id
+    // already provides it — only the presentation range sort remains
+    val p = plan(Features.x_asofBucketed(spark, sf0001))
+    assert(!p.contains("hashpartitioning"),
+      s"bucketed as-of must not hash-shuffle the fact table:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan should be bucket-aware:\n$p")
+    assert(!p.contains("Join"), s"still the merge form — no join operator:\n$p")
+    // …while b7 over the unbucketed fixture DOES pay that exchange: the
+    // contrast is what makes the vanished shuffle a property, not luck
+    val pb = plan(Features.b7_asofJoin(spark, sf0001))
+    assert(pb.contains("hashpartitioning"),
+      "b7's plan lost its window exchange — update this contrast pin")
+  }
+
   test("b17: latest-wins upsert plans one shuffle on the feature key") {
     val p = plan(Extras.b17_latestFeatures(spark, sf0001))
     // WindowGroupLimit pushes the rank filter below the full window sort

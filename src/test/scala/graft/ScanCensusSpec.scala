@@ -120,7 +120,9 @@ class ScanCensusSpec extends SparkSpec {
     // the composed form's POINT: documents×2 (sized + digest-keeps) +
     // the materialized cluster table×1 — no shingle/minhash stages, no
     // checkpointed-RDD scan; NewOpsSpec asserts the table breakdown
-    "x_corpus_from_clusters" -> ((3, 0)))
+    "x_corpus_from_clusters" -> ((3, 0)),
+    // one bucketed scan; PlanSpec pins the vanished hash exchange
+    "x_asof_bucketed" -> ((1, 0)))
 
   test("the census table covers exactly the query inventory") {
     assert(expected.keySet === SparkEntry.queries.keySet)
