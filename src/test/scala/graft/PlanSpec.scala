@@ -280,6 +280,46 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected one events scan, saw $scans:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime — join skew needs no manual salt") {
+    // the runtime half of the skew story next to b15: a hot join key
+    // concentrates one shuffle partition; AQE's OptimizeSkewedJoin
+    // splits it into advisory-sized slices (skew=true on the SMJ) with
+    // no code change. The thresholds are lowered to make fixture-scale
+    // bytes "skewed" — at lake scale the defaults (256 MB, 5× median)
+    // fire on real hot keys. Aggregation skew is the half AQE does NOT
+    // handle: a skewed groupBy still funnels the hot key into one task,
+    // which is exactly why b15's manual two-phase salt exists
+    // (BENCH_NOTES (w) adjudicates the split of labor).
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      // hot key 0 carries ~100k rows; 19 cold keys carry ~100 each
+      val fact = spark.range(100000L)
+        .select(org.apache.spark.sql.functions.lit(0L).as("k"),
+          org.apache.spark.sql.functions.col("id").as("v"))
+        .union(spark.range(1900L)
+          .select((org.apache.spark.sql.functions.col("id") % 19 + 1).as("k"),
+            org.apache.spark.sql.functions.col("id").as("v")))
+      val dim = spark.range(20L)
+        .select(org.apache.spark.sql.functions.col("id").as("k"),
+          (org.apache.spark.sql.functions.col("id") * 10).as("w"))
+      val joined = fact.join(dim, "k")
+      joined.collect() // AQE decides at runtime: materialize first
+      val p = plan(joined)
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not mark the hot partition:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("x_asof_bucketed: the user_id hash exchange disappears on the bucketed layout") {
     // SURVEY §8's claim made executable: b7's one shuffle is the window's
     // ClusteredDistribution(user_id), and a scan bucketed on user_id
