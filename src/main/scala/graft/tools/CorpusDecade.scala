@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decade-scale synthetic corpus generator for the data-dominated
+  * bench tier (BENCH_NOTES (x)). The driver fixtures stop at sf0.1
+  * (5 000 documents), where the corpus-prep queries are still
+  * fixed-overhead-dominated; this tool extends the documents table by
+  * an integer factor so the scaling exponents of c2/c15/c16/x_minhash
+  * can be measured where DATA dominates.
+  *
+  * Construction — `factor` replicas of the sf0.1 corpus, where replica
+  * r > 0 suffixes every whitespace token with `~r`:
+  *
+  *   - doc_id' = doc_id + r * (max_id + 1): ids stay unique BIGINTs.
+  *   - Replica 0 is byte-identical to the source corpus.
+  *   - Within a replica, token sequences are a bijective renaming of
+  *     the originals, so every shingle set, Jaccard value, near-dup
+  *     pair and cluster mirrors the source exactly (shingles are
+  *     3-token xxhash64 — a token bijection is a shingle bijection).
+  *   - Across replicas, NO shingle is shared (`~r` differs in every
+  *     token), so replicas generate zero cross pairs.
+  *
+  * Net: the c2 pair list at factor F is exactly F shifted copies of
+  * the sf0.1 pair list — the workload grows PERFECTLY linearly in
+  * documents, shingles, candidate pairs and clusters, which is the
+  * property a scaling measurement needs (a naive F× duplication would
+  * instead add F-cliques of exact near-dups per document and measure a
+  * quadratically different workload, not the same one scaled).
+  * DecadeSpec pins this replica-linearity at factor 3 on sf0.001.
+  *
+  * `region.parquet` is copied through so graft.Bench's warm-up read
+  * works against the generated dir.
+  *
+  * Usage: runMain graft.tools.CorpusDecade <factor> [srcDir] [outDir]
+  */
+object CorpusDecade {
+
+  /** The replicated documents frame (lazy; caller writes or verifies). */
+  def replicate(spark: SparkSession, srcDir: String, factor: Int) = {
+    val docs = graft.ops.Tables.documents(spark, srcDir)
+    val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    docs.crossJoin(spark.range(factor).toDF("r"))
+      .select(
+        (col("doc_id") + col("r") * stride).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(concat_ws(" ",
+          expr("transform(split(text, ' '), t -> concat(t, '~', CAST(r AS STRING)))")))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args(0).toInt
+    val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 2) args(2)
+                 else s"/root/repo/target/decade/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.ops.Tables.rmrf(outDir)
+    // repartition so the written table has cluster-shaped parallelism
+    // (the source is a single small file; F small files would serialize
+    // the downstream scans' first stage on one task per replica)
+    replicate(spark, srcDir, factor)
+      .repartition(32, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    val n = spark.read.parquet(s"$outDir/documents.parquet").count()
+    println(s"[corpus-decade] wrote $n documents (factor $factor of $srcDir) -> $outDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.tools.CorpusDecade
+
+/** Pins the replica-linearity property CorpusDecade's scaling
+  * measurement rests on (BENCH_NOTES (x)): at factor F the corpus is F
+  * shingle-disjoint copies of the source, so the near-dup workload
+  * (pairs, clusters) is EXACTLY F shifted copies of the source
+  * workload — scaled data, identical characteristics. If a generator
+  * change ever let replicas share a shingle (e.g. suffixing only some
+  * tokens), cross-replica pairs would appear, the measured workload
+  * would grow quadratically in F, and these equalities would break.
+  */
+class DecadeSpec extends SparkSpec {
+
+  private val factor = 3
+  private lazy val dir = {
+    val d = s"${Tables.scratch}/decade_spec_x$factor"
+    Tables.rmrf(d)
+    CorpusDecade.replicate(spark, sf0001, factor)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+  private lazy val stride =
+    Tables.documents(spark, sf0001).agg(max(col("doc_id"))).head.getLong(0) + 1
+
+  test("decade corpus: F replicas, replica 0 byte-equal, ids disjoint") {
+    val src = Tables.documents(spark, sf0001)
+    val rep = Tables.documents(spark, dir)
+    assert(rep.count() === factor * src.count())
+    // replica 0 (ids < stride) is the source corpus verbatim
+    assert(rep.filter(col("doc_id") < stride).exceptAll(src).count() === 0)
+    assert(src.exceptAll(rep.filter(col("doc_id") < stride)).count() === 0)
+    assert(rep.groupBy(col("doc_id")).count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("decade corpus: c2 pair list is exactly F shifted copies of the source's") {
+    val srcPairs = TextOps.c2_dedupJaccard(spark, sf0001)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+    val repPairs = TextOps.c2_dedupJaccard(spark, dir)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+    // expected: for every source pair, one copy per replica at +r*stride
+    val expected = srcPairs.crossJoin(spark.range(factor).toDF("r"))
+      .select((col("a_id") + col("r") * stride).as("a_id"),
+        (col("b_id") + col("r") * stride).as("b_id"),
+        col("inter"), col("jaccard"))
+    assert(repPairs.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(repPairs).count() === 0)
+  }
+
+  test("decade corpus: cluster count scales by exactly F, no cross-replica members") {
+    val srcClusters = TextOps.c15_dedupClusters(spark, sf0001)
+    val repClusters = TextOps.c15_dedupClusters(spark, dir)
+    assert(repClusters.count() === factor * srcClusters.count())
+    // every member's replica (id div stride) equals its cluster's —
+    // a cross-replica edge would merge labels across the boundary
+    assert(repClusters
+      .filter(col("doc_id").divide(stride).cast("long") =!=
+        col("cluster_id").divide(stride).cast("long"))
+      .count() === 0)
+  }
+}
