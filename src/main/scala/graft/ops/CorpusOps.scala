@@ -282,6 +282,78 @@ object CorpusOps {
       spark.read.parquet(s"$dir/clusters.parquet"))
   }
 
+  /** Subshard fan-out for [[packSizedTwoPhase]]: the first hex digit of
+    * the md5 order key — a PREFIX of the sort key, so subshard
+    * boundaries respect the global (order_key, doc_id) order within a
+    * source and the concatenation of subshard-local running sums is the
+    * source-global running sum.
+    */
+  private val SubshardDigits = 1 // 16 subshards per source
+
+  /** Stage 2 of packing as a TWO-PHASE distributed prefix sum — the
+    * 100 TB form of [[packSized]], byte-identical output.
+    *
+    * [[packSized]]'s running sum is a window over `partitionBy(source)`:
+    * exact and simple, but its parallelism is BOUNDED BY THE NUMBER OF
+    * SOURCES — the fixture has 20, a real lake maybe hundreds, and each
+    * one is a single task scanning its whole shard serially. The decade
+    * measurement (BENCH_NOTES (x)) names this the first stage to go
+    * super-linear: data per source grows linearly while the task count
+    * stays flat.
+    *
+    * The fix is the classic scalable prefix sum: (1) a local running
+    * sum per (source, subshard) — parallelism sources×16, each task a
+    * fraction of a shard; (2) per-subshard token totals, aggregated ON
+    * the window's existing partitioning (no new exchange — max 16 rows
+    * per source survive the partial agg); (3) a prefix-offset window
+    * over that tiny totals relation (sources×16 rows on one task —
+    * milliseconds); (4) a broadcast join adding each subshard's prefix
+    * to its local sums. Because the subshard key is a PREFIX of the
+    * sort key, local-sum + earlier-subshard-totals IS the global
+    * running sum — same tok_end, same seq_id/offset, bit for bit
+    * (NewOpsSpec pins byte-equality with c14; DecadeSpec at 3× scale).
+    * Deeper fan-out (2+ digit prefixes) nests the same construction.
+    */
+  private[ops] def packSizedTwoPhase(sized: DataFrame): DataFrame = {
+    val withSub = sized.withColumn("sub",
+      substring(col("order_key"), 1, SubshardDigits))
+    val local = Window.partitionBy(col("source"), col("sub"))
+      .orderBy(col("order_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = withSub.withColumn("local_end", sum(col("n_tok")).over(local))
+    // subshard totals come from max(local_end), NOT sum(n_tok): n_tok is
+    // non-negative (null text counts 0, split size >= 1), so the running
+    // sum is non-decreasing and its max IS the subshard total. The point
+    // is plan shape, not arithmetic — an agg over raw n_tok lets column
+    // pruning delete the window from this branch, the pruned subtree no
+    // longer matches the join branch, ReuseExchange fails and the corpus
+    // (text included, for the token recount) is SCANNED TWICE — the
+    // c12 pruning-divergence class from round 8. Referencing local_end
+    // keeps both subtrees byte-identical through the window: one scan,
+    // one data-sized exchange, and the agg itself runs exchange-free on
+    // the window's existing (source, sub) partitioning.
+    val totals = localCum.groupBy(col("source").as("src_t"), col("sub").as("sub_t"))
+      .agg(max(col("local_end")).as("tot"))
+    val prefW = Window.partitionBy(col("src_t")).orderBy(col("sub_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = totals
+      .withColumn("prefix", coalesce(sum(col("tot")).over(prefW), lit(0L)))
+      .select(col("src_t"), col("sub_t"), col("prefix"))
+    localCum
+      .join(broadcast(prefixes),
+        col("source") <=> col("src_t") && col("sub") <=> col("sub_t"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"(local_end + prefix - n_tok) DIV $SeqBudget").as("seq_id"),
+        expr(s"(local_end + prefix - n_tok) % $SeqBudget").as("offset"))
+      .orderBy(col("source"), col("seq_id"), col("offset"), col("doc_id"))
+  }
+
+  /** x: c14's packing via the two-phase prefix sum — rows-only (the c14
+    * oracle covers the identical output; equality pinned in scalatest).
+    */
+  def x_packTwophase(spark: SparkSession, d: String): DataFrame =
+    packSizedTwoPhase(sizeDocs(Tables.documents(spark, d)))
+
   val oracles: Map[String, String] = Map(
     "c10_stopword_filter" ->
       """SELECT doc_id,
@@ -377,5 +449,6 @@ object CorpusOps {
     "c16_corpus_pipeline" -> c16_corpusPipeline _,
     "x_stratified_prefilter" -> x_stratifiedPrefilter _,
     "x_corpus_from_clusters" -> x_corpusFromClusters _,
+    "x_pack_twophase"     -> x_packTwophase _,
   )
 }

@@ -35,16 +35,16 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the eight declared x_* variants") {
+  test("the rows-only set is exactly the nine declared x_* variants") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("x_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
       "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
-      "x_corpus_from_clusters", "x_asof_bucketed"),
+      "x_corpus_from_clusters", "x_asof_bucketed", "x_pack_twophase"),
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 72 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 72)
+  test("the inventory holds all 73 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 73)
     assert(SparkEntry.oracleSql.size === 64)
   }
 }

@@ -50,6 +50,14 @@ class DecadeSpec extends SparkSpec {
     assert(expected.exceptAll(repPairs).count() === 0)
   }
 
+  test("decade corpus: x_pack_twophase stays byte-equal to c14 at 3x scale") {
+    // the decade bench swaps c14's one-task-per-source window for the
+    // two-phase form; equality must hold on the scaled corpus too
+    val got = CorpusOps.x_packTwophase(spark, dir).collect().map(_.toSeq).toSeq
+    val exp = CorpusOps.c14_packSequences(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === exp)
+  }
+
   test("decade corpus: cluster count scales by exactly F, no cross-replica members") {
     val srcClusters = TextOps.c15_dedupClusters(spark, sf0001)
     val repClusters = TextOps.c15_dedupClusters(spark, dir)

@@ -280,6 +280,39 @@ class NewOpsSpec extends SparkSpec {
       "consumer plan re-derives the near-dup computation")
   }
 
+  test("x_pack_twophase: byte-equal to c14 at both fixture scales") {
+    // the two-phase prefix sum must change NOTHING about the packing —
+    // same rows, same order, bit for bit (subshard key is a prefix of
+    // the sort key, so local+offset IS the global running sum)
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val got = CorpusOps.x_packTwophase(spark, d).collect().map(_.toSeq).toSeq
+      val exp = CorpusOps.c14_packSequences(spark, d).collect().map(_.toSeq).toSeq
+      assert(got === exp, s"two-phase packing diverged from c14 at $d")
+    }
+  }
+
+  test("x_pack_twophase: null source and null text pack identically to c14") {
+    // a null source is its own shard in BOTH forms (null-safe join and
+    // window partitioning agree); null text packs as 0 tokens
+    val dir = s"${graft.ops.Tables.scratch}/pack_twophase_nulls"
+    graft.ops.Tables.rmrf(dir)
+    val rows = (0L until 64L).map { i =>
+      (i,
+       if (i % 7 == 3) null else ("tok " * ((i % 11 + 1) * 8).toInt).trim,
+       if (i % 5 == 0) null else s"src${i % 3}")
+    }
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.x_packTwophase(spark, dir).collect().map(_.toSeq).toSeq
+    val exp = CorpusOps.c14_packSequences(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === exp)
+    // the fixture bites: both null-source docs and a multi-sequence shard
+    assert(exp.exists(_(1) == null))
+    assert(CorpusOps.c14_packSequences(spark, dir)
+      .filter(col("seq_id") > 0).count() > 0)
+  }
+
   test("clustersOf composes with any pair source: simhash pairs resolve too") {
     val simPairs = Simhash.c6_simhash(spark, sf0001)
     val got = TextOps.clustersOf(simPairs).collect()

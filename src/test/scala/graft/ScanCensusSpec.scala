@@ -122,7 +122,11 @@ class ScanCensusSpec extends SparkSpec {
     // checkpointed-RDD scan; NewOpsSpec asserts the table breakdown
     "x_corpus_from_clusters" -> ((3, 0)),
     // one bucketed scan; PlanSpec pins the vanished hash exchange
-    "x_asof_bucketed" -> ((1, 0)))
+    "x_asof_bucketed" -> ((1, 0)),
+    // one corpus scan: the totals branch reuses the window exchange
+    // (max(local_end) keeps the subtrees identical — see the scaladoc);
+    // a 2 here means pruning divergence re-split the scan
+    "x_pack_twophase" -> ((1, 1)))
 
   test("the census table covers exactly the query inventory") {
     assert(expected.keySet === SparkEntry.queries.keySet)
