@@ -166,8 +166,29 @@ object CorpusOps {
     val pre = docs
       .join(broadcast(counts), col("lang") <=> col("lang_c"), "left")
       .filter(frac <= rate)
-    capStrata(pre)
+    capStrata(guardStrata(pre))
   }
+
+  /** Runtime guard on x_stratified_prefilter's probabilistic cut: each
+    * stratum must keep at least min(cap, n_stratum) survivors, or the
+    * exact window downstream would silently return fewer than c13's
+    * rows — the one way the variant can diverge. Chernoff-negligible at
+    * Safety=4, but at an untested scale "negligible" deserves a
+    * tripwire, not trust. The count window rides the same lang
+    * partitioning as capStrata's rank window, and its buffered input is
+    * the post-cut ~Safety×cap rows per stratum, so the guard costs no
+    * exchange and bounded memory. assert_true is NULL when satisfied
+    * (the filter then keeps every row unchanged); an undersized stratum
+    * fails the job with the stratum named, instead of shipping a
+    * silently-short sample (firing pinned in NewOpsSpec).
+    */
+  private[graft] def guardStrata(pre: DataFrame): DataFrame = pre
+    .withColumn("n_surv", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    .filter(assert_true(
+      col("n_surv") >= least(lit(StratumCap), col("n_stratum")),
+      concat(lit("stratified prefilter cut below the cap in stratum "),
+        coalesce(col("lang"), lit("<null>")))).isNull)
+    .drop("n_surv")
 
   /** Token budget per packed training sequence for c14. */
   val SeqBudget = 256L

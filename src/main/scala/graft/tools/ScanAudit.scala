@@ -38,7 +38,13 @@ object ScanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val only = args.drop(1).toSet
+    // --scala: emit the census as ready-to-paste ScanCensusSpec map
+    // entries — the committed expectations deliberately pin
+    // Spark-version- and AQE-dependent plan shapes (they're a tripwire),
+    // so a Spark upgrade reds many at once by design; this mode makes
+    // the audited update a one-commit paste instead of N hand edits.
+    val asScala = args.contains("--scala")
+    val only = args.drop(1).filterNot(_ == "--scala").toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,7 +59,8 @@ object ScanAudit {
       .foreach { case (name, fn) =>
         try {
           val c = census(fn(spark, sfDir))
-          println(f"[scan-audit] $name%-22s scans=${c.scans} reused=${c.reused}  ${c.tablesStr}")
+          if (asScala) println(s"""    "$name" -> ((${c.scans}, ${c.reused})),""")
+          else println(f"[scan-audit] $name%-22s scans=${c.scans} reused=${c.reused}  ${c.tablesStr}")
         } catch {
           case e: Throwable =>
             println(s"[scan-audit] $name FAILED: ${e.getMessage}")

@@ -212,6 +212,21 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("x_stratified_prefilter's survivor guard fires on an undersized stratum") {
+    // a stratum whose survivor count fell below min(cap, n_stratum)
+    // must FAIL the job naming the stratum, never ship a short sample
+    val bad = Seq((1L, "en", "aa", 300L), (2L, "en", "ab", 300L))
+      .toDF("doc_id", "lang", "rank_key", "n_stratum") // 2 survivors of 300
+    val e = intercept[Exception] {
+      CorpusOps.guardStrata(bad).collect()
+    }
+    assert(e.getMessage.contains("stratum en"))
+    // a healthy stratum passes every row through unchanged
+    val ok = Seq((1L, "en", "aa", 1L), (2L, "en", "ab", 2L))
+      .toDF("doc_id", "lang", "rank_key", "n_stratum")
+    assert(CorpusOps.guardStrata(ok).count() === 2)
+  }
+
   test("clustersOf converges past the sweep valve via the alternating-star fallback") {
     // a 25-link chain has diameter > MaxCcIters: per-sweep propagation
     // cannot finish inside the valve, so this exercises the

@@ -23,6 +23,14 @@ import graft.tools.ScanAudit
   * pins the fixture scale this spec runs at. A deliberate plan change
   * updates the committed pair in the same commit — that's the point:
   * scan-count changes must be intentional.
+  *
+  * These pins are also Spark-version-dependent (AQE strategy changes
+  * move them), so an engine upgrade is EXPECTED to red many rows at
+  * once. Regenerate the whole table as a ready-to-paste block with
+  *   runMain graft.tools.ScanAudit /root/testdata/sf0.001 --scala
+  * then audit the diff line-by-line before pasting: every changed pair
+  * must be explainable by the upgrade, not by an accidental plan
+  * regression the upgrade is masking.
   */
 class ScanCensusSpec extends SparkSpec {
 
