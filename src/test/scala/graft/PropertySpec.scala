@@ -216,6 +216,16 @@ class PropertySpec extends SparkSpec {
         }
       }
       assert(got14.length === docs.length, "every doc packs, null text included")
+
+      // x_pack_twophase: byte-equal to the one-window form on every
+      // generated corpus — the prefix-of-sort-key argument must survive
+      // null sources, null text, and arbitrary shard shapes, not just
+      // the fixtures
+      val tp = graft.ops.CorpusOps.x_packTwophase(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val ow = graft.ops.CorpusOps.c14_packSequences(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(tp === ow, "two-phase packing diverged on a generated corpus")
     }
   }
 
