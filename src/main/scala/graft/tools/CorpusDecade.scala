@@ -44,8 +44,11 @@ object CorpusDecade {
     docs.crossJoin(spark.range(factor).toDF("r"))
       .select(
         (col("doc_id") + col("r") * stride).as("doc_id"),
-        when(col("r") === 0, col("text")).otherwise(concat_ws(" ",
-          expr("transform(split(text, ' '), t -> concat(t, '~', CAST(r AS STRING)))")))
+        // null text stays null in EVERY replica (concat_ws would fold a
+        // null token array to "", silently differing from replica 0)
+        when(col("r") === 0 || col("text").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            expr("transform(split(text, ' '), t -> concat(t, '~', CAST(r AS STRING)))")))
           .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))

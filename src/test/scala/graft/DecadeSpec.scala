@@ -14,6 +14,7 @@ import graft.tools.CorpusDecade
   * would grow quadratically in F, and these equalities would break.
   */
 class DecadeSpec extends SparkSpec {
+  import spark.implicits._
 
   private val factor = 3
   private lazy val dir = {
@@ -48,6 +49,19 @@ class DecadeSpec extends SparkSpec {
         col("inter"), col("jaccard"))
     assert(repPairs.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(repPairs).count() === 0)
+  }
+
+  test("decade corpus: null text replicates as null, never as empty string") {
+    // concat_ws folds a null token array to "" — the generator must
+    // short-circuit so every replica of a null doc is still null
+    val d = s"${Tables.scratch}/decade_nulls"
+    Tables.rmrf(d)
+    Seq((0L, "a b c", "en", "s0", 5L), (1L, null.asInstanceOf[String], "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rep = CorpusDecade.replicate(spark, d, factor)
+    assert(rep.filter(col("text").isNull).count() === factor)
+    assert(rep.filter(col("text") === "").count() === 0)
   }
 
   test("decade corpus: x_pack_twophase stays byte-equal to c14 at 3x scale") {
