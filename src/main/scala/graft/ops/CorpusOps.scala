@@ -295,7 +295,7 @@ object CorpusOps {
     * by declared design: the c16 oracle covers the identical output.
     */
   def x_corpusFromClusters(spark: SparkSession, d: String): DataFrame = {
-    val dir = s"${Tables.scratch}/x_clusters_${new java.io.File(d).getName}"
+    val dir = s"${Tables.scratch}/x_clusters_${Tables.sanitize(d)}"
     Tables.rmrf(dir)
     TextOps.c15_dedupClusters(spark, d)
       .write.mode("overwrite").parquet(s"$dir/clusters.parquet")

@@ -50,8 +50,11 @@ object CorpusDecade {
           .otherwise(concat_ws(" ",
             expr("transform(split(text, ' '), t -> concat(t, '~', CAST(r AS STRING)))")))
           .as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
+        // n_chars passes through unchanged: FIXTURES.md documents it as
+        // an independent synthetic value, NOT length(text), so replica 0
+        // stays byte-identical and the column's distribution is
+        // preserved in every replica
+        col("lang"), col("source"), col("n_chars"))
   }
 
   def main(args: Array[String]): Unit = {

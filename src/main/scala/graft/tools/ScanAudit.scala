@@ -27,6 +27,10 @@ object ScanAudit {
     */
   def census(df: DataFrame): Census = {
     df.collect()
+    // default maxMetadataStringLength (100) truncates FileScan location
+    // strings, silently dropping long paths' `<table>.parquet` leaf from
+    // the census — raise it so the table breakdown is parse-complete
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2048")
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     Census(
@@ -37,14 +41,16 @@ object ScanAudit {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
     // --scala: emit the census as ready-to-paste ScanCensusSpec map
     // entries — the committed expectations deliberately pin
     // Spark-version- and AQE-dependent plan shapes (they're a tripwire),
     // so a Spark upgrade reds many at once by design; this mode makes
     // the audited update a one-commit paste instead of N hand edits.
+    // Flags are position-independent; positionals are sfDir [name ...].
     val asScala = args.contains("--scala")
-    val only = args.drop(1).filterNot(_ == "--scala").toSet
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional(0)
+    val only = positional.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +69,11 @@ object ScanAudit {
           else println(f"[scan-audit] $name%-22s scans=${c.scans} reused=${c.reused}  ${c.tablesStr}")
         } catch {
           case e: Throwable =>
-            println(s"[scan-audit] $name FAILED: ${e.getMessage}")
+            // in --scala mode a failure must still be a comment INSIDE
+            // the pasteable block (never a silently-missing map key —
+            // the spec's coverage assertion would only catch it later)
+            if (asScala) println(s"""    // "$name" -> FAILED: ${e.getMessage}""")
+            else println(s"[scan-audit] $name FAILED: ${e.getMessage}")
         }
       }
     spark.stop()

@@ -64,7 +64,8 @@ class EdgeCaseEventsSpec extends SparkSpec {
     "a15_json_roundtrip", "a16_csv_roundtrip", "a17_orc_roundtrip",
     "b1_agg_user_features", "b2_agg_distinct", "b3_groupsets_rollup",
     "b3b_cube", "b4_window_rank", "b5_window_frame", "b6_sessionize",
-    "b7_asof_join", "b11_scalar_suite", "b15_salted_agg", "b16_percentiles",
+    "b7_asof_join", "x_asof_bucketed", "b11_scalar_suite", "b15_salted_agg",
+    "b16_percentiles",
     "b21_decayed_features", "b22_feature_drift", "b23_funnel", "b24_retention",
     "b25_ltv_curve",
     "b17_latest_features", "x_approx_distinct",

@@ -65,7 +65,7 @@ class EdgeCaseSpec extends SparkSpec {
     "c11_hash_sample", "c12_tfidf_top_terms", "c13_stratified_sample",
     "c14_pack_sequences", "c15_dedup_clusters", "c16_corpus_pipeline", "x_minhash_lsh", "x_ann_lsh",
     "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
-    "x_corpus_from_clusters")
+    "x_corpus_from_clusters", "x_pack_twophase")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {
