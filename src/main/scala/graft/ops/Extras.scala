@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Round-3 widening of the operator surface (SURVEY.md §2B spirit):
   * the remaining feature-store primitives a reference user would reach
@@ -145,6 +147,58 @@ object Extras {
     emb.select(col("vec_id"), col("label"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfTrainCap)
 
+  /** Driver-side prep of one codebook row: unit-normalize (cosine
+    * ranking then reduces to a plain dot — 1/|c| folds in here, no
+    * per-row sqrt) and degrade non-finite components to 0, so one
+    * corrupt training vector cannot poison assignment. ONE shared
+    * definition feeds both the native path and the literal-SQL oracle
+    * below, so the two formulations score with bit-identical floats.
+    */
+  private[graft] def unitArr(c: Array[Float]): Array[Float] = {
+    val n = math.sqrt(c.map(x => x.toDouble * x).sum) max 1e-30
+    c.map { f =>
+      val v = (f / n).toFloat
+      if (java.lang.Float.isFinite(v)) v else 0f
+    }
+  }
+
+  // ---- the portable literal-SQL formulation of cell ranking --------
+  // x_ann_ivf EXECUTED this form through round 9; it is kept as the
+  // executable oracle of the assignment semantics (TextVectorSpec pins
+  // the native TopCells path equal to it on clean AND degenerate
+  // vectors). Its cost model is why it was replaced: the codebook is
+  // inlined as k array literals, so the generated source grows
+  // O(k·dim) and Janino recompiles it on EVERY Lloyd iteration (each
+  // new codebook is new source text).
+  private def unitTo(c: Array[Float]): String =
+    unitArr(c).map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+  private def cellScore(c: Array[Float]): String = s"dot_f32(embedding, ${unitTo(c)})"
+  private def cellStructs(cents: Array[Array[Float]]): String =
+    cents.zipWithIndex
+      .map { case (c, i) => s"struct(${cellScore(c)} AS s, $i AS cell)" }
+      .mkString(",")
+  /** cell = argmax over (score, cell) structs — ties to the higher cell. */
+  private[graft] def assignExprSql(cents: Array[Array[Float]]): Column =
+    expr(s"array_max(array(${cellStructs(cents)})).cell")
+  /** nprobe nearest cell ids, best first. */
+  private[graft] def probeCellsSql(cents: Array[Array[Float]], nprobe: Int): Column =
+    expr(s"transform(slice(reverse(array_sort(array(${cellStructs(cents)}))), 1, $nprobe)," +
+      " p -> p.cell)")
+
+  /** Native cell ranking over the `embedding` column: the codebook
+    * rides as ONE plan reference object inside
+    * [[graft.functions.TopCells]], so the generated code is a fixed
+    * ~40-line loop compiled once (codegen-cache-stable across Lloyd
+    * iterations — only the reference array changes) and k=4096 at
+    * dim=1024 costs the same source text as k=10. Result-identical to
+    * [[probeCellsSql]] by the TopCells contract.
+    */
+  private[graft] def topCellsCol(cents: Array[Array[Float]], nprobe: Int): Column =
+    ColumnBridge.column(graft.functions.TopCells(
+      UnresolvedAttribute("embedding"), cents.map(unitArr), nprobe))
+  private def assignCol(cents: Array[Array[Float]]): Column =
+    topCellsCol(cents, 1).getItem(0)
+
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
@@ -152,10 +206,10 @@ object Extras {
     // ---- codebook training: spherical k-means, Lloyd iterations ----
     // The codebook (k×dim floats) is MODEL STATE, not data: like MLlib's
     // KMeans, each iteration reduces per-cell means in the cluster and
-    // collects only the k centroid vectors to the driver, which are then
-    // compiled into the next iteration's assignment expression as
-    // literals — so assignment itself is a pure map over the corpus with
-    // ZERO shuffle (no crossJoin, no window). The per-cell mean is ONE
+    // collects only the k centroid vectors to the driver, which ride
+    // into the next iteration's assignment expression as a plan
+    // reference object (TopCells) — so assignment itself is a pure map
+    // over the corpus with ZERO shuffle (no crossJoin, no window). The per-cell mean is ONE
     // map-side-combining typed aggregate (VectorCentroid) — one shuffle
     // of k 64-double buffers per iteration, vs the posexplode + double
     // groupBy formulation's two wide shuffles.
@@ -186,33 +240,11 @@ object Extras {
 
     // Ranking cells by cos(v, c_i) = dot(v, c_i)/(|v||c_i|): |v| is
     // constant across cells, so argmax/top-nprobe are unchanged by
-    // dropping it, and 1/|c_i| folds into the literal by pre-normalizing
-    // the centroid driver-side. Each cell's score is then ONE dot_f32
-    // against a unit-centroid literal — half the generated code (these
-    // literal-compiled expressions are REBUILT every Lloyd iteration, so
-    // Janino compile cost recurs per iteration and must stay small) and
-    // no per-cell sqrt at row time.
-    def unitTo(c: Array[Float]): String = {
-      val n = math.sqrt(c.map(x => x.toDouble * x).sum) max 1e-30
-      // non-finite components render as bare NaN/Infinity tokens that
-      // Spark SQL cannot parse — one bad training vector would kill the
-      // next Lloyd iteration at analysis. Degrade them to 0 instead.
-      c.map { f =>
-        val v = (f / n).toFloat
-        s"CAST(${if (java.lang.Float.isFinite(v)) v else 0f} AS FLOAT)"
-      }.mkString("array(", ",", ")")
-    }
-    def cellScore(c: Array[Float]): String = s"dot_f32(embedding, ${unitTo(c)})"
-    // cell = argmax_c cos(embedding, centroid_c): max over (score, cell) structs
-    def assignExpr(cents: Array[Array[Float]]): org.apache.spark.sql.Column = expr(
-      cents.zipWithIndex
-        .map { case (c, i) => s"struct(${cellScore(c)} AS s, $i AS cell)" }
-        .mkString("array_max(array(", ",", ")).cell"))
-    // nprobe nearest cells, best first
-    def probeCellsExpr(cents: Array[Array[Float]]): org.apache.spark.sql.Column = expr(
-      cents.zipWithIndex
-        .map { case (c, i) => s"struct(${cellScore(c)} AS s, $i AS cell)" }
-        .mkString("slice(reverse(array_sort(array(", ",", s"))), 1, $IvfNprobe)"))
+    // dropping it, and 1/|c_i| folds into the pre-normalized codebook
+    // ([[unitArr]]). Assignment executes the native [[topCellsCol]]
+    // reference-object expression — generated code compiled ONCE for
+    // all Lloyd iterations and independent of k — with the round-9
+    // literal-SQL form retained above as its pinned oracle.
 
     // 100 TB shape: Lloyd runs on a BOUNDED training set, not the
     // corpus — k-means needs O(cells) representatives (~100 per cell
@@ -250,7 +282,7 @@ object Extras {
     val train = trainAll.filter(size(col("embedding")) === modalDim.get)
     var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
     for (_ <- 1 to IvfTrainIters)
-      cents = centroidsOf(train.withColumn("cell", assignExpr(cents)), cents)
+      cents = centroidsOf(train.withColumn("cell", assignCol(cents)), cents)
     trainAll.unpersist(blocking = false)
 
     // ---- index + search ----
@@ -259,14 +291,14 @@ object Extras {
     // would rerun the 64-element kernel per match on the hot scan
     val corpus = emb.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      assignExpr(cents).as("cell"),
+      assignCol(cents).as("cell"),
       sqrt(expr("dot_f32(embedding, embedding)")).as("c_norm"))
       .filter(VectorOps.finiteNorm(col("c_norm"))) // similarity domain
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        explode(probeCellsExpr(cents)).as("pc"),
+        explode(topCellsCol(cents, IvfNprobe)).as("cell"),
         sqrt(expr("dot_f32(embedding, embedding)")).as("p_norm"))
-      .select(col("probe_id"), col("pe"), col("pc.cell").as("cell"), col("p_norm"))
+      .select(col("probe_id"), col("pe"), col("cell"), col("p_norm"))
       .filter(VectorOps.finiteNorm(col("p_norm"))) // similarity domain
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))

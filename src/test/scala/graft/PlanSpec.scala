@@ -91,6 +91,16 @@ class PlanSpec extends SparkSpec {
       s"only the presentation sort's range exchange is allowed:\n$p")
   }
 
+  test("TopCells assignment projects inside whole-stage codegen (k-independent source)") {
+    val cents = Array.tabulate(10)(i => Array.tabulate(8)(j => (i * 8 + j + 1).toFloat))
+    val p = plan(Tables.embeddings(spark, sf0001)
+      .select(Extras.topCellsCol(cents, 3).as("cells")))
+    assert(p.contains("top_cells"), s"expected the native expression in the plan:\n$p")
+    val line = p.linesIterator.find(_.contains("top_cells")).get
+    assert(line.trim.startsWith("*("),
+      s"top_cells project fell out of whole-stage codegen:\n$p")
+  }
+
   test("x_ann_ivf: training sample is one TakeOrderedAndProject pass — no corpus pre-action") {
     val p = plan(Extras.ivfTrainSample(Tables.embeddings(spark, sf0001)))
     assert(p.contains("TakeOrderedAndProject"),

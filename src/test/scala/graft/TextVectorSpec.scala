@@ -114,4 +114,51 @@ class TextVectorSpec extends SparkSpec {
     assert(hit >= exactTop1.size * 6 / 10,
       s"IVF top-1 recall too low: $hit/${exactTop1.size}")
   }
+
+  test("TopCells native ranking ≡ the literal-SQL oracle, incl. degenerate vectors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // dot_f32 for the oracle side
+    // Codebook chosen to exercise every ordering path: an exact
+    // duplicate row (every vector ties cells 2 vs 3 — must resolve to
+    // the HIGHER cell) and an all-zero row (unit-degrades to zeros).
+    val cents: Array[Array[Float]] = Array(
+      Array(1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f),
+      Array(0.5f, 0.5f, 0.5f, 0.5f),
+      Array(0.5f, 0.5f, 0.5f, 0.5f),
+      Array(0f, 0f, 0f, 0f),
+      Array(-1f, 2f, -3f, 4f))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select(
+        graft.ops.Extras.topCellsCol(cents, 3).as("native3"),
+        graft.ops.Extras.probeCellsSql(cents, 3).as("oracle3"),
+        graft.ops.Extras.topCellsCol(cents, 1).getItem(0).as("native1"),
+        graft.ops.Extras.assignExprSql(cents).as("oracle1")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[Int](0) === r.getSeq[Int](1), s"nprobe=3 diverged: $r")
+        assert(r.getInt(2) === r.getInt(3), s"assignment diverged: $r")
+      }
+    }
+    // Degenerate vectors: the paths dot_f32 nulls (NULL vector, ragged
+    // length, null slot, empty array) must land on the same cells as
+    // the SQL null-score ordering; NaN slots must order NaN-greatest;
+    // the zero vector ties EVERY cell at score 0.
+    check(spark.sql(
+      """SELECT embedding FROM VALUES
+        |  (array(CAST(0.1 AS FLOAT), CAST(-0.2 AS FLOAT), CAST(0.3 AS FLOAT), CAST(0.4 AS FLOAT))),
+        |  (array(CAST(1 AS FLOAT), CAST(1 AS FLOAT), CAST(1 AS FLOAT), CAST(1 AS FLOAT))),
+        |  (array(CAST(-1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT))),
+        |  (array(CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT))),
+        |  (array(CAST('NaN' AS FLOAT), CAST(1 AS FLOAT), CAST(1 AS FLOAT), CAST(1 AS FLOAT))),
+        |  (array(CAST(3.4e38 AS FLOAT), CAST(3.4e38 AS FLOAT), CAST(-3.4e38 AS FLOAT), CAST(1 AS FLOAT))),
+        |  (array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT), CAST(1 AS FLOAT), CAST(1 AS FLOAT))),
+        |  (array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))),
+        |  (CAST(NULL AS ARRAY<FLOAT>)),
+        |  (CAST(array() AS ARRAY<FLOAT>))
+        |AS t(embedding)""".stripMargin))
+    // Bulk: generated vectors sweep the generic comparison path.
+    val rnd = new scala.util.Random(7)
+    check(Seq.fill(300)(Array.fill(4)((rnd.nextFloat() - 0.5f) * 4f)).toDF("embedding"))
+  }
 }
