@@ -161,4 +161,31 @@ class TextVectorSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     check(Seq.fill(300)(Array.fill(4)((rnd.nextFloat() - 0.5f) * 4f)).toDF("embedding"))
   }
+
+  test("TopCells executes at k=512 — the scale the literal form could not reach") {
+    import spark.implicits._
+    // The literal-SQL form at k=512 would inline ~8k float literals of
+    // generated source; TopCells' source text is k-independent, so the
+    // large-codebook claim is executable, not just asserted. Checked
+    // against a driver-side model sharing unitArr and the dot fold.
+    val rnd = new scala.util.Random(11)
+    val k = 512
+    val dim = 16
+    val cents = Array.fill(k)(Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f))
+    val unit = cents.map(graft.ops.Extras.unitArr)
+    val vecs = Seq.tabulate(50)(i => (i, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)))
+    val got = vecs.toDF("id", "embedding")
+      .select(col("id"), graft.ops.Extras.topCellsCol(cents, 3).as("cells"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      def score(c: Array[Float]): Double = {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += v(j).toDouble * c(j).toDouble; j += 1 }
+        acc
+      }
+      val expected = unit.zipWithIndex.map { case (c, i) => (score(c), i) }
+        .sortBy { case (s, i) => (-s, -i) }.take(3).map(_._2).toSeq
+      assert(got(id) === expected, s"k=512 ranking diverged for row $id")
+    }
+  }
 }
