@@ -9,18 +9,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    // default; read nanos as long and convert explicitly (below).
+    // Older fixture generations carried TIMESTAMP(NANOS) which Spark
+    // rejects by default; read nanos as long (converted in events()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with ts as a proper TimestampType (µs): nanos→µs via integer
-    * division, which truncates exactly like DuckDB's ns→µs cast.
+  /** events with ts as a proper TimestampType (µs), whatever the fixture
+    * generation wrote: TIMESTAMP(NANOS) arrives as long (nanosAsLong
+    * above) and converts by integer division — truncating exactly like
+    * DuckDB's ns→µs cast; TIMESTAMP(MICROS) arrives as NTZ and casts
+    * losslessly (session TZ is pinned UTC everywhere, so the wall-clock
+    * reading IS the instant).
     */
   def events(spark: SparkSession, d: String): DataFrame =
-    t(spark, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    withTsMicros(t(spark, d, "events"))
+
+  /** Normalize a raw events frame's `ts` to TimestampType µs (see
+    * events()); shared with the streaming file source, which reads the
+    * same fixture schema.
+    */
+  def withTsMicros(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def lineitem(spark: SparkSession, d: String): DataFrame  = t(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = t(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame  = t(spark, d, "customer")

@@ -111,11 +111,12 @@ object StreamOps {
             case (r, (key, v)) => r.option(key, v)
           }.load())
     }
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.withTsMicros(raw)
   }
 
   /** File-source stream over events.parquet with the raw fixture schema
-    * (ts arrives as nanos int64 — same conversion as the batch reader).
+    * (ts normalized to µs TimestampType — same conversion as the batch
+    * reader, whichever precision the fixture generation wrote).
     */
   private def fileEventStream(spark: SparkSession, d: String): DataFrame = {
     val schema = Tables.t(spark, d, "events").schema
