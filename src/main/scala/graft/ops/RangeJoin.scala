@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pure range (interval) join — the non-equi join family b8's theta row
+  * only touches. The reference has no joins at all (SURVEY §2A tail);
+  * this is the engine-addition a feature store needs for "events within
+  * a window of an anchor event" questions, here: purchases in the hour
+  * after each signup (conversion-attribution shape, same event domain
+  * as the reference's `InAppPurchase` flow,
+  * ConsumerMultiThread.java:26,117).
+  *
+  * Spark plans a bare non-equi condition as BroadcastNestedLoopJoin —
+  * fine while one side broadcasts, quadratic the moment both sides are
+  * data-sized. The scalable plan implemented here is the classic
+  * bucket-fan-out rewrite:
+  *
+  *   - discretize time into buckets of exactly the window width W;
+  *   - a point lands in ONE bucket; a (t, t+W] window overlaps at most
+  *     TWO — explode the anchor side to those two buckets;
+  *   - equi-join on the bucket (shuffle hash/sort-merge — no nested
+  *     loop), then re-apply the EXACT range predicate.
+  *
+  * Scale (100 TB): both sides shuffle once on the bucket key; per-task
+  * pair work is bounded by (events per window-width)² per bucket, i.e.
+  * by arrival rate, not corpus size. Bucket skew == burst skew, and AQE
+  * skew-join splitting applies to the equi-join as usual. The follow-up
+  * per-anchor aggregate is map-side combinable, and the join back to
+  * the anchor set (to keep zero-match anchors, LEFT semantics) moves
+  * only (event_id, n, cents) rows. A BNLJ at this shape would scan
+  * purchases once PER EXECUTOR-SLICE of signups — the rewrite is the
+  * difference between a join and a cartesian pass.
+  *
+  * Determinism: all comparisons in the integer µs domain
+  * (`unix_micros` ≡ DuckDB `epoch_us`), amounts as integer cents
+  * (b21's idiom), anchors validated (event_id/ts NOT NULL — a7's gate)
+  * so the group key is unique and the left-join-back key never null.
+  */
+object RangeJoin {
+
+  /** Window width: one hour, in µs. The bucket width MUST equal the
+    * window width for the two-bucket overlap bound to hold.
+    */
+  val WindowUs: Long = 3600L * 1000 * 1000
+
+  /** b26: purchases within (signup.ts, signup.ts + 1h], per signup —
+    * bucketed equi-join plan, byte-equal to the naive non-equi form
+    * (NewOpsSpec pins equality; PlanSpec pins the census: no
+    * BroadcastNestedLoopJoin anywhere).
+    */
+  def b26_rangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val signups = ev
+      .filter(col("event_type") === "signup" &&
+        col("event_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("su"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(col("event_id").as("p_event_id"), unix_micros(col("ts")).as("pu"),
+        round(col("value") * 100).try_cast("long").as("p_cents"))
+      .withColumn("bucket", floor(col("pu") / WindowUs))
+    // anchor fan-out: the (su, su+W] window overlaps buckets
+    // floor(su/W) and floor(su/W)+1 — never more, because W == bucket
+    // width. 2× duplication of the slim anchor projection only.
+    val anchorBuckets = signups
+      .withColumn("bucket", explode(array(
+        floor(col("su") / WindowUs), floor(col("su") / WindowUs) + 1)))
+    val matched = anchorBuckets
+      .join(purchases, Seq("bucket"))
+      .filter(col("pu") > col("su") && col("pu") <= col("su") + WindowUs)
+      .groupBy(col("event_id"))
+      .agg(count(col("p_event_id")).as("n_purchases"),
+        coalesce(sum(col("p_cents")), lit(0L)).as("cents_1h"))
+    signups.select(col("event_id"), col("user_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("cents_1h"), lit(0L)).as("cents_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The naive non-equi formulation (BroadcastNestedLoopJoin) — the
+    * executable spec b26 is equality-pinned against in NewOpsSpec.
+    * Not registered as a query: it IS the oracle, DuckDB runs the same
+    * SQL shape.
+    */
+  def naiveRangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val signups = ev
+      .filter(col("event_type") === "signup" &&
+        col("event_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("su"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(col("event_id").as("p_event_id"), unix_micros(col("ts")).as("pu"),
+        round(col("value") * 100).try_cast("long").as("p_cents"))
+    signups
+      .join(purchases,
+        col("pu") > col("su") && col("pu") <= col("su") + WindowUs, "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("p_event_id")).as("n_purchases"),
+        coalesce(sum(col("p_cents")), lit(0L)).as("cents_1h"))
+      .select(col("event_id"), col("user_id"), col("n_purchases"), col("cents_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "b26_range_join" ->
+      s"""WITH s AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS su FROM events
+         |  WHERE event_type = 'signup' AND event_id IS NOT NULL AND ts IS NOT NULL),
+         |p AS (
+         |  SELECT event_id AS p_event_id, epoch_us(ts) AS pu,
+         |    CAST(round(value * 100) AS BIGINT) AS p_cents
+         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+         |SELECT s.event_id, s.user_id,
+         |  count(p.p_event_id) AS n_purchases,
+         |  coalesce(sum(p.p_cents), 0) AS cents_1h
+         |FROM s LEFT JOIN p
+         |  ON p.pu > s.su AND p.pu <= s.su + ${WindowUs}
+         |GROUP BY s.event_id, s.user_id
+         |ORDER BY s.event_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b26_range_join" -> b26_rangeJoin _,
+  )
+}

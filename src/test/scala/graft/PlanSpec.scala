@@ -408,4 +408,14 @@ class PlanSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx == 2, s"expected census-agg + window exchanges only, saw $hashEx:\n$p")
   }
+
+  test("b26: the range join is a bucket EQUI-join — no nested loop anywhere") {
+    val p = plan(RangeJoin.b26_rangeJoin(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"b26 must not nested-loop:\n$p")
+    // the naive formulation DOES nested-loop — the contrast b26 exists for
+    val pn = plan(RangeJoin.naiveRangeJoin(spark, sf0001))
+    assert(pn.contains("BroadcastNestedLoopJoin"),
+      s"naive form should show the BNLJ b26 avoids:\n$pn")
+  }
 }
