@@ -17,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Ingest.queries ++ Sources.queries ++ Features.queries ++ Relational.queries ++
-      Extras.queries ++ RangeJoin.queries ++ CorpusOps.queries ++ TextOps.queries ++
+      Extras.queries ++ RangeJoin.queries ++ BloomJoin.queries ++
+      CorpusOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ Simhash.queries ++ TextQuality.queries ++
       Multimodal.queries ++ graft.streaming.StreamOps.queries
 
@@ -25,7 +26,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Ingest.oracles ++ Sources.oracles ++ Features.oracles ++ Relational.oracles ++
-      Extras.oracles ++ RangeJoin.oracles ++ CorpusOps.oracles ++ TextOps.oracles ++
+      Extras.oracles ++ RangeJoin.oracles ++ BloomJoin.oracles ++
+      CorpusOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ Simhash.oracles ++ TextQuality.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamOps.oracles
 }

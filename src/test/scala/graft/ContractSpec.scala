@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
     "Ingest" -> Ingest.queries, "Sources" -> Sources.queries,
     "Features" -> Features.queries, "Relational" -> Relational.queries,
     "Extras" -> Extras.queries, "RangeJoin" -> RangeJoin.queries,
-    "CorpusOps" -> CorpusOps.queries,
+    "BloomJoin" -> BloomJoin.queries, "CorpusOps" -> CorpusOps.queries,
     "TextOps" -> TextOps.queries, "VectorOps" -> VectorOps.queries,
     "Simhash" -> Simhash.queries, "TextQuality" -> TextQuality.queries,
     "Multimodal" -> Multimodal.queries, "StreamOps" -> StreamOps.queries)
@@ -44,8 +44,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 74 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 74)
-    assert(SparkEntry.oracleSql.size === 65)
+  test("the inventory holds all 75 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 75)
+    assert(SparkEntry.oracleSql.size === 66)
   }
 }

@@ -437,4 +437,75 @@ class NewOpsSpec extends SparkSpec {
     val nv = RangeJoin.naiveRangeJoin(spark, dir).collect()
     assert(out.toSeq === nv.toSeq)
   }
+
+  test("Bloom: no false negatives; build agg matches a scala model; merge ORs") {
+    import graft.functions.{Bloom, BloomBuildAgg}
+    val keys = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L, 1234567890123L)
+    val words = 16
+    // scala model: sequential sets
+    val model = new Array[Long](words)
+    keys.foreach(Bloom.set(model, Bloom.NumHashes, _))
+    // aggregator path: reduce then a merge split at every point
+    val agg = new BloomBuildAgg(words, Bloom.NumHashes)
+    val whole = keys.foldLeft(agg.zero)(agg.reduce)
+    assert(whole.toSeq === model.toSeq)
+    (1 until keys.size).foreach { cut =>
+      val l = keys.take(cut).foldLeft(agg.zero)(agg.reduce)
+      val r = keys.drop(cut).foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(l, r).toSeq === model.toSeq)
+    }
+    // no false negatives, ever
+    keys.foreach(k => assert(Bloom.contains(model, Bloom.NumHashes, k)))
+    // and the sketch actually discriminates at this fill level
+    val misses = (1000L to 1999L).count(!Bloom.contains(model, Bloom.NumHashes, _))
+    assert(misses > 900, s"sketch rejects too little: $misses/1000")
+  }
+
+  test("b27: bloom-pruned join equals the plain join; prune is selective") {
+    val fast = BloomJoin.b27_bloomJoin(spark, sf0001).collect().toSeq
+    val plain = {
+      import org.apache.spark.sql.functions._
+      Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+        .orderBy(col("n_name")).collect().toSeq
+    }
+    assert(fast === plain)
+    assert(fast.nonEmpty)
+    // the sketch prunes: surviving orders rows are a strict subset of all
+    // orders, and at least the truly-matching rows survive
+    val cust = Tables.customer(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+    val (bits, k) = BloomJoin.sketchOf(cust, "c_custkey")
+    val o = Tables.orders(spark, sf0001)
+    val total = o.count()
+    val survived = o.filter(BloomJoin.probe("o_custkey", bits, k)).count()
+    val matching = o.join(cust, o("o_custkey") === cust("c_custkey"), "left_semi").count()
+    assert(survived < total, "bloom pruned nothing")
+    assert(survived >= matching, "bloom dropped a true match (false negative)")
+  }
+
+  test("b27: a saturated 1-word sketch passes everything and the join still agrees") {
+    import graft.functions.{Bloom, BloomMightContain}
+    // adversarial sizing: 16 words for thousands of keys saturates the
+    // sketch (high fpp) — pruning vanishes but correctness must not
+    val cust = Tables.customer(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+    val sat = new Array[Long](16)
+    cust.select("c_custkey").collect().foreach(r =>
+      if (!r.isNullAt(0)) Bloom.set(sat, Bloom.NumHashes, r.getLong(0)))
+    val o = Tables.orders(spark, sf0001)
+    val pruned = o.filter(BloomJoin.probe("o_custkey", sat, Bloom.NumHashes))
+      .join(cust.select("c_custkey"), o("o_custkey") === cust("c_custkey"), "left_semi")
+      .count()
+    val exact = o.join(cust.select("c_custkey"), o("o_custkey") === cust("c_custkey"),
+      "left_semi").count()
+    assert(pruned === exact, "false positives must be absorbed by the real join")
+  }
 }

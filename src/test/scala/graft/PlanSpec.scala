@@ -418,4 +418,17 @@ class PlanSpec extends SparkSpec {
     assert(pn.contains("BroadcastNestedLoopJoin"),
       s"naive form should show the BNLJ b26 avoids:\n$pn")
   }
+
+  test("b27: the bloom probe filters the orders scan inside codegen") {
+    val p = plan(BloomJoin.b27_bloomJoin(spark, sf0001))
+    assert(p.contains("bloom_might_contain"), s"probe missing from the plan:\n$p")
+    // the probe must sit on the orders side BELOW the join: the Filter
+    // carrying it appears before (deeper than) any join operator when
+    // reading the fact branch — cheap proxy: the plan still shows the
+    // usual broadcast join AND the probe, and the probe is not above it
+    val probeIdx = p.indexOf("bloom_might_contain")
+    val joinIdx = p.indexOf("HashJoin")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe should be in the fact branch underneath the join")
+  }
 }
