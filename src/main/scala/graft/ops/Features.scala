@@ -353,6 +353,34 @@ object Features {
       .orderBy(col("cohort_day"), col("age"))
   }
 
+  /** b28: unpivot (melt) — the wide per-user feature matrix flattened
+    * back to long (user_id, feature, n) rows, the layout feature
+    * registries and training-example stores consume. Wide side is b1's
+    * conditional-aggregate shape (one groupBy shuffle, map-side
+    * combined); the melt itself is Spark's native `unpivot` — a
+    * narrow Expand (rows × features) with NO additional shuffle, the
+    * exact inverse of pivot. All melted measures share one BIGINT
+    * type, which is what makes the single value column well-typed —
+    * heterogeneous measures would force the lossy cast unpivot
+    * correctly refuses.
+    *
+    * Scale (100 TB): Expand multiplies rows by the fixed feature
+    * count without materializing anything wider than one row at a
+    * time, so the melt adds zero shuffle mass beyond the (already
+    * reduced) wide matrix; the output exchange is the cosmetic sort.
+    */
+  def b28_unpivot(spark: SparkSession, d: String): DataFrame = {
+    val measures = EventTypes.map(t => s"n_$t") :+ "sum_cents"
+    val aggs =
+      EventTypes.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t")) :+
+        coalesce(sum(round(col("value") * 100).try_cast("long")), lit(0L)).as("sum_cents")
+    Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col("user_id")), measures.map(col).toArray, "feature", "n")
+      .orderBy(col("user_id"), col("feature"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -431,6 +459,20 @@ object Features {
   }
 
   val oracles: Map[String, String] = Map(
+    "b28_unpivot" -> {
+      val filters = EventTypes.map(t =>
+        s"    count(*) FILTER (WHERE event_type = '$t') AS n_$t,").mkString("\n")
+      val branches = (EventTypes.map(t => s"n_$t") :+ "sum_cents").map(m =>
+        s"  SELECT user_id, '$m' AS feature, $m AS n FROM wide").mkString(" UNION ALL\n")
+      s"""WITH wide AS (
+         |  SELECT user_id,
+         |$filters
+         |    coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0) AS sum_cents
+         |  FROM events GROUP BY user_id)
+         |SELECT user_id, feature, n FROM (
+         |$branches)
+         |ORDER BY user_id, feature""".stripMargin
+    },
     "b1_agg_user_features" -> {
       val cols = EventTypes.flatMap { t =>
         Seq(
@@ -603,5 +645,6 @@ object Features {
     "b24_retention"        -> b24_retention _,
     "b25_ltv_curve"        -> b25_ltvCurve _,
     "b16_percentiles"      -> b16_percentiles _,
+    "b28_unpivot"          -> b28_unpivot _,
   )
 }

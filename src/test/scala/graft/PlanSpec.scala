@@ -419,6 +419,14 @@ class PlanSpec extends SparkSpec {
       s"naive form should show the BNLJ b26 avoids:\n$pn")
   }
 
+  test("b28: the melt is a narrow Expand over ONE aggregation shuffle") {
+    val p = plan(Features.b28_unpivot(spark, sf0001))
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected only the groupBy exchange, saw $hashEx:\n$p")
+    assert(!p.contains("Join"), s"melt must not join:\n$p")
+  }
+
   test("b27: the bloom probe filters the orders scan inside codegen") {
     val p = plan(BloomJoin.b27_bloomJoin(spark, sf0001))
     assert(p.contains("bloom_might_contain"), s"probe missing from the plan:\n$p")
