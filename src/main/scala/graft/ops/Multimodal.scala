@@ -79,6 +79,93 @@ object Multimodal {
         element_at(col("hist"), 3).as("h2"), element_at(col("hist"), 4).as("h3"))
       .orderBy(col("doc_id"))
 
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, thumb_sum: Long)
+
+  /** Deterministic fake "resize": target dims = fit into a 64×64 box
+    * preserving aspect ratio (all-integer: scale by 64 then DIV by the
+    * longer side, floor at 1), and a 64-point "thumbnail" descriptor —
+    * the byte-value sum of an even stride sample over the payload.
+    *
+    * REAL IMPLEMENTATION WOULD: bilinear/area-resample decoded pixels
+    * to (out_w, out_h) and emit the thumbnail bytes. The stride-sample
+    * sum stands in for the resample so the whole path stays
+    * deterministic and DuckDB-checkable; the geometry math is the real
+    * thing.
+    */
+  object ResizeStub {
+    val Box = 64
+    def resize(d: BinaryDoc): ResizedImage = {
+      val n = d.payload.length
+      val w = (n % 640) + 1
+      val h = (n % 480) + 1
+      val m = math.max(w, h)
+      val outW = math.max(1, w * Box / m)
+      val outH = math.max(1, h * Box / m)
+      val step = math.max(1, n / Box)
+      var sum = 0L
+      var k = 0
+      while (k < Box && k * step < n) {
+        sum += (d.payload(k * step) & 0xff).toLong
+        k += 1
+      }
+      ResizedImage(d.doc_id, w, h, outW, outH, sum)
+    }
+  }
+
+  /** c17: the resize stage — same partition-wise batched shape as c9
+    * (narrow mapPartitions; a real codec would amortize init per
+    * batch). No shuffle; the output orderBy is cosmetic.
+    */
+  def multimodalResize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    binaryTable(spark, d).mapPartitions(_.map(ResizeStub.resize)).toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"),
+        col("thumb_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Long, frame_sum: Long)
+
+  /** Fixed "video" framing: 256-byte frames, every 4th sampled. */
+  object FrameSampleStub {
+    val FrameBytes = 256
+    val Every = 4
+    def frames(d: BinaryDoc): Iterator[Frame] = {
+      val n = d.payload.length
+      val nFrames = (n + FrameBytes - 1) / FrameBytes
+      Iterator.range(0, nFrames, Every).map { j =>
+        val from = j * FrameBytes
+        val until = math.min(from + FrameBytes, n)
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += (d.payload(i) & 0xff).toLong; i += 1 }
+        Frame(d.doc_id, j.toLong, (until - from).toLong, sum)
+      }
+    }
+  }
+
+  /** c18: frame sampling — the video analog of c9's decode: treat the
+    * payload as fixed-size frames, emit every 4th (the keyframe-stride
+    * pattern training pipelines use to cut decode cost). flatMap inside
+    * ONE mapPartitions pass: rows fan out per frame but stay narrow —
+    * no shuffle, and frame extraction cost scales with sampled frames
+    * only.
+    *
+    * REAL IMPLEMENTATION WOULD: demux containers and decode only the
+    * sampled frames (codecs seek to keyframes for exactly this
+    * reason); per-frame byte count + sum stand in for pixel features.
+    */
+  def multimodalFrameSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    binaryTable(spark, d).mapPartitions(_.flatMap(FrameSampleStub.frames)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** The decode stub is JVM-side logic, but its fake feature definition
     * is simple enough to oracle: byte-bucket counts over the UTF-8
     * payload, dimensions from byte length. This pins the whole
@@ -106,9 +193,41 @@ object Multimodal {
         |  a.h0, a.h1, a.h2, a.h3
         |FROM documents d JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // same ASCII-payload identity as c9; geometry and stride sampling
+    // are pure integer math, so the resize stub is exactly expressible
+    "c17_multimodal_resize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, length(text) AS n,
+         |    length(text) % 640 + 1 AS w, length(text) % 480 + 1 AS h
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(sum(ord(substr(text, k * greatest(1, length(text) // ${ResizeStub.Box}) + 1, 1))) AS BIGINT) AS thumb_sum
+         |  FROM documents, unnest(range(0, ${ResizeStub.Box})) r(k)
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |    AND k * greatest(1, length(text) // ${ResizeStub.Box}) < length(text)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(greatest(1, w * ${ResizeStub.Box} // greatest(w, h)) AS BIGINT) AS out_w,
+         |  CAST(greatest(1, h * ${ResizeStub.Box} // greatest(w, h)) AS BIGINT) AS out_h,
+         |  s.thumb_sum
+         |FROM b JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c18_frame_sample" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, (i - 1) // ${FrameSampleStub.FrameBytes} AS j,
+         |    ord(substr(text, i, 1)) AS o
+         |  FROM documents, unnest(range(1, length(text) + 1)) r(i)
+         |  WHERE text IS NOT NULL AND length(text) > 0)
+         |SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+         |  CAST(count(*) AS BIGINT) AS frame_bytes,
+         |  CAST(sum(o) AS BIGINT) AS frame_sum
+         |FROM ch WHERE j % ${FrameSampleStub.Every} = 0
+         |GROUP BY doc_id, j ORDER BY doc_id, frame_idx""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c9_multimodal_decode" -> multimodalDecode _,
+    "c9_multimodal_decode"   -> multimodalDecode _,
+    "c17_multimodal_resize"  -> multimodalResize _,
+    "c18_frame_sample"       -> multimodalFrameSample _,
   )
 }

@@ -508,4 +508,25 @@ class NewOpsSpec extends SparkSpec {
       "left_semi").count()
     assert(pruned === exact, "false positives must be absorbed by the real join")
   }
+
+  test("c17/c18 stubs: resize geometry and frame boundaries on crafted payloads") {
+    import graft.ops.Multimodal._
+    def doc(n: Int) = BinaryDoc(1L, Array.tabulate(n)(i => (i % 251).toByte), "img/png")
+    // resize geometry: dims follow the stub's n-derived w/h, fit in the box
+    val r1 = ResizeStub.resize(doc(1))
+    assert((r1.width, r1.height, r1.out_w, r1.out_h) === (2, 2, 64, 64))
+    assert(r1.thumb_sum === 0L) // single byte value 0
+    val r700 = ResizeStub.resize(doc(700)) // w=61, h=221 -> portrait fit
+    assert(r700.out_h === 64 && r700.out_w === 61 * 64 / 221)
+    assert(r700.out_w >= 1 && r700.out_w <= 64 && r700.out_h <= 64)
+    // stride sampling takes exactly min(64, n) points
+    assert(ResizeStub.resize(doc(10)).thumb_sum === (0 until 10).map(_ % 251).sum.toLong)
+    // frames: 1025 bytes = 5 frames, stride 4 samples j=0 (256 bytes) and j=4 (1 byte)
+    val fs = FrameSampleStub.frames(doc(1025)).toSeq
+    assert(fs.map(f => (f.frame_idx, f.frame_bytes)) === Seq((0L, 256L), (4L, 1L)))
+    assert(fs.head.frame_sum === (0 until 256).map(_ % 251).sum.toLong)
+    assert(fs(1).frame_sum === (1024 % 251).toLong)
+    // exact multiple: 512 bytes = 2 frames, only j=0 sampled
+    assert(FrameSampleStub.frames(doc(512)).toSeq.map(_.frame_idx) === Seq(0L))
+  }
 }
