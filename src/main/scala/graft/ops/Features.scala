@@ -381,6 +381,41 @@ object Features {
       .orderBy(col("user_id"), col("feature"))
   }
 
+  /** b29: anomaly flags — events whose value deviates more than 1.5
+    * population-σ from their event-type mean, the feature-store
+    * data-quality sibling of b22's drift check. The σ test is done
+    * ENTIRELY in exact integer arithmetic: with per-type n = count,
+    * s = Σcents, q = Σcents², the condition |x − s/n| > 1.5·σ_pop is
+    * algebraically 4·(n·x − s)² > 9·(n·q − s²) — no square root, no
+    * division, no float, so the flag is bit-identical across engines
+    * and executor counts (a double sqrt/stddev would drift on the
+    * reduction order). Operands are cast to DECIMAL(38,0) (Spark) /
+    * HUGEINT (oracle): the products reach ~10²¹, past BIGINT but far
+    * inside both 38-digit domains, exact in each.
+    *
+    * Scale (100 TB): the per-type (n, s, q) census is a tiny
+    * map-side-combined aggregate broadcast back onto the stream (b21's
+    * census pattern) — the corpus itself is never shuffled; the flag
+    * is a pure codegen'd filter.
+    */
+  def b29_anomalyZscore(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).try_cast("long").as("cents"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s"),
+      sum(col("cents") * col("cents")).as("q"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(expr(
+        """4 * (CAST(n AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)))
+          |  * (CAST(n AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)))
+          |> 9 * (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))
+          |       - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))""".stripMargin))
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .orderBy(col("event_id"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -459,6 +494,20 @@ object Features {
   }
 
   val oracles: Map[String, String] = Map(
+    "b29_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, TRY_CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS s,
+        |    CAST(sum(cents * cents) AS HUGEINT) AS q
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.cents
+        |FROM e JOIN st USING (event_type)
+        |WHERE 4 * (st.n * e.cents - st.s) * (st.n * e.cents - st.s)
+        |    > 9 * (st.n * st.q - st.s * st.s)
+        |ORDER BY e.event_id""".stripMargin,
     "b28_unpivot" -> {
       val filters = EventTypes.map(t =>
         s"    count(*) FILTER (WHERE event_type = '$t') AS n_$t,").mkString("\n")
@@ -646,5 +695,6 @@ object Features {
     "b25_ltv_curve"        -> b25_ltvCurve _,
     "b16_percentiles"      -> b16_percentiles _,
     "b28_unpivot"          -> b28_unpivot _,
+    "b29_anomaly_zscore"   -> b29_anomalyZscore _,
   )
 }

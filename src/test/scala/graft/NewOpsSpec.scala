@@ -529,4 +529,26 @@ class NewOpsSpec extends SparkSpec {
     // exact multiple: 512 bytes = 2 frames, only j=0 sampled
     assert(FrameSampleStub.frames(doc(512)).toSeq.map(_.frame_idx) === Seq(0L))
   }
+
+  test("b29: the integer sigma test flags exactly the hand-computed outliers") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/b29_model"
+    // type t: cents [0,0,0,0,1000] -> mean 200, sigma_pop 400; 1.5*sigma = 600:
+    // only the 1000 deviates by 800 > 600. type u: all equal -> sigma 0, none
+    // flagged (strict >). null value and null type rows are excluded.
+    Seq(
+      (1L, "t", Some(0.0)), (2L, "t", Some(0.0)), (3L, "t", Some(0.0)),
+      (4L, "t", Some(0.0)), (5L, "t", Some(10.0)),
+      (6L, "u", Some(7.0)), (7L, "u", Some(7.0)),
+      (8L, "t", Option.empty[Double]), (9L, null.asInstanceOf[String], Some(99.0))
+    ).toDF("event_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(event_id)"))
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Features.b29_anomalyZscore(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(5L))
+    assert(out.head.getAs[Long]("cents") === 1000L)
+  }
 }

@@ -427,6 +427,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"melt must not join:\n$p")
   }
 
+  test("b29: the stats census broadcasts — the event stream never shuffles for it") {
+    val p = plan(Features.b29_anomalyZscore(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast census join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"only the tiny census agg should hash-shuffle, saw $hashEx:\n$p")
+  }
+
   test("b27: the bloom probe filters the orders scan inside codegen") {
     val p = plan(BloomJoin.b27_bloomJoin(spark, sf0001))
     assert(p.contains("bloom_might_contain"), s"probe missing from the plan:\n$p")
