@@ -25,12 +25,12 @@ import org.apache.spark.sql.functions._
   * Scale (100 TB): both sides shuffle once on the bucket key; per-task
   * pair work is bounded by (events per window-width)² per bucket, i.e.
   * by arrival rate, not corpus size. Bucket skew == burst skew, and AQE
-  * skew-join splitting applies to the equi-join as usual. The follow-up
-  * per-anchor aggregate is map-side combinable, and the join back to
-  * the anchor set (to keep zero-match anchors, LEFT semantics) moves
-  * only (event_id, n, cents) rows. A BNLJ at this shape would scan
-  * purchases once PER EXECUTOR-SLICE of signups — the rewrite is the
-  * difference between a join and a cartesian pass.
+  * skew-join splitting applies to the equi-join as usual. LEFT-joining
+  * on the bucket and folding the exact range predicate into conditional
+  * aggregates keeps zero-match anchors alive through the ONE map-side-
+  * combinable groupBy — no third scan, no join-back shuffle. A BNLJ at
+  * this shape would scan purchases once PER EXECUTOR-SLICE of signups —
+  * the rewrite is the difference between a join and a cartesian pass.
   *
   * Determinism: all comparisons in the integer µs domain
   * (`unix_micros` ≡ DuckDB `epoch_us`), amounts as integer cents
@@ -66,17 +66,19 @@ object RangeJoin {
     val anchorBuckets = signups
       .withColumn("bucket", explode(array(
         floor(col("su") / WindowUs), floor(col("su") / WindowUs) + 1)))
-    val matched = anchorBuckets
-      .join(purchases, Seq("bucket"))
-      .filter(col("pu") > col("su") && col("pu") <= col("su") + WindowUs)
-      .groupBy(col("event_id"))
-      .agg(count(col("p_event_id")).as("n_purchases"),
-        coalesce(sum(col("p_cents")), lit(0L)).as("cents_1h"))
-    signups.select(col("event_id"), col("user_id"))
-      .join(matched, Seq("event_id"), "left")
-      .select(col("event_id"), col("user_id"),
-        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
-        coalesce(col("cents_1h"), lit(0L)).as("cents_1h"))
+    // LEFT on the bucket + conditional aggregates (instead of an inner
+    // join, a filter, and a join-back to recover zero-match anchors):
+    // every anchor survives in its 2 bucket rows, a matched purchase is
+    // in-range in exactly ONE of them (its own bucket is unique), and
+    // the unmatched copies aggregate to zero — so one map-side-
+    // combinable groupBy replaces the third events scan and a whole
+    // join-back shuffle the two-phase form paid.
+    val inRange = col("pu") > col("su") && col("pu") <= col("su") + WindowUs
+    anchorBuckets
+      .join(purchases, Seq("bucket"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(when(inRange, col("p_event_id"))).as("n_purchases"),
+        coalesce(sum(when(inRange, col("p_cents"))), lit(0L)).as("cents_1h"))
       .orderBy(col("event_id"))
   }
 

@@ -85,6 +85,15 @@ class ScanCensusSpec extends SparkSpec {
     "b24_retention" -> ((1, 0)),
     "b25_ltv_curve" -> ((1, 0)),
     "b16_percentiles" -> ((1, 0)),
+    // two scans by design: slim signup + purchase projections of the one
+    // log (LEFT bucket join folds the zero-match recovery into the agg)
+    "b26_range_join" -> ((2, 0)),
+    // customer (dim) + nation + orders; the sketch build is its own
+    // eagerly-run job, not part of the final plan
+    "b27_bloom_join" -> ((3, 0)),
+    "b28_unpivot" -> ((1, 0)),
+    // two scans by design: the tiny (n,s,q) census + the flag scan
+    "b29_anomaly_zscore" -> ((2, 0)),
     "b17_latest_features" -> ((1, 0)),
     "b18_q3like" -> ((3, 0)),
     "b19_bucketed_join" -> ((2, 0)),
@@ -100,6 +109,8 @@ class ScanCensusSpec extends SparkSpec {
     "c8_text_quality" -> ((1, 0)),
     "c9_multimodal_decode" -> ((1, 0)),
     "c10_stopword_filter" -> ((1, 0)),
+    "c17_multimodal_resize" -> ((1, 0)),
+    "c18_frame_sample" -> ((1, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),
