@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Heavy-hitter threshold (c19): term count ≥ max(1, total tokens /
+    * HhDenominator), i.e. 0.5% of the corpus — relative, so the query
+    * is meaningful at every fixture scale and at the lake. Declared
+    * before the oracles map that interpolates it (object init order).
+    */
+  val HhDenominator = 200L
+
   /** c1: exact dedup by normalized-text hash — group on sha256(lower)
     * (at 100 TB one groups on the 32-byte digest, not the document).
     */
@@ -498,7 +505,55 @@ object TextOps {
       """SELECT tok, COUNT(*) AS cnt
         |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+    "c19_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+         |  WHERE text IS NOT NULL),
+         |th AS (SELECT greatest(1, count(*) // $HhDenominator) AS t FROM tok)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tok, th GROUP BY tok, th.t HAVING count(*) >= th.t
+         |ORDER BY cnt DESC, tok""".stripMargin,
   )
+
+  /** c19: heavy hitters — every term at ≥ 0.5% of all token
+    * occurrences, EXACTLY, without ever shuffling the full term
+    * stream. Pass 1 is a shuffle-free count-min build (one
+    * depth×width buffer per partition map-side-combines to the
+    * driver, with the total token count riding the same aggregate);
+    * pass 2 filters tokens by the sketch ESTIMATE — an overestimate,
+    * so every true heavy hitter survives (no false negatives) — and
+    * only the surviving candidates reach the exact groupBy + HAVING
+    * that trims the sketch's false positives. b27's
+    * sketch-prune-then-verify contract applied to frequency instead
+    * of membership: the result is exact (the DuckDB oracle is the
+    * plain HAVING query).
+    *
+    * Scale (100 TB): the classic heavy-hitter shuffle problem is the
+    * long tail — billions of distinct near-singleton terms paying a
+    * full hash exchange to be counted and discarded. Here the tail
+    * dies at the scan (estimate < T is a codegen'd map-side filter),
+    * and the exchange carries only terms whose sketch row exceeds
+    * 0.5% of N — bounded by 200·depth·(collision slack), independent
+    * of vocabulary size.
+    */
+  def c19_heavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.{CmsBuildAgg, CmsEstimate, CountMin}
+    val toks = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val cms = udaf(new CmsBuildAgg(CountMin.Width, CountMin.Depth),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val row = toks.agg(count(lit(1)).as("n"), cms(col("h")).as("sketch")).head()
+    val t = math.max(1L, row.getAs[Long]("n") / HhDenominator)
+    val counts = row.getAs[Seq[Long]]("sketch").toArray
+    toks
+      .filter(org.apache.spark.sql.graft.ColumnBridge.column(CmsEstimate(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("h"),
+        counts, CountMin.Width, CountMin.Depth)) >= t)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= t)
+      .orderBy(col("cnt").desc, col("tok"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact"   -> c1_dedupExact _,
@@ -507,5 +562,6 @@ object TextOps {
     "x_minhash_lsh"    -> minhashLsh _,
     "c4_text_stats"    -> c4_textStats _,
     "c4b_top_terms"    -> c4b_topTerms _,
+    "c19_heavy_hitters" -> c19_heavyHitters _,
   )
 }

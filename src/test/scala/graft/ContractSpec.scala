@@ -44,8 +44,8 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the inventory holds all 79 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 79)
-    assert(SparkEntry.oracleSql.size === 70)
+  test("the inventory holds all 80 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 80)
+    assert(SparkEntry.oracleSql.size === 71)
   }
 }

@@ -530,6 +530,42 @@ class NewOpsSpec extends SparkSpec {
     assert(FrameSampleStub.frames(doc(512)).toSeq.map(_.frame_idx) === Seq(0L))
   }
 
+  test("CountMin: estimate never underestimates; agg matches a scala model") {
+    import graft.functions.{CmsBuildAgg, CountMin}
+    val w = 32; val dpt = 4 // tiny width forces collisions
+    val keys = (0L until 500L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = new Array[Long](w * dpt)
+    keys.foreach(CountMin.add(model, w, dpt, _))
+    val agg = new CmsBuildAgg(w, dpt)
+    val whole = keys.foldLeft(agg.zero)(agg.reduce)
+    assert(whole.toSeq === model.toSeq)
+    val cut = keys.size / 3
+    val merged = agg.merge(
+      keys.take(cut).foldLeft(agg.zero)(agg.reduce),
+      keys.drop(cut).foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq === model.toSeq)
+    truth.foreach { case (k, n) =>
+      assert(CountMin.estimate(model, w, dpt, k) >= n,
+        s"CMS underestimated key $k") // the no-false-negative property
+    }
+  }
+
+  test("c19: sketch-pruned heavy hitters equal the plain HAVING query") {
+    val fast = TextOps.c19_heavyHitters(spark, sf0001).collect().toSeq
+    val plain = {
+      import org.apache.spark.sql.functions._
+      val toks = Tables.documents(spark, sf0001)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val t = math.max(1L, toks.count() / TextOps.HhDenominator)
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= t)
+        .orderBy(col("cnt").desc, col("tok")).collect().toSeq
+    }
+    assert(fast === plain)
+    assert(fast.nonEmpty, "fixture should have stopword-like heavy hitters")
+  }
+
   test("b29: the integer sigma test flags exactly the hand-computed outliers") {
     import org.apache.spark.sql.SparkSession
     val s: SparkSession = spark

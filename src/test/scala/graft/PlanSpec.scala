@@ -434,6 +434,18 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"only the tiny census agg should hash-shuffle, saw $hashEx:\n$p")
   }
 
+  test("c19: the cms estimate prunes tokens BELOW the exact-count exchange") {
+    val p = plan(TextOps.c19_heavyHitters(spark, sf0001))
+    assert(p.contains("cms_estimate"), s"sketch filter missing from the plan:\n$p")
+    // the map-side estimate filter must sit under the groupBy exchange:
+    // deeper operators print later in the tree string
+    val filterIdx = p.indexOf("cms_estimate")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && filterIdx > exIdx,
+      "estimate filter should prune before the count shuffle")
+    assert(!p.contains("Join"), s"c19 must not join:\n$p")
+  }
+
   test("b27: the bloom probe filters the orders scan inside codegen") {
     val p = plan(BloomJoin.b27_bloomJoin(spark, sf0001))
     assert(p.contains("bloom_might_contain"), s"probe missing from the plan:\n$p")

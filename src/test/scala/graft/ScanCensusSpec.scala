@@ -111,6 +111,9 @@ class ScanCensusSpec extends SparkSpec {
     "c10_stopword_filter" -> ((1, 0)),
     "c17_multimodal_resize" -> ((1, 0)),
     "c18_frame_sample" -> ((1, 0)),
+    // the sketch pass is its own eagerly-run job; the final plan is the
+    // candidate filter + exact count over one corpus scan
+    "c19_heavy_hitters" -> ((1, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),
