@@ -299,6 +299,40 @@ class PropertySpec extends SparkSpec {
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+  /** Dense 4-hour burst with exact hour marks, so 1-hour windows
+    * overlap richly AND the (t, t+W] boundaries are actually hit.
+    */
+  private val burstGen: Gen[List[(Option[Long], String, Long, Long, Option[Long])]] =
+    Gen.listOfN(80, for {
+      user <- Gen.option(Gen.choose(0L, 2L))
+      typ <- Gen.oneOf("signup", "purchase", "view")
+      sec <- Gen.oneOf(Gen.choose(0L, 14400L), Gen.choose(0L, 4L).map(_ * 3600L))
+      cents <- Gen.option(Gen.choose(-5000L, 50000L))
+    } yield (user, typ, 0L, sec, cents))
+
+  test("b26 bucketed range join equals the naive form and a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b26"
+    val W = graft.ops.RangeJoin.WindowUs
+    samples(burstGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val evs = rows.zipWithIndex.map { case ((u, t, day, sec, c), i) =>
+        (i.toLong, u, 1704067200000000L + (day * 86400L + sec) * 1000000L, t, c)
+      }
+      val purch = evs.filter(_._4 == "purchase")
+      val expected = evs.filter(_._4 == "signup").map { case (id, u, su, _, _) =>
+        val win = purch.filter { case (_, _, pu, _, _) => pu > su && pu <= su + W }
+        (id, u) -> ((win.size.toLong, win.flatMap(_._5).sum))
+      }.toMap
+      val fast = graft.ops.RangeJoin.b26_rangeJoin(spark, dir).collect()
+      val gotF = fast.map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("user_id")).map(_.asInstanceOf[Long])) ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("cents_1h")))).toMap
+      assert(gotF === expected)
+      val naive = graft.ops.RangeJoin.naiveRangeJoin(spark, dir).collect()
+      assert(fast.toSeq === naive.toSeq)
+    }
+  }
+
   test("b21 decayed counters equal a Scala model on generated logs") {
     val dir = s"${graft.ops.Tables.scratch}/prop_b21"
     samples(logGen, 5).foreach { rows =>
