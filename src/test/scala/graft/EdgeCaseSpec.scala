@@ -63,7 +63,9 @@ class EdgeCaseSpec extends SparkSpec {
     "c4b_top_terms", "c5_multimodal_cols", "c6_simhash", "c7_cosine_neardup",
     "c8_text_quality", "c9_multimodal_decode", "c10_stopword_filter",
     "c11_hash_sample", "c12_tfidf_top_terms", "c13_stratified_sample",
-    "c14_pack_sequences", "c15_dedup_clusters", "c16_corpus_pipeline", "x_minhash_lsh", "x_ann_lsh",
+    "c14_pack_sequences", "c15_dedup_clusters", "c16_corpus_pipeline",
+    "c17_multimodal_resize", "c18_frame_sample", "c19_heavy_hitters",
+    "x_minhash_lsh", "x_ann_lsh",
     "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
     "x_corpus_from_clusters", "x_pack_twophase")
 
