@@ -400,15 +400,27 @@ object CorpusOps {
         |FROM tf JOIN df USING (term), n
         |QUALIFY rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
-    "c13_stratified_sample" ->
+    "c13_stratified_sample" -> C13Sql,
+    // x_stratified_prefilter / x_pack_twophase / x_corpus_from_clusters
+    // are byte-equal to their twins (scalatest-pinned), so they share
+    // the twin's oracle string VERBATIM — one definition, no drift.
+    "x_stratified_prefilter" -> C13Sql,
+    "c14_pack_sequences" -> C14Sql,
+    "x_pack_twophase" -> C14Sql,
+    "c16_corpus_pipeline" -> C16Sql,
+    "x_corpus_from_clusters" -> C16Sql,
+  )
+
+  private lazy val C13Sql =
       """SELECT doc_id, lang, rnk FROM (
         |  SELECT doc_id, lang,
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(coalesce(lang, '') || '|' || CAST(doc_id AS VARCHAR)), doc_id)
         |      AS BIGINT) AS rnk
         |  FROM documents)
-        |WHERE rnk <= 100 ORDER BY lang, rnk""".stripMargin,
-    "c14_pack_sequences" ->
+        |WHERE rnk <= 100 ORDER BY lang, rnk""".stripMargin
+
+  private lazy val C14Sql =
       """WITH sized AS (
         |  SELECT doc_id, source,
         |    CASE WHEN text IS NULL THEN 0
@@ -423,8 +435,9 @@ object CorpusOps {
         |SELECT doc_id, source, n_tok,
         |  CAST((tok_end - n_tok) // 256 AS BIGINT) AS seq_id,
         |  CAST((tok_end - n_tok) % 256 AS BIGINT) AS offset
-        |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin,
-    "c16_corpus_pipeline" ->
+        |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin
+
+  private lazy val C16Sql =
       """WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3),
         |sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
@@ -458,8 +471,7 @@ object CorpusOps {
         |SELECT doc_id, source, n_tok,
         |  CAST((tok_end - n_tok) // 256 AS BIGINT) AS seq_id,
         |  CAST((tok_end - n_tok) % 256 AS BIGINT) AS offset
-        |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin,
-  )
+        |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_stopword_filter" -> c10_stopwordFilter _,

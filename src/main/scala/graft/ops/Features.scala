@@ -90,7 +90,7 @@ object Features {
   def b15_saltedAgg(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .withColumn("salt", (col("event_id") % 16).cast("int"))
-      .withColumn("cents", round(col("value") * 100).try_cast("long"))
+      .withColumn("cents", Tables.cents)
       .groupBy(col("user_id"), col("salt"))
       .agg(count(lit(1)).as("pc"), sum(col("cents")).as("ps"))
       .groupBy(col("user_id"))
@@ -104,7 +104,7 @@ object Features {
     */
   def b16_percentiles(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
-      .withColumn("cents", round(col("value") * 100).try_cast("long"))
+      .withColumn("cents", Tables.cents)
       .groupBy(col("event_type"))
       .agg(
         (expr("percentile(cents, 0.25D)") / 100.0).as("p25"),
@@ -136,7 +136,7 @@ object Features {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val frame = ord.rowsBetween(-3, Window.currentRow)
     Tables.events(spark, d)
-      .withColumn("cents", round(col("value") * 100).try_cast("long"))
+      .withColumn("cents", Tables.cents)
       .select(
         col("event_id"), col("user_id"),
         count(lit(1)).over(frame).as("roll_cnt"),
@@ -203,7 +203,7 @@ object Features {
     ev.crossJoin(broadcast(t0))
       .withColumn("age", datediff(col("t0"), to_date(col("ts"))))
       .filter(col("age").between(0, DecayHorizonDays))
-      .withColumn("cents", round(col("value") * 100).try_cast("long"))
+      .withColumn("cents", Tables.cents)
       .groupBy(col("user_id"), col("event_type"))
       .agg(
         sum(col("cents") *
@@ -237,7 +237,7 @@ object Features {
   def b22_featureDrift(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
       .filter(col("ts").isNotNull)
-      .withColumn("cents", round(col("value") * 100).try_cast("long"))
+      .withColumn("cents", Tables.cents)
       .filter(col("cents").isNotNull)
       .withColumn("us", unix_micros(col("ts")))
     val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
@@ -343,7 +343,7 @@ object Features {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_type"),
         expr("unix_date(to_date(ts))").cast("long").as("day"),
-        round(col("value") * 100).try_cast("long").as("cents"))
+        Tables.cents.as("cents"))
       .withColumn("cohort_day", min(col("day")).over(wUser))
       .filter(col("event_type") === "purchase")
       .withColumn("age", col("day") - col("cohort_day"))
@@ -373,7 +373,7 @@ object Features {
     val measures = EventTypes.map(t => s"n_$t") :+ "sum_cents"
     val aggs =
       EventTypes.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t")) :+
-        coalesce(sum(round(col("value") * 100).try_cast("long")), lit(0L)).as("sum_cents")
+        coalesce(sum(Tables.cents), lit(0L)).as("sum_cents")
     Tables.events(spark, d)
       .groupBy(col("user_id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -402,7 +402,7 @@ object Features {
     val ev = Tables.events(spark, d)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_id"), col("event_type"),
-        round(col("value") * 100).try_cast("long").as("cents"))
+        Tables.cents.as("cents"))
     val stats = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"), sum(col("cents")).as("s"),
       sum(col("cents") * col("cents")).as("q"))
@@ -495,8 +495,8 @@ object Features {
 
   val oracles: Map[String, String] = Map(
     "b29_anomaly_zscore" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type, TRY_CAST(round(value * 100) AS BIGINT) AS cents
+      s"""WITH e AS (
+        |  SELECT event_id, event_type, ${Tables.CentsSql} AS cents
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |st AS (
         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
@@ -516,7 +516,7 @@ object Features {
       s"""WITH wide AS (
          |  SELECT user_id,
          |$filters
-         |    coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0) AS sum_cents
+         |    CAST(coalesce(sum(${Tables.CentsSql}), 0) AS BIGINT) AS sum_cents
          |  FROM events GROUP BY user_id)
          |SELECT user_id, feature, n FROM (
          |$branches)
@@ -551,12 +551,12 @@ object Features {
         |GROUP BY CUBE(event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
     "b15_salted_agg" ->
-      """WITH c AS (SELECT user_id, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      s"""WITH c AS (SELECT user_id, ${Tables.CentsSql} AS cents FROM events)
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(cents) AS BIGINT) / 100.0 AS vsum
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "b16_percentiles" ->
-      """WITH c AS (SELECT event_type, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      s"""WITH c AS (SELECT event_type, ${Tables.CentsSql} AS cents FROM events)
         |SELECT event_type,
         |  quantile_cont(cents, 0.25) / 100.0 AS p25,
         |  quantile_cont(cents, 0.5) / 100.0 AS p50,
@@ -572,7 +572,7 @@ object Features {
         |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS nt
         |FROM events ORDER BY event_id""".stripMargin,
     "b5_window_frame" ->
-      """WITH c AS (SELECT *, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      s"""WITH c AS (SELECT *, ${Tables.CentsSql} AS cents FROM events)
         |SELECT event_id, user_id,
         |  COUNT(*) OVER w4 AS roll_cnt,
         |  CAST(SUM(cents) OVER w4 AS BIGINT) / 100.0 AS roll_sum,
@@ -599,7 +599,7 @@ object Features {
          |t AS (SELECT MAX(CAST(ts AS DATE)) AS t0 FROM ev),
          |e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
          |        date_diff('day', CAST(ts AS DATE), t.t0) AS age,
-         |        TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |        ${Tables.CentsSql} AS cents
          |      FROM ev, t)
          |SELECT user_id, event_type,
          |  CAST(SUM(cents * (CAST(1 AS BIGINT) << ($DecayHorizonDays - age))) AS BIGINT) AS decayed_e20,
@@ -609,8 +609,8 @@ object Features {
          |GROUP BY user_id, event_type
          |ORDER BY user_id, event_type""".stripMargin,
     "b22_feature_drift" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
-        |            TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |            ${Tables.CentsSql} AS cents
         |          FROM events WHERE ts IS NOT NULL),
         |f AS (SELECT * FROM e WHERE cents IS NOT NULL),
         |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS t_mid FROM f),
@@ -627,9 +627,9 @@ object Features {
         |  CAST(SUM(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)) AS BIGINT) AS drift_e6
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "b25_ltv_curve" ->
-      """WITH e AS (SELECT user_id, event_type,
+      s"""WITH e AS (SELECT user_id, event_type,
         |            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-        |            TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |            ${Tables.CentsSql} AS cents
         |          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
         |p AS (SELECT cohort_day, day - cohort_day AS age, cents FROM c
@@ -667,14 +667,20 @@ object Features {
         |  CAST(MAX(CASE WHEN p_us IS NOT NULL THEN 3 WHEN v_us IS NOT NULL THEN 2
         |           WHEN s_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "b7_asof_join" ->
-      """SELECT p.event_id AS probe_eid, p.user_id, f.event_id AS feat_eid, f.value AS feat_value
-        |FROM events p JOIN events f
-        |  ON f.user_id = p.user_id AND f.event_type = 'view' AND f.ts <= p.ts
-        |WHERE p.event_type = 'purchase'
-        |QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY f.ts DESC, f.event_id DESC) = 1
-        |ORDER BY probe_eid""".stripMargin,
+    "b7_asof_join" -> B7Sql,
+    // x_asof_bucketed is byte-equal to b7 (FeaturesSpec pin) — it runs
+    // the SAME window stage over the bucketed layout — so it shares
+    // b7's oracle string verbatim: one definition, no drift.
+    "x_asof_bucketed" -> B7Sql,
   )
+
+  private lazy val B7Sql =
+    """SELECT p.event_id AS probe_eid, p.user_id, f.event_id AS feat_eid, f.value AS feat_value
+      |FROM events p JOIN events f
+      |  ON f.user_id = p.user_id AND f.event_type = 'view' AND f.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY f.ts DESC, f.event_id DESC) = 1
+      |ORDER BY probe_eid""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_agg_user_features" -> b1_userFeatures _,

@@ -44,6 +44,18 @@ object RangeJoin {
     */
   val WindowUs: Long = 3600L * 1000 * 1000
 
+  /** Floor-aligned bucket key: the µs timestamp rounded down to its
+    * window start, computed as `t - pmod(t, W)` — pure LONG arithmetic
+    * (`pmod` returns the non-negative remainder, so this IS floor
+    * alignment for negative timestamps too). The earlier
+    * `floor(t / W)` form went through double division, which is exact
+    * only while |t| < 2^53 (~year 2255); this is exact over the whole
+    * µs long domain except within W of Long.MinValue (year ~292269 BC),
+    * where the subtraction would wrap.
+    */
+  private def bucketStart(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    t - pmod(t, lit(WindowUs))
+
   /** b26: purchases within (signup.ts, signup.ts + 1h], per signup —
     * bucketed equi-join plan, byte-equal to the naive non-equi form
     * (NewOpsSpec pins equality; PlanSpec pins the census: no
@@ -58,14 +70,15 @@ object RangeJoin {
     val purchases = ev
       .filter(col("event_type") === "purchase" && col("ts").isNotNull)
       .select(col("event_id").as("p_event_id"), unix_micros(col("ts")).as("pu"),
-        round(col("value") * 100).try_cast("long").as("p_cents"))
-      .withColumn("bucket", floor(col("pu") / WindowUs))
-    // anchor fan-out: the (su, su+W] window overlaps buckets
-    // floor(su/W) and floor(su/W)+1 — never more, because W == bucket
-    // width. 2× duplication of the slim anchor projection only.
+        Tables.cents.as("p_cents"))
+      .withColumn("bucket", bucketStart(col("pu")))
+    // anchor fan-out: the (su, su+W] window overlaps the buckets
+    // starting at bucketStart(su) and bucketStart(su)+W — never more,
+    // because W == bucket width. 2× duplication of the slim anchor
+    // projection only.
     val anchorBuckets = signups
       .withColumn("bucket", explode(array(
-        floor(col("su") / WindowUs), floor(col("su") / WindowUs) + 1)))
+        bucketStart(col("su")), bucketStart(col("su")) + WindowUs)))
     // LEFT on the bucket + conditional aggregates (instead of an inner
     // join, a filter, and a join-back to recover zero-match anchors):
     // every anchor survives in its 2 bucket rows, a matched purchase is
@@ -96,7 +109,7 @@ object RangeJoin {
     val purchases = ev
       .filter(col("event_type") === "purchase" && col("ts").isNotNull)
       .select(col("event_id").as("p_event_id"), unix_micros(col("ts")).as("pu"),
-        round(col("value") * 100).try_cast("long").as("p_cents"))
+        Tables.cents.as("p_cents"))
     signups
       .join(purchases,
         col("pu") > col("su") && col("pu") <= col("su") + WindowUs, "left")
@@ -114,11 +127,11 @@ object RangeJoin {
          |  WHERE event_type = 'signup' AND event_id IS NOT NULL AND ts IS NOT NULL),
          |p AS (
          |  SELECT event_id AS p_event_id, epoch_us(ts) AS pu,
-         |    CAST(round(value * 100) AS BIGINT) AS p_cents
+         |    ${Tables.CentsSql} AS p_cents
          |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
          |SELECT s.event_id, s.user_id,
          |  count(p.p_event_id) AS n_purchases,
-         |  coalesce(sum(p.p_cents), 0) AS cents_1h
+         |  CAST(coalesce(sum(p.p_cents), 0) AS BIGINT) AS cents_1h
          |FROM s LEFT JOIN p
          |  ON p.pu > s.su AND p.pu <= s.su + ${WindowUs}
          |GROUP BY s.event_id, s.user_id

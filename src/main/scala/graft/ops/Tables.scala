@@ -48,6 +48,32 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = t(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = t(spark, d, "embeddings")
 
+  /** The exact-cents idiom: `value` (dollars, DOUBLE) → integer cents
+    * (BIGINT, NULL on non-finite/overflow via try_cast). Integer cents
+    * make every downstream sum bit-identical across engines and
+    * executor counts — the b21/b22/b25/b26 money domain. ONE definition
+    * here and ONE SQL twin ([[CentsSql]]) below, because the round-10
+    * hash failures were exactly this idiom drifting between a Spark
+    * body and its oracle; a query that needs a different source column
+    * passes it explicitly.
+    */
+  def cents(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.round
+    round(value * 100).try_cast("long")
+  }
+
+  /** events.value in cents — the common case of [[cents]]. */
+  def cents: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    cents(col("value"))
+  }
+
+  /** [[cents]]'s DuckDB twin, verbatim for splicing into oracle SQL.
+    * TRY_CAST matches try_cast's NULL-on-overflow; both engines
+    * half-even-round DOUBLEs.
+    */
+  val CentsSql = "TRY_CAST(round(value * 100) AS BIGINT)"
+
   /** Scratch dir for sink/streaming outputs — kept inside the repo
     * (target/ is build scratch) so nothing outside /root/repo is touched.
     */

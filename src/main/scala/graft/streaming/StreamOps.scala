@@ -202,7 +202,7 @@ object StreamOps {
     rmrf(out); rmrf(chk)
     val sinkSchema = withStreamShuffle(spark, 8) {
       val agg = eventStream(spark, d)
-        .withColumn("cents", round(col("value") * 100).try_cast("long"))
+        .withColumn("cents", graft.ops.Tables.cents)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
@@ -356,7 +356,7 @@ object StreamOps {
     val sinkSchema = withStreamShuffle(spark, 8) {
       val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
       val agg = eventStream(spark, d)
-        .withColumn("cents", round(col("value") * 100).try_cast("long"))
+        .withColumn("cents", graft.ops.Tables.cents)
         .join(cust, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
@@ -464,7 +464,7 @@ object StreamOps {
         .filter(col("event_id").isNotNull && col("ts").isNotNull)
         .select(col("ts"), col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"),
-          round(col("value") * 100).try_cast("long").as("cents"))
+          graft.ops.Tables.cents.as("cents"))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(
           "event_id", "user_id", "event_type", "us", "cents")
@@ -543,8 +543,8 @@ object StreamOps {
   val oracles: Map[String, String] = Map(
     "s7_stream_quarantine" -> Ingest.oracles("a18_quarantine"),
     "s4_stream_join" ->
-      """SELECT c_mktsegment, COUNT(*) AS cnt,
-        |  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
+      s"""SELECT c_mktsegment, COUNT(*) AS cnt,
+        |  CAST(SUM(${graft.ops.Tables.CentsSql}) AS BIGINT) / 100.0 AS vsum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // batch twin of the streamed A14 pipeline (same rows, same sink layout)
@@ -566,10 +566,10 @@ object StreamOps {
     // under AvailableNow's single drain, so no rows are dropped here —
     // the late-drop semantics is pinned in StreamingSpec instead).
     "s2_stream_window" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
         |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS win_end,
         |  event_type, COUNT(*) AS cnt,
-        |  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vsum
+        |  CAST(SUM(${graft.ops.Tables.CentsSql}) AS BIGINT) / 100.0 AS vsum
         |FROM events
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
         |  (SELECT make_timestamp((epoch_us(max(ts)) // 1000 - 600000) * 1000) FROM events)
@@ -592,8 +592,8 @@ object StreamOps {
     // the duplicated delivery is invisible downstream: each DISTINCT
     // record once (full-record identity — see the s6 scaladoc)
     "s6_stream_dedup" ->
-      """SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS us,
-        |  TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+      s"""SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |  ${graft.ops.Tables.CentsSql} AS cents
         |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY event_id""".stripMargin,
   )

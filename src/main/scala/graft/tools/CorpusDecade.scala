@@ -57,6 +57,41 @@ object CorpusDecade {
         col("lang"), col("source"), col("n_chars"))
   }
 
+  /** The replicated events frame — the event-log analog of [[replicate]]
+    * for the streaming/range tiers (s5/s6, c19's term stream rides
+    * documents instead). Replica r > 0 shifts `event_id` and `user_id`
+    * into disjoint id spaces; `ts`, `event_type`, `value`, and every
+    * other column pass through unchanged. Consequences, mirroring the
+    * corpus construction:
+    *
+    *   - s5's purchase⋈view interval join matches ONLY within a replica
+    *     (user spaces are disjoint), so the factor-F join output is
+    *     exactly F shifted copies of the source output — linear workload
+    *     growth, and per-replica event-TIME distribution identical, so
+    *     watermark state eviction timing is the same shape, just F× the
+    *     keys per horizon.
+    *   - s6's dedup state is keyed on the full record incl. event_id:
+    *     replicas never collide, state grows exactly F×.
+    *   - Replica 0 is byte-identical to the source log.
+    *
+    * Null user_id/event_id rows pass through null in EVERY replica (the
+    * shift would turn them non-null and change validation semantics).
+    */
+  def replicateEvents(spark: SparkSession, srcDir: String, factor: Int) = {
+    val ev = graft.ops.Tables.events(spark, srcDir)
+    val ids = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+    val eidStride = ids.getLong(0) + 1
+    val uidStride = ids.getLong(1) + 1
+    // preserve the source column ORDER (replica 0 must be byte-equal,
+    // and positional set ops compare column-by-column)
+    val cols = ev.columns.map {
+      case "event_id" => (col("event_id") + col("r") * eidStride).as("event_id")
+      case "user_id"  => (col("user_id") + col("r") * uidStride).as("user_id")
+      case c          => col(c)
+    }
+    ev.crossJoin(spark.range(factor).toDF("r")).select(cols.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args(0).toInt
     val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -77,10 +112,14 @@ object CorpusDecade {
     replicate(spark, srcDir, factor)
       .repartition(32, col("doc_id"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    replicateEvents(spark, srcDir, factor)
+      .repartition(32, col("event_id"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     spark.read.parquet(s"$srcDir/region.parquet")
       .write.mode("overwrite").parquet(s"$outDir/region.parquet")
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
-    println(s"[corpus-decade] wrote $n documents (factor $factor of $srcDir) -> $outDir")
+    val ne = spark.read.parquet(s"$outDir/events.parquet").count()
+    println(s"[corpus-decade] wrote $n documents + $ne events (factor $factor of $srcDir) -> $outDir")
     spark.stop()
   }
 }

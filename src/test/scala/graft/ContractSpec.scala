@@ -36,16 +36,127 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the nine declared x_* variants") {
+  test("the rows-only set is exactly the five declared x_* variants") {
+    // The other four x_* variants (x_asof_bucketed, x_stratified_prefilter,
+    // x_corpus_from_clusters, x_pack_twophase) are byte-equal to their
+    // oracled twins (scalatest-pinned), so they carry the twin's oracle
+    // and are driver-hash-checked like any other query.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("x_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
-      "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
-      "x_corpus_from_clusters", "x_asof_bucketed", "x_pack_twophase"),
+      "x_ann_ivf", "x_label_centroids"),
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
+  }
+
+  test("the four byte-equal x_* variants share their twin's oracle verbatim") {
+    val twins = Seq(
+      "x_asof_bucketed" -> "b7_asof_join",
+      "x_stratified_prefilter" -> "c13_stratified_sample",
+      "x_corpus_from_clusters" -> "c16_corpus_pipeline",
+      "x_pack_twophase" -> "c14_pack_sequences")
+    for ((x, twin) <- twins)
+      assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
+        s"$x must share $twin's oracle string (same object — no drift)")
   }
 
   test("the inventory holds all 80 SURVEY §2 queries") {
     assert(SparkEntry.queries.size === 80)
-    assert(SparkEntry.oracleSql.size === 71)
+    assert(SparkEntry.oracleSql.size === 75)
+  }
+
+  /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,
+    * DuckDB widened BIGINT sums to HUGEINT, and the driver's typed hash
+    * diverged from Spark's BIGINT even though every value matched. The
+    * house rule — every aggregate that feeds an output column is wrapped
+    * in an explicit CAST — is enforced here as a build-time lint: find
+    * each `sum(`/`avg(` in every oracle, balance its parentheses, and
+    * require an enclosing CAST(... AS <type>) (or an explicit division /
+    * comparison that re-types the value) within the same expression.
+    */
+  test("oracle lint: every sum()/avg() result is explicitly re-typed (HUGEINT drift guard)") {
+    val offenders = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq
+      up = sql.toUpperCase
+      m <- "(?i)\\b(SUM|AVG)\\s*\\(".r.findAllMatchIn(sql)
+      if !aggIsRetyped(up, m.start)
+    } yield s"$name @ char ${m.start}: ${sql.substring(m.start, math.min(sql.length, m.start + 60)).replace('\n', ' ')}"
+    assert(offenders.isEmpty,
+      "oracle aggregates whose type DuckDB may widen (wrap in CAST(... AS BIGINT/DOUBLE)):\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  /** True when the aggregate starting at `at` cannot leak a widened
+    * DuckDB type into an output column:
+    *  1. it is inside an enclosing CAST(...) — the b26/b28 house rule;
+    *  2. its argument is already DOUBLE (`AS DOUBLE` cast inside) —
+    *     DuckDB sum(DOUBLE) stays DOUBLE, nothing widens;
+    *  3. the balanced call (plus any OVER window) is directly followed
+    *     by `/`/comparison — division re-types, comparison consumes;
+    *  4. it is aliased `AS <name>` and EVERY downstream use of <name>
+    *     is itself inside a CAST or followed by `/`/comparison (the
+    *     intermediate-column case: c14/c16's tok_end, c6's bit votes).
+    */
+  private def aggIsRetyped(up: String, at: Int): Boolean = {
+    def insideCast(pos: Int): Boolean = {
+      // walk left counting depth; an unmatched '(' headed by CAST means
+      // pos is inside that cast; any other unmatched opener (COALESCE,
+      // ROUND, …) keeps walking — a CAST may still wrap it.
+      var i = pos - 1
+      var depth = 0
+      while (i >= 0) {
+        up(i) match {
+          case ')' => depth += 1
+          case '(' =>
+            if (depth > 0) depth -= 1
+            else if (up.substring(math.max(0, i - 8), i).contains("CAST")) return true
+          case _ =>
+        }
+        i -= 1
+      }
+      false
+    }
+    def balancedClose(open: Int): Int = {
+      var i = open
+      var depth = 0
+      while (i < up.length) {
+        if (up(i) == '(') depth += 1
+        else if (up(i) == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    def skipWs(from: Int): Int = {
+      var j = from
+      while (j < up.length && up(j).isWhitespace) j += 1
+      j
+    }
+    def opAt(j: Int): Boolean = j < up.length && "/<>=".contains(up(j))
+    val open = up.indexOf('(', at)
+    val close = balancedClose(open)
+    if (close < 0) return false
+    if (insideCast(at)) return true
+    if (up.substring(open, close).contains("AS DOUBLE")) return true
+    // position just past the call and any OVER (...) window spec
+    var j = skipWs(close + 1)
+    if (up.startsWith("OVER", j)) {
+      j = skipWs(j + 4)
+      if (j < up.length && up(j) == '(') {
+        val wClose = balancedClose(j)
+        if (wClose < 0) return false
+        j = skipWs(wClose + 1)
+      } else j = skipWs(up.indexWhere(!_.isLetterOrDigit, j)) // named window
+    }
+    if (opAt(j)) return true
+    // rule 4: AS <alias>, every other use re-typed or consumed
+    if (!up.startsWith("AS", j)) return false
+    val aliasStart = skipWs(j + 2)
+    var aliasEnd = aliasStart
+    while (aliasEnd < up.length && (up(aliasEnd).isLetterOrDigit || up(aliasEnd) == '_')) aliasEnd += 1
+    if (aliasEnd == aliasStart) return false
+    val alias = up.substring(aliasStart, aliasEnd)
+    val uses = s"\\b$alias\\b".r.findAllMatchIn(up).map(_.start)
+      .filter(_ != aliasStart).toList
+    uses.nonEmpty && uses.forall { u =>
+      insideCast(u) || opAt(skipWs(u + alias.length))
+    }
   }
 }

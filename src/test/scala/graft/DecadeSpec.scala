@@ -72,6 +72,50 @@ class DecadeSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("decade events: F replicas, replica 0 byte-equal, id spaces disjoint, s5-twin output is F shifted copies") {
+    val d = s"${Tables.scratch}/decade_spec_events_x$factor"
+    Tables.rmrf(d)
+    CorpusDecade.replicateEvents(spark, sf0001, factor)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val ids = Tables.events(spark, sf0001)
+      .agg(max(col("event_id")), max(col("user_id"))).head()
+    val eStride = ids.getLong(0) + 1
+    val uStride = ids.getLong(1) + 1
+    val src = Tables.events(spark, sf0001)
+    val rep = Tables.events(spark, d)
+    assert(rep.count() === factor * src.count())
+    // replica 0 is the source log verbatim; non-null ids never collide
+    assert(rep.filter(col("event_id") < eStride || col("event_id").isNull)
+      .exceptAll(src).count() === 0)
+    assert(rep.filter(col("event_id").isNotNull)
+      .groupBy(col("event_id")).count().filter(col("count") > 1).count() === 0)
+    // nulls replicate as nulls (the shift must not resurrect them)
+    assert(rep.filter(col("user_id").isNull).count() ===
+      factor * src.filter(col("user_id").isNull).count())
+    // the s5 batch twin (purchase⋈view interval join) on the replicated
+    // log is exactly F shifted copies of the source's — no cross-replica
+    // matches, the linearity the streaming ladder measurement rests on
+    def twin(dd: String) = Tables.events(spark, dd)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def joined(dd: String) = {
+      val p = twin(dd).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val v = twin(dd).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("v_ts") <= col("p_ts"))
+        .select(col("p_id"), col("v_id"))
+    }
+    val srcJ = joined(sf0001)
+    val repJ = joined(d)
+    val expected = srcJ.crossJoin(spark.range(factor).toDF("r"))
+      .select((col("p_id") + col("r") * eStride).as("p_id"),
+        (col("v_id") + col("r") * eStride).as("v_id"))
+    assert(repJ.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(repJ).count() === 0)
+  }
+
   test("decade corpus: cluster count scales by exactly F, no cross-replica members") {
     val srcClusters = TextOps.c15_dedupClusters(spark, sf0001)
     val repClusters = TextOps.c15_dedupClusters(spark, dir)
