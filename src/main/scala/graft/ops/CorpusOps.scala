@@ -375,7 +375,59 @@ object CorpusOps {
   def x_packTwophase(spark: SparkSession, d: String): DataFrame =
     packSizedTwoPhase(sizeDocs(Tables.documents(spark, d)))
 
+  /** Minimum bigram count for c20's report — keeps the published table
+    * to the statistically meaningful rows (the full count table still
+    * exists upstream of the filter; n1 is computed BEFORE it so the
+    * conditional probabilities are over the whole corpus).
+    */
+  val BigramMinCount = 3L
+
+  /** c20: bigram language-model statistics — corpus-wide bigram counts
+    * and exact conditional probabilities p(w2|w1), the n-gram-LM /
+    * data-mixture fingerprint a corpus report publishes. Probability is
+    * the RATIONAL e6 form `n12 * 1e6 DIV n1` (c12's idf trick): all
+    * integer, so the table is bit-identical across engines and executor
+    * counts — no float division anywhere.
+    *
+    * Scale (100 TB): one corpus explode feeding ONE map-side-combinable
+    * (w1, w2) reduce — the only data-sized shuffle; the n1 denominator
+    * is a window over the REDUCED vocabulary² table (re-using nothing
+    * corpus-sized), and the min-count filter runs after it so
+    * probabilities stay corpus-true. Vocabulary skew ("the" as w1) is
+    * bounded by vocabulary size per reducer, not corpus size.
+    */
+  def c20_bigramStats(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(explode(expr(
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    counts
+      .withColumn("n1", sum(col("n12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("p_e6", expr("n12 * 1000000L DIV n1"))
+      .filter(col("n12") >= BigramMinCount)
+      .orderBy(col("w1"), col("w2"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c20_bigram_stats" ->
+      s"""WITH toks AS (
+         |  SELECT str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bi AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM toks, unnest(range(1, len(t))) r(i)),
+         |c AS (SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY 1, 2),
+         |w AS (SELECT w1, w2, n12,
+         |        CAST(SUM(n12) OVER (PARTITION BY w1) AS BIGINT) AS n1
+         |      FROM c)
+         |SELECT w1, w2, n12, n1,
+         |  CAST(n12 * 1000000 // n1 AS BIGINT) AS p_e6
+         |FROM w WHERE n12 >= $BigramMinCount
+         |ORDER BY w1, w2""".stripMargin,
     "c10_stopword_filter" ->
       """SELECT doc_id,
         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_orig,
@@ -483,5 +535,6 @@ object CorpusOps {
     "x_stratified_prefilter" -> x_stratifiedPrefilter _,
     "x_corpus_from_clusters" -> x_corpusFromClusters _,
     "x_pack_twophase"     -> x_packTwophase _,
+    "c20_bigram_stats"    -> c20_bigramStats _,
   )
 }

@@ -416,6 +416,36 @@ object Features {
       .orderBy(col("event_id"))
   }
 
+  /** b30: SCD2 (slowly-changing-dimension type 2) feature history — the
+    * other half of the serving-store pair: b17 keeps the CURRENT value
+    * per (user, event_type), this builds the full validity timeline
+    * ([valid_from_us, valid_to_us) intervals, open-ended for the
+    * current row) that point-in-time training joins and audits read.
+    * Each event's value version is valid from its own timestamp until
+    * the next event of the same (user, type); `is_current` marks the
+    * open interval. All integer µs — engine-exact.
+    *
+    * Scale (100 TB): ONE shuffle on the (user_id, event_type) grain and
+    * one ordered window pass (lead(1) is O(1) state over the spillable
+    * sort) — the same b4-b6 window family; no join, no second scan. On
+    * the b19-style bucketed layout the exchange disappears like
+    * x_asof_bucketed's.
+    */
+  def b30_scd2History(spark: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    Tables.events(spark, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("valid_from_us"), Tables.cents.as("cents"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(ord))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("event_id"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -667,6 +697,18 @@ object Features {
         |  CAST(MAX(CASE WHEN p_us IS NOT NULL THEN 3 WHEN v_us IS NOT NULL THEN 2
         |           WHEN s_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "b30_scd2_history" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS valid_from_us,
+         |    ${Tables.CentsSql} AS cents
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
+         |SELECT user_id, event_type, event_id, valid_from_us, cents,
+         |  lead(valid_from_us) OVER w AS valid_to_us,
+         |  CAST(CASE WHEN lead(valid_from_us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY valid_from_us, event_id)
+         |ORDER BY user_id, event_type NULLS FIRST, valid_from_us, event_id""".stripMargin,
     "b7_asof_join" -> B7Sql,
     // x_asof_bucketed is byte-equal to b7 (FeaturesSpec pin) — it runs
     // the SAME window stage over the bucketed layout — so it shares
@@ -692,6 +734,7 @@ object Features {
     "b5_window_frame"      -> b5_windowFrame _,
     "b6_sessionize"        -> b6_sessionize _,
     "b7_asof_join"         -> b7_asofJoin _,
+    "b30_scd2_history"     -> b30_scd2History _,
     "x_asof_bucketed"      -> x_asofBucketed _,
     "b15_salted_agg"       -> b15_saltedAgg _,
     "b21_decayed_features" -> b21_decayedFeatures _,

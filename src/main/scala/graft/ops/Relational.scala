@@ -161,7 +161,49 @@ object Relational {
         |ORDER BY c_mktsegment, rn""".stripMargin)
   }
 
+  /** Salt fan-out for b31 — 16 shards per hot key. */
+  val SaltBuckets = 16
+
+  /** b31: two-phase SALTED equi-join — the manual skew-mitigation shape
+    * for a fact⋈dim join where the dim is too big to broadcast and the
+    * fact is hot-keyed (b15 is the same recipe for aggregation). The
+    * fact side gets a deterministic salt from its own unique key; the
+    * dim side is exploded ×[[SaltBuckets]], one replica per salt; the
+    * equi-join runs on (key, salt), spreading each hot key over 16
+    * reducers. Result ≡ the plain join — which is exactly what the
+    * oracle runs. The join is HINTED sort-merge: at fixture scale AQE
+    * would broadcast the small dim and the salt would demonstrate
+    * nothing; the operator's contract is the both-sides-shuffle plan
+    * (PlanSpec pins SMJ-on-(key,salt), no broadcast of the dim).
+    *
+    * Scale (100 TB): dim shuffle volume grows ×16 (the price of the
+    * spread) but per-reducer fact volume for the hottest key drops
+    * ×16; AQE's skew splitter solves the same problem adaptively when
+    * its thresholds fire — this is the deterministic form for when
+    * they don't (e.g. a single pathological key inside one partition).
+    */
+  def b31_saltedJoin(spark: SparkSession, d: String): DataFrame = {
+    val fact = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        pmod(col("o_orderkey"), lit(SaltBuckets)).cast("int").as("salt"),
+        Tables.cents(col("o_totalprice")).as("cents"))
+    val dim = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("d_salt", explode(expr(s"CAST(sequence(0, ${SaltBuckets - 1}) AS ARRAY<INT>)")))
+    fact.join(dim.hint("merge"),
+        col("o_custkey") === col("c_custkey") && col("salt") === col("d_salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(col("cents")), lit(0L)).as("rev_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "b31_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(coalesce(SUM(${Tables.centsSqlOf("o_totalprice")}), 0) AS BIGINT) AS rev_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "b13_q5like" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - TRY_CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
@@ -250,5 +292,6 @@ object Relational {
     "b12_tpch_q1like"  -> b12_tpchQ1 _,
     "b13_q5like"       -> b13_q5like _,
     "b14_sql_cte"      -> b14_sqlCte _,
+    "b31_salted_join"  -> b31_saltedJoin _,
   )
 }

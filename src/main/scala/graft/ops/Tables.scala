@@ -68,11 +68,15 @@ object Tables {
     cents(col("value"))
   }
 
-  /** [[cents]]'s DuckDB twin, verbatim for splicing into oracle SQL.
-    * TRY_CAST matches try_cast's NULL-on-overflow; both engines
-    * half-even-round DOUBLEs.
+  /** [[cents]]'s DuckDB twin for an arbitrary source column. */
+  def centsSqlOf(column: String): String =
+    s"TRY_CAST(round($column * 100) AS BIGINT)"
+
+  /** [[cents]]'s DuckDB twin for `events.value`, verbatim for splicing
+    * into oracle SQL. TRY_CAST matches try_cast's NULL-on-overflow;
+    * both engines half-even-round DOUBLEs.
     */
-  val CentsSql = "TRY_CAST(round(value * 100) AS BIGINT)"
+  val CentsSql: String = centsSqlOf("value")
 
   /** Scratch dir for sink/streaming outputs — kept inside the repo
     * (target/ is build scratch) so nothing outside /root/repo is touched.

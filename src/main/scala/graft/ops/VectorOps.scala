@@ -203,7 +203,57 @@ object VectorOps {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** c21: linear int8-style quantization of the embedding table — the
+    * vector-compression step an ANN index build runs before writing its
+    * codes (4× smaller than f32; IVF/PQ pipelines start exactly here).
+    * Per DIMENSION: a global (min, max) census over the finite values,
+    * then q = floor((x − min)·255 / (max − min)) ∈ [0, 255] (x = max
+    * lands on 255; a constant dimension quantizes to 0). All double
+    * arithmetic is the same IEEE op sequence on both engines, so floor
+    * is engine-exact — the c3/c7 determinism argument, reused.
+    *
+    * Dirty-data posture: NaN/±Inf/NULL elements leave the similarity
+    * domain here the way whole vectors do in [[finiteNorm]] — they are
+    * excluded from BOTH the census and the output (a real quantizer
+    * cannot encode them either); ragged vectors quantize their own
+    * prefix dims naturally.
+    *
+    * Scale (100 TB): the census is a ~dims-row aggregate (map-side
+    * combined) broadcast back onto the stream — b21/b29's pattern at
+    * vector scale; the quantize itself is a pure map. Two scans of the
+    * table (census + quantize), zero data-sized joins or windows.
+    */
+  def c21_embeddingQuantize(spark: SparkSession, d: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"),
+        col("xf").cast("double").as("x"))
+      // NaN fails both comparisons; NULL propagates to NULL = filtered
+      .filter(col("x") > Double.NegativeInfinity && col("x") < Double.PositiveInfinity)
+    val census = exploded.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    exploded.join(broadcast(census), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        when(col("mx") > col("mn"),
+          floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+          .otherwise(lit(0.0)).cast("long").as("q"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c21_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, i, CAST(list_extract(embedding, i) AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+        |f AS (SELECT * FROM e
+        |      WHERE x > CAST('-infinity' AS DOUBLE) AND x < CAST('infinity' AS DOUBLE)),
+        |c AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM f GROUP BY i)
+        |SELECT f.vec_id, CAST(f.i AS BIGINT) AS i,
+        |  CAST(CASE WHEN c.mx > c.mn
+        |            THEN floor((f.x - c.mn) * 255.0 / (c.mx - c.mn))
+        |            ELSE 0 END AS BIGINT) AS q
+        |FROM f JOIN c USING (i)
+        |ORDER BY vec_id, i""".stripMargin,
     "c3_sim_topk" ->
       """WITH pr AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 20),
         |co AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -253,5 +303,6 @@ object VectorOps {
     "c5_multimodal_cols" -> c5_multimodal _,
     "c7_cosine_neardup"  -> c7_cosineNeardup _,
     "x_label_centroids"  -> labelCentroids _,
+    "c21_embedding_quantize" -> c21_embeddingQuantize _,
   )
 }

@@ -58,9 +58,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 80 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 80)
-    assert(SparkEntry.oracleSql.size === 75)
+  test("the inventory holds all 84 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 84)
+    assert(SparkEntry.oracleSql.size === 79)
   }
 
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,

@@ -67,7 +67,8 @@ class EdgeCaseSpec extends SparkSpec {
     "c17_multimodal_resize", "c18_frame_sample", "c19_heavy_hitters",
     "x_minhash_lsh", "x_ann_lsh",
     "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
-    "x_corpus_from_clusters", "x_pack_twophase")
+    "x_corpus_from_clusters", "x_pack_twophase",
+    "c20_bigram_stats", "c21_embedding_quantize")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

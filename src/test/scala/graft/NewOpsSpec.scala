@@ -588,4 +588,133 @@ class NewOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(5L))
     assert(out.head.getAs[Long]("cents") === 1000L)
   }
+
+  test("b30: SCD2 timeline — intervals chain per (user, type), one open current row") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/b30_model"
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    Seq(
+      (1L, ts(10000000L), Some(1L), "a", Some(1.0)),
+      (2L, ts(20000000L), Some(1L), "a", Some(2.0)),
+      (3L, ts(30000000L), Some(1L), "a", Option.empty[Double]), // null metric: version exists, cents NULL
+      (4L, ts(15000000L), Some(1L), "b", Some(4.0)),
+      (5L, ts(5000000L), Some(2L), "a", Some(5.0)),
+      (6L, null.asInstanceOf[java.sql.Timestamp], Some(1L), "a", Some(9.0)), // no clock: excluded
+      (7L, ts(40000000L), Option.empty[Long], "a", Some(9.0)) // no user: excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Features.b30_scd2History(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+        r.getAs[Long]("is_current"))).toSeq
+    assert(out === Seq(
+      (1L, "a", 1L, 10000000L, Some(20000000L), 0L),
+      (1L, "a", 2L, 20000000L, Some(30000000L), 0L),
+      (1L, "a", 3L, 30000000L, None, 1L),
+      (1L, "b", 4L, 15000000L, None, 1L),
+      (2L, "a", 5L, 5000000L, None, 1L)))
+    // exactly one open (current) interval per (user, type) group
+    val currents = out.groupBy(t => (t._1, t._2)).values.map(_.count(_._6 == 1L))
+    assert(currents.forall(_ == 1))
+  }
+
+  test("b30: user_id=0 survives the validation gate (falsy-key guard)") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/b30_zero_user"
+    Seq((1L, new java.sql.Timestamp(1000L), 0L, "a", Some(1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Features.b30_scd2History(spark, dir).count() === 1)
+  }
+
+  test("b31: salted join equals the plain join + group (executable spec)") {
+    val salted = Relational.b31_saltedJoin(spark, sf0001).collect().toSeq
+    val plain = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(Tables.cents(col("o_totalprice"))), lit(0L)).as("rev_cents"))
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+    // the spread is real: the fact side hits every salt bucket at sf0.001
+    val saltsHit = Tables.orders(spark, sf0001)
+      .select(pmod(col("o_orderkey"), lit(Relational.SaltBuckets)).cast("int").as("salt"))
+      .distinct().count()
+    assert(saltsHit === Relational.SaltBuckets.toLong)
+  }
+
+  test("c20: bigram stats equal the hand model; probabilities are corpus-true") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/c20_model"
+    // bigrams: d1 -> (a,b),(b,a),(a,b),(b,c); d2 -> (a,b),(b,x); d3/d4/d5 none.
+    // counts: (a,b)=3 (b,a)=1 (b,c)=1 (b,x)=1; n1: a=3, b=3.
+    // min-count 3 keeps only (a,b): p = 3/3 -> 1000000e-6. n1 must be
+    // computed BEFORE the filter (b as w1 occurs 3 times even though
+    // each of its bigrams is below the cut).
+    Seq(
+      (1L, "a b a b c", "en", "web", 9L),
+      (2L, "a b x", "en", "web", 5L),
+      (3L, "solo", "en", "web", 4L),
+      (4L, null.asInstanceOf[String], "en", "web", 0L),
+      (5L, "", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.c20_bigramStats(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n12"), r.getAs[Long]("n1"), r.getAs[Long]("p_e6"))).toSeq
+    assert(out === Seq(("a", "b", 3L, 3L, 1000000L)))
+  }
+
+  test("c21: quantization matches the Scala double model exactly at sf0.001") {
+    val out = VectorOps.c21_embeddingQuantize(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("i")) -> r.getAs[Long]("q")).toMap
+    // independent model over the same table, plain JVM doubles
+    val vecs = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding"))
+    val pts = for {
+      (id, v) <- vecs if v != null
+      (x0, i0) <- v.zipWithIndex
+      x = x0.toDouble if x > Double.NegativeInfinity && x < Double.PositiveInfinity
+    } yield (id, (i0 + 1).toLong, x)
+    val byDim = pts.toSeq.groupBy(_._2)
+    val model = byDim.toSeq.flatMap { case (i, ps) =>
+      val mn = ps.map(_._3).min
+      val mx = ps.map(_._3).max
+      ps.map { case (id, _, x) =>
+        (id, i) -> (if (mx > mn) math.floor((x - mn) * 255.0 / (mx - mn)).toLong else 0L)
+      }
+    }.toMap
+    assert(out === model)
+    assert(out.values.forall(q => q >= 0L && q <= 255L))
+    assert(out.values.exists(_ == 255L), "each dim's max must land on 255")
+  }
+
+  test("c21: non-finite and null elements are excluded; constant dims quantize to 0") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/c21_edges"
+    Seq(
+      (1L, Seq(Some(0f), Some(1f), Some(7f)), 0),
+      (2L, Seq(Some(2f), Some(1f), Some(7f)), 1),
+      (3L, Seq(Some(Float.NaN), Some(Float.PositiveInfinity), None), 2),
+      (4L, null.asInstanceOf[Seq[Option[Float]]], 0)
+    ).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.c21_embeddingQuantize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("i"), r.getAs[Long]("q"))).toSeq
+    // dim1 range [0,2]: 0->0, 2->255; dim2 range [1,1] constant -> 0;
+    // dim3 constant 7 -> 0; vec 3's non-finite/null elements are absent
+    assert(out === Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 0L),
+      (2L, 1L, 255L), (2L, 2L, 0L), (2L, 3L, 0L)))
+  }
 }

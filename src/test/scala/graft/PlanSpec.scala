@@ -446,6 +446,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"c19 must not join:\n$p")
   }
 
+  test("b30: the SCD2 timeline is ONE window shuffle — no join, no second scan") {
+    val p = plan(Features.b30_scd2History(spark, sf0001))
+    assert(p.contains("Window"), s"lead() should plan as Window:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected only the (user, type) window exchange, saw $hashEx:\n$p")
+    assert(!p.contains("Join"), s"b30 must not join:\n$p")
+  }
+
+  test("b31: the salted join is SORT-MERGE on (custkey, salt) — the dim is never broadcast") {
+    val p = plan(Relational.b31_saltedJoin(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the dim must shuffle (broadcast would make the salt vacuous):\n$p")
+    // the salt is part of the join keys — the spread is in the PLAN, not
+    // just the data
+    val smjLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(smjLine.contains("salt"), s"salt missing from the join keys: $smjLine")
+  }
+
+  test("c20: one corpus-sized reduce; the n1 window rides the REDUCED bigram table") {
+    val p = plan(CorpusOps.c20_bigramStats(spark, sf0001))
+    assert(p.contains("Window"), s"n1 should plan as a window:\n$p")
+    assert(!p.contains("Join"), s"c20 must not join:\n$p")
+    // two hash exchanges: the (w1, w2) reduce of the exploded corpus and
+    // the w1 re-partition for the window — the second moves vocabulary²
+    // rows, never the corpus
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected reduce + vocab-window exchanges only, saw $hashEx:\n$p")
+  }
+
+  test("c21: the per-dim census broadcasts — the exploded stream never shuffles") {
+    val p = plan(VectorOps.c21_embeddingQuantize(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast census join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"only the tiny census agg should hash-shuffle, saw $hashEx:\n$p")
+  }
+
   test("b27: the bloom probe filters the orders scan inside codegen") {
     val p = plan(BloomJoin.b27_bloomJoin(spark, sf0001))
     assert(p.contains("bloom_might_contain"), s"probe missing from the plan:\n$p")

@@ -94,6 +94,10 @@ class ScanCensusSpec extends SparkSpec {
     "b28_unpivot" -> ((1, 0)),
     // two scans by design: the tiny (n,s,q) census + the flag scan
     "b29_anomaly_zscore" -> ((2, 0)),
+    // b30: one events scan into the window; the lead() needs no join-back
+    "b30_scd2_history" -> ((1, 0)),
+    // b31: orders + customer, one scan each (the salt explode is narrow)
+    "b31_salted_join" -> ((2, 0)),
     "b17_latest_features" -> ((1, 0)),
     "b18_q3like" -> ((3, 0)),
     "b19_bucketed_join" -> ((2, 0)),
@@ -114,6 +118,12 @@ class ScanCensusSpec extends SparkSpec {
     // the sketch pass is its own eagerly-run job; the final plan is the
     // candidate filter + exact count over one corpus scan
     "c19_heavy_hitters" -> ((1, 0)),
+    // c20: ONE corpus explode feeds the (w1,w2) reduce; the n1 window
+    // rides the reduced table, never a second scan
+    "c20_bigram_stats" -> ((1, 0)),
+    // c21: census branch + quantize branch each scan embeddings (their
+    // projections differ, so no reuse — the census reads no vec_id)
+    "c21_embedding_quantize" -> ((2, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),
