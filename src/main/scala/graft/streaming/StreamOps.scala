@@ -120,12 +120,20 @@ object StreamOps {
     */
   private def fileEventStream(spark: SparkSession, d: String): DataFrame = {
     val schema = Tables.t(spark, d, "events").schema
+    val src = Paths.get(s"$d/events.parquet")
+    // a DIRECTORY table (Spark-written, e.g. the decade-scale generated
+    // logs) is already the layout the file source wants — stream it in
+    // place. The staging below exists only for the single-FILE fixture
+    // layout; a symlink-to-directory inside the stage dir is NOT
+    // equivalent (the stream source's top-level listing skips it and
+    // silently streams zero rows — caught by the x3 ladder run).
+    if (Files.isDirectory(src))
+      return spark.readStream.schema(schema).parquet(src.toString)
     // the file source requires a directory: stage a per-sf dir holding a
     // symlink to the fixture file (falls back to a copy if unsupported)
     val stageDir = Paths.get(s"${Tables.scratch}/events_src_${Tables.sanitize(d)}")
     Files.createDirectories(stageDir)
     val link = stageDir.resolve("events.parquet")
-    val src = Paths.get(s"$d/events.parquet")
     // self-healing: a DANGLING symlink (fixture dir moved) fails the
     // follow-check but still occupies the name, and a stale COPY
     // (fallback path, fixture regenerated) would stream old data

@@ -342,4 +342,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 12:00:00") === 1L)
     assert(spark.table("s2_late").count() === 2L)
   }
+
+  test("file source streams a DIRECTORY-layout events table completely (decade/lake layout)") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // a Spark-written events table is a directory of part files — the
+    // lake layout, and what CorpusDecade generates. The staged-symlink
+    // path only covers the single-file fixture layout; a symlink to a
+    // DIRECTORY is skipped by the stream source's listing and silently
+    // streamed zero rows (caught by the x3 ladder: s5/s6 "sped up" 10×).
+    // s6 over a directory table must see every row — here: 2 copies of
+    // each event collapse to exactly one output row per event.
+    val dir = s"${graft.ops.Tables.scratch}/dir_layout_events"
+    graft.ops.Tables.rmrf(dir)
+    (1L to 100L).map(i =>
+      (i, new java.sql.Timestamp(i * 1000), i % 7, "click", Some(i / 10.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4) // multi-part directory, the shape under test
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.StreamOps.s6_streamDedup(spark, dir)
+    assert(out.count() === 100L)
+  }
 }
