@@ -50,12 +50,12 @@ object VectorOps {
   private[ops] def floorE6(x: Column): Column =
     when(!isnan(x) && abs(x) =!= Double.PositiveInfinity, floor(x * 1e6).cast("long"))
 
-  /** c3: exact cosine top-10 for probe vectors (vec_id < 20) against
-    * the whole corpus, probes broadcast.
+  /** c3's scorer over ANY (vec_id, embedding) frame — shared verbatim
+    * with [[x_annQuantized]] (which feeds it int8-reconstructed vectors)
+    * so the two paths cannot drift: probes (vec_id < 20) broadcast,
+    * cosine top-10 per probe.
     */
-  def c3_simTopk(spark: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, d)
+  private[ops] def cosineTopK(emb: DataFrame): DataFrame = {
     // norms projected per ROW before the join (c7's side() pattern):
     // joined to ~20 probes, a per-pair norm would run the 64-element
     // kernel ~20× per corpus row instead of once on the hot scan
@@ -76,6 +76,71 @@ object VectorOps {
       .filter(col("rnk") <= 10)
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"), col("rnk"))
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** c3: exact cosine top-10 for probe vectors (vec_id < 20) against
+    * the whole corpus, probes broadcast.
+    */
+  def c3_simTopk(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    cosineTopK(Tables.embeddings(spark, d))
+  }
+
+  /** x: c3's search over the int8-QUANTIZED corpus — the compressed ANN
+    * path c21 exists for: each element is reconstructed from its
+    * quantized code (x̂ = mn_i + q·step_i, step_i = (mx_i − mn_i)/255)
+    * and the reconstruction feeds [[cosineTopK]] VERBATIM. At lake
+    * scale the codes table is what an index stores — 4× less scan/
+    * memory traffic than f32 — and this query measures exactly what
+    * that costs in ranking fidelity (recall@10 vs exact c3 is pinned
+    * in scalatest; rows-only in the driver gate like the other ANN
+    * variants, since ranking near-ties may legitimately reorder).
+    *
+    * The per-dim (mn, step) census is DRIVER MODEL STATE (≤ dims rows
+    * of two doubles — the IVF-codebook pattern): collected once,
+    * compiled into the reconstruction expression as array literals, so
+    * the quantize+reconstruct+score pipeline is one pure map over the
+    * corpus plus c3's broadcast-probe join. Non-finite elements pass
+    * through reconstruction unchanged, poisoning the norm exactly as
+    * they do in c3 — the finiteNorm domain stays identical on both
+    * paths.
+    */
+  def x_annQuantized(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val censusRows = emb
+      .select(posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select((col("i0") + 1).as("i"), col("xf").cast("double").as("x"))
+      .filter(col("x") > Double.NegativeInfinity && col("x") < Double.PositiveInfinity)
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect() // model state: ≤ dims rows (the IVF-codebook pattern)
+    if (censusRows.isEmpty) return cosineTopK(emb.filter(lit(false)))
+    val byDim = censusRows.map(r => r.getAs[Int]("i") ->
+      ((r.getAs[Double]("mn"), r.getAs[Double]("mx")))).toMap
+    val maxDim = byDim.keys.max
+    // dims with no finite value anywhere get (0, 0): no finite element
+    // can reference them (such an element would have put them in the
+    // census), so the defaults are never read by the THEN branch
+    val mins = (1 to maxDim).map(i => byDim.get(i).map(_._1).getOrElse(0.0))
+    val ranges = (1 to maxDim).map(i =>
+      byDim.get(i).map { case (mn, mx) => mx - mn }.getOrElse(0.0))
+    // q below is EXACTLY c21's code (floor((x−mn)·255/range), the same
+    // IEEE op order) so this query really searches the c21 codes
+    val recon = emb
+      .withColumn("mn_a", array(mins.map(lit): _*))
+      .withColumn("rg_a", array(ranges.map(lit): _*))
+      .select(col("vec_id"), expr(
+        """transform(embedding, (x, j) -> CAST(
+          |  CASE WHEN CAST(x AS DOUBLE) > CAST('-Infinity' AS DOUBLE)
+          |        AND CAST(x AS DOUBLE) < CAST('Infinity' AS DOUBLE)
+          |  THEN CASE WHEN element_at(rg_a, j + 1) = 0D THEN element_at(mn_a, j + 1)
+          |            ELSE element_at(mn_a, j + 1) +
+          |                 floor((CAST(x AS DOUBLE) - element_at(mn_a, j + 1)) * 255.0D /
+          |                       element_at(rg_a, j + 1)) *
+          |                 (element_at(rg_a, j + 1) / 255.0D)
+          |       END
+          |  ELSE CAST(x AS DOUBLE) END AS FLOAT))""".stripMargin).as("embedding"))
+    cosineTopK(recon)
   }
 
   /** ANN via random-hyperplane LSH bucketing (no oracle — probabilistic;
@@ -304,5 +369,6 @@ object VectorOps {
     "c7_cosine_neardup"  -> c7_cosineNeardup _,
     "x_label_centroids"  -> labelCentroids _,
     "c21_embedding_quantize" -> c21_embeddingQuantize _,
+    "x_ann_quantized"    -> x_annQuantized _,
   )
 }

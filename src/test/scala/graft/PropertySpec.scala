@@ -463,4 +463,73 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("b30 SCD2 timeline equals a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b30"
+    samples(logGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val evs = rows.zipWithIndex.collect {
+        case ((Some(u), t, day, sec, c), i) =>
+          (i.toLong, u, t, 1704067200000000L + (day * 86400L + sec) * 1000000L, c)
+      }
+      val expected = evs.groupBy(e => (e._2, e._3)).toSeq.flatMap {
+        case ((u, t), group) =>
+          val ordered = group.sortBy(e => (e._4, e._1))
+          ordered.zipWithIndex.map { case ((id, _, _, us, _), k) =>
+            val next = if (k + 1 < ordered.size) Some(ordered(k + 1)._4) else None
+            (u, t, id, us) -> ((next, if (next.isEmpty) 1L else 0L))
+          }
+      }.toMap
+      val got = graft.ops.Features.b30_scd2History(spark, dir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("event_id"), r.getAs[Long]("valid_from_us")) ->
+          ((Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+            r.getAs[Long]("is_current")))).toMap
+      assert(got === expected)
+    }
+  }
+
+  /** Vector sets with the full hostile-element alphabet: finite values,
+    * NaN, ±Inf, null elements, ragged lengths, null vectors.
+    */
+  private val vecSetGen: Gen[List[Option[List[Option[Float]]]]] =
+    Gen.listOfN(30, Gen.frequency(
+      9 -> (for {
+        dim <- Gen.choose(1, 6)
+        elems <- Gen.listOfN(dim, Gen.frequency(
+          12 -> Gen.choose(-8.0, 8.0).map(d => Some(d.toFloat)),
+          1 -> Gen.const(Some(Float.NaN)),
+          1 -> Gen.const(Some(Float.PositiveInfinity)),
+          1 -> Gen.const(Some(Float.NegativeInfinity)),
+          1 -> Gen.const(Option.empty[Float])))
+      } yield Some(elems)),
+      1 -> Gen.const(Option.empty[List[Option[Float]]])))
+
+  test("c21 quantization equals a Scala model on generated hostile vectors") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_c21"
+    samples(vecSetGen, 5).foreach { vecs =>
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 3) }
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val pts = vecs.zipWithIndex.flatMap {
+        case (Some(v), id) => v.zipWithIndex.collect {
+          case (Some(x0), i0) if !x0.isNaN && !x0.isInfinite =>
+            (id.toLong, (i0 + 1).toLong, x0.toDouble)
+        }
+        case _ => Nil
+      }
+      val expected = pts.groupBy(_._2).toSeq.flatMap { case (i, ps) =>
+        val mn = ps.map(_._3).min
+        val mx = ps.map(_._3).max
+        ps.map { case (id, _, x) =>
+          (id, i) -> (if (mx > mn) math.floor((x - mn) * 255.0 / (mx - mn)).toLong else 0L)
+        }
+      }.toMap
+      val got = graft.ops.VectorOps.c21_embeddingQuantize(spark, dir).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("i")) -> r.getAs[Long]("q")).toMap
+      assert(got === expected)
+      assert(got.values.forall(q => q >= 0L && q <= 255L))
+    }
+  }
 }

@@ -124,6 +124,10 @@ class ScanCensusSpec extends SparkSpec {
     // c21: census branch + quantize branch each scan embeddings (their
     // projections differ, so no reuse — the census reads no vec_id)
     "c21_embedding_quantize" -> ((2, 0)),
+    // x_ann_quantized: probe + corpus branches of the reconstructed
+    // frame (c3's shape); the per-dim census is collected eagerly at
+    // plan-build time as driver model state, outside the final plan
+    "x_ann_quantized" -> ((2, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),

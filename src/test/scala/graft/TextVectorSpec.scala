@@ -115,6 +115,35 @@ class TextVectorSpec extends SparkSpec {
       s"IVF top-1 recall too low: $hit/${exactTop1.size}")
   }
 
+  test("x_ann_quantized: recall@10 vs exact c3 is high; sims within quantization error") {
+    val exact = VectorOps.c3_simTopk(spark, sf0001).collect()
+    val quant = VectorOps.x_annQuantized(spark, sf0001).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val e = pairs(exact); val q = pairs(quant)
+    assert(e.nonEmpty && q.nonEmpty)
+    // same probes, same k, same schema
+    assert(quant.map(_.getAs[Long]("probe_id")).toSet === exact.map(_.getAs[Long]("probe_id")).toSet)
+    // int8 codes on 64 dims lose very little ranking fidelity — require
+    // recall@10 ≥ 0.9 (measured ~0.99 on the fixture; a real regression
+    // in reconstruction drops it far below this)
+    val recall = (e intersect q).size.toDouble / e.size
+    assert(recall >= 0.9, s"quantized recall@10 too low: $recall")
+    // per-pair sims agree within the quantization error bound: each
+    // element moves < step ≤ range/255, so sim_e6 moves by at most a few
+    // thousand on unit-ish vectors — 10000 (1% of the e6 scale) is a
+    // loose, regression-catching bound
+    val eSim = exact.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Long]("sim_e6")).toMap
+    quant.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      eSim.get(k).foreach { es =>
+        assert(math.abs(es - r.getAs[Long]("sim_e6")) <= 10000L,
+          s"sim drifted past quantization error for $k")
+      }
+    }
+  }
+
   test("TopCells native ranking ≡ the literal-SQL oracle, incl. degenerate vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark) // dot_f32 for the oracle side
