@@ -446,6 +446,49 @@ object Features {
         col("event_id"))
   }
 
+  /** b32: snapshot MERGE (upsert) — the feature-store write-path
+    * primitive Spark SQL has no native MERGE INTO for: fold the newer
+    * half of the log (the "delta" epoch) onto the older half (the
+    * "base" snapshot), latest-wins per (user, event_type), and label
+    * every key `insert` (delta only), `update` (both epochs — the
+    * delta's value replaces the base's, EVEN when the newer value is
+    * NULL: key-presence decides, not value-coalesce), or `carry` (base
+    * only). The epoch split is the b22 midpoint census — integer µs,
+    * engine-exact.
+    *
+    * Scale (100 TB): the tiny (min,max) census broadcasts back (b21's
+    * pattern); then BOTH per-epoch latest-structs resolve as
+    * conditional window maxes over ONE (user, type) exchange and the
+    * final one-row-per-key reduce runs on that same partitioning
+    * (b23's ride-one-exchange shape, PlanSpec-pinned) — no self-join,
+    * no second scan, no shuffle of the log beyond the one it already
+    * pays. max(struct(us, event_id, …)) is the deterministic
+    * latest-wins: lexicographic on (us, unique event_id).
+    */
+  def b32_snapshotMerge(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), Tables.cents.as("cents"))
+    val census = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val wFull = Window.partitionBy(col("user_id"), col("event_type"))
+    ev.crossJoin(broadcast(census))
+      .withColumn("is_delta", col("us") >= expr("(lo + hi) DIV 2"))
+      .withColumn("b", max(when(!col("is_delta"),
+        struct(col("us"), col("event_id"), col("cents")))).over(wFull))
+      .withColumn("dl", max(when(col("is_delta"),
+        struct(col("us"), col("event_id"), col("cents")))).over(wFull))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("b")).as("b"), max(col("dl")).as("dl"))
+      .select(col("user_id"), col("event_type"),
+        when(col("dl").isNotNull && col("b").isNotNull, "update")
+          .when(col("dl").isNotNull, "insert").otherwise("carry").as("action"),
+        when(col("dl").isNotNull, col("dl.cents")).otherwise(col("b.cents")).as("cents"),
+        col("b.event_id").as("base_eid"), col("dl.event_id").as("delta_eid"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** b7: point-in-time (as-of) join — for each purchase event, the
     * latest 'view' event of the same user at or before the purchase
     * timestamp (ties: largest event_id; purchases with no prior view
@@ -697,6 +740,34 @@ object Features {
         |  CAST(MAX(CASE WHEN p_us IS NOT NULL THEN 3 WHEN v_us IS NOT NULL THEN 2
         |           WHEN s_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "b32_snapshot_merge" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |    ${Tables.CentsSql} AS cents
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+         |base AS (
+         |  SELECT user_id, event_type, event_id, cents FROM e, m
+         |  WHERE us < mid
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+         |                             ORDER BY us DESC, event_id DESC) = 1),
+         |delta AS (
+         |  SELECT user_id, event_type, event_id, cents FROM e, m
+         |  WHERE us >= mid
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+         |                             ORDER BY us DESC, event_id DESC) = 1)
+         |SELECT
+         |  coalesce(b.user_id, d.user_id) AS user_id,
+         |  coalesce(b.event_type, d.event_type) AS event_type,
+         |  CASE WHEN d.event_id IS NOT NULL AND b.event_id IS NOT NULL THEN 'update'
+         |       WHEN d.event_id IS NOT NULL THEN 'insert' ELSE 'carry' END AS action,
+         |  CASE WHEN d.event_id IS NOT NULL THEN d.cents ELSE b.cents END AS cents,
+         |  b.event_id AS base_eid, d.event_id AS delta_eid
+         |FROM base b FULL JOIN delta d
+         |  ON b.user_id = d.user_id AND b.event_type = d.event_type
+         |ORDER BY user_id, event_type""".stripMargin,
     "b30_scd2_history" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS valid_from_us,
@@ -735,6 +806,7 @@ object Features {
     "b6_sessionize"        -> b6_sessionize _,
     "b7_asof_join"         -> b7_asofJoin _,
     "b30_scd2_history"     -> b30_scd2History _,
+    "b32_snapshot_merge"   -> b32_snapshotMerge _,
     "x_asof_bucketed"      -> x_asofBucketed _,
     "b15_salted_agg"       -> b15_saltedAgg _,
     "b21_decayed_features" -> b21_decayedFeatures _,

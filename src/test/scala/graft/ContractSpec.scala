@@ -58,9 +58,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 85 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 85)
-    assert(SparkEntry.oracleSql.size === 79)
+  test("the inventory holds all 86 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 86)
+    assert(SparkEntry.oracleSql.size === 80)
   }
 
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,

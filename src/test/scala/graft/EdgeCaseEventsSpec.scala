@@ -68,7 +68,7 @@ class EdgeCaseEventsSpec extends SparkSpec {
     "b16_percentiles",
     "b21_decayed_features", "b22_feature_drift", "b23_funnel", "b24_retention",
     "b25_ltv_curve", "b26_range_join", "b28_unpivot", "b29_anomaly_zscore",
-    "b30_scd2_history",
+    "b30_scd2_history", "b32_snapshot_merge",
     "b17_latest_features", "x_approx_distinct",
     "s1_stream_pipeline", "s2_stream_window", "s3_stream_sessionize",
     "s4_stream_join", "s5_stream_stream_join", "s6_stream_dedup",

@@ -632,6 +632,40 @@ class NewOpsSpec extends SparkSpec {
     assert(Features.b30_scd2History(spark, dir).count() === 1)
   }
 
+  test("b32: snapshot merge — insert/update/carry actions, delta wins even with a NULL value") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/b32_model"
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // us span [0, 100s] -> mid = 50s. user 1: base+delta (update; the
+    // delta's NULL metric REPLACES the base's 1.00 — key-presence, not
+    // coalesce). user 2: base only (carry). user 3: delta only (insert).
+    // user 4: two base rows — latest (us=40s) wins within the epoch.
+    Seq(
+      (1L, ts(0L), Some(1L), "a", Some(9.0)),          // pins lo = 0
+      (2L, ts(10000000L), Some(1L), "a", Some(1.0)),
+      (3L, ts(60000000L), Some(1L), "a", Option.empty[Double]),
+      (4L, ts(20000000L), Some(2L), "a", Some(3.0)),
+      (5L, ts(100000000L), Some(3L), "a", Some(5.0)),  // pins hi = 100s
+      (6L, ts(30000000L), Some(4L), "a", Some(7.0)),
+      (7L, ts(40000000L), Some(4L), "a", Some(8.0)),
+      (8L, ts(70000000L), Option.empty[Long], "a", Some(9.0)) // null user: excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Features.b32_snapshotMerge(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        ((r.getAs[String]("action"),
+          Option(r.getAs[java.lang.Long]("cents")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("base_eid")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("delta_eid")).map(_.toLong)))).toMap
+    assert(out === Map(
+      (1L, "a") -> (("update", None, Some(2L), Some(3L))),
+      (2L, "a") -> (("carry", Some(300L), Some(4L), None)),
+      (3L, "a") -> (("insert", Some(500L), None, Some(5L))),
+      (4L, "a") -> (("carry", Some(800L), Some(7L), None))))
+  }
+
   test("b31: salted join equals the plain join + group (executable spec)") {
     val salted = Relational.b31_saltedJoin(spark, sf0001).collect().toSeq
     val plain = Tables.orders(spark, sf0001)

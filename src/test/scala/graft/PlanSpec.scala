@@ -454,6 +454,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"b30 must not join:\n$p")
   }
 
+  test("b32: both epoch-latest windows and the final reduce ride ONE (user, type) exchange") {
+    val p = plan(Features.b32_snapshotMerge(spark, sf0001))
+    assert(p.contains("Window"), s"epoch-latest should plan as Window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"b32 must not self-join the log:\n$p")
+    // one hash exchange: the (user, type) window; the census is a
+    // single-partition agg + broadcast, and the groupBy reuses the
+    // window's partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected only the (user, type) exchange, saw $hashEx:\n$p")
+  }
+
   test("b31: the salted join is SORT-MERGE on (custkey, salt) — the dim is never broadcast") {
     val p = plan(Relational.b31_saltedJoin(spark, sf0001))
     assert(p.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$p")

@@ -96,6 +96,8 @@ class ScanCensusSpec extends SparkSpec {
     "b29_anomaly_zscore" -> ((2, 0)),
     // b30: one events scan into the window; the lead() needs no join-back
     "b30_scd2_history" -> ((1, 0)),
+    // b32: census branch + merge branch each scan events (b29's shape)
+    "b32_snapshot_merge" -> ((2, 0)),
     // b31: orders + customer, one scan each (the salt explode is narrow)
     "b31_salted_join" -> ((2, 0)),
     "b17_latest_features" -> ((1, 0)),
