@@ -412,7 +412,57 @@ object CorpusOps {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Rows published by c22's coverage report. */
+  val VocabTopK = 100L
+
+  /** c22: vocabulary coverage curve — for the top-[[VocabTopK]] terms by
+    * occurrence count, the cumulative fraction of ALL token occurrences
+    * they cover (rational e6 integers — engine-exact). The corpus report
+    * that answers "how big a vocabulary do I need": tokenizer sizing,
+    * OOV-rate estimation, and the long-tail health check next to c19's
+    * heavy hitters.
+    *
+    * Scale (100 TB): one corpus explode → ONE map-side-combinable term
+    * reduce (the only data-sized shuffle; c20's shape). The cumulative
+    * window is GLOBAL-ordered, but it runs on the REDUCED vocabulary
+    * table pre-cut to the top-K by a TakeOrdered-style limit — the
+    * single-task sort sees K rows, never the vocabulary (let alone the
+    * corpus). The total-occurrences denominator rides a tiny census
+    * broadcast (b21's pattern).
+    */
+  def c22_vocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("term")).limit(VocabTopK.toInt)
+    val wOrd = Window.orderBy(col("n").desc, col("term"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .select(col("rnk"), col("term"), col("n"), col("cum_n"),
+        expr("cum_n * 1000000L DIV total").as("coverage_e6"))
+      .orderBy(col("rnk"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c22_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+         |c AS (SELECT term, COUNT(*) AS n FROM counts GROUP BY term),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         |top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT $VocabTopK)
+         |SELECT
+         |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+         |  term, n,
+         |  CAST(SUM(n) OVER (ORDER BY n DESC, term
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |  CAST(CAST(SUM(n) OVER (ORDER BY n DESC, term
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000 // t.total AS BIGINT) AS coverage_e6
+         |FROM top, t
+         |WINDOW w AS (ORDER BY n DESC, term)
+         |ORDER BY rnk""".stripMargin,
     "c20_bigram_stats" ->
       s"""WITH toks AS (
          |  SELECT str_split(text, ' ') AS t FROM documents
@@ -536,5 +586,6 @@ object CorpusOps {
     "x_corpus_from_clusters" -> x_corpusFromClusters _,
     "x_pack_twophase"     -> x_packTwophase _,
     "c20_bigram_stats"    -> c20_bigramStats _,
+    "c22_vocab_coverage"  -> c22_vocabCoverage _,
   )
 }

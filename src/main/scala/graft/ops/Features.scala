@@ -446,6 +446,57 @@ object Features {
         col("event_id"))
   }
 
+  /** x: t-digest approximate percentiles — b16's sketch twin, completing
+    * the sketch family (HLL distinct, Bloom membership, count-min
+    * frequency, quantile sketch here). `percentile_approx` keeps a
+    * bounded-size quantile summary with map-side combine, so the exact
+    * per-group sort b16 pays becomes a fixed-memory mergeable sketch —
+    * the form that survives a 100 TB group. Rows-only by declared
+    * design (the sketch picks an actual data value; engines' summaries
+    * differ); the rank-error bound vs exact b16 is pinned in scalatest.
+    */
+  def x_approxPercentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("cents", Tables.cents)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("pa"))
+      .select(col("event_type"),
+        element_at(col("pa"), 1).as("p25_cents"),
+        element_at(col("pa"), 2).as("p50_cents"),
+        element_at(col("pa"), 3).as("p75_cents"))
+      .orderBy(col("event_type"))
+
+  /** x: mergeable HLL sketch ROLLUP — the pre-aggregation pattern a
+    * lake actually runs: per-(event_type, day) HLL sketches of the user
+    * set materialized once (the daily job), then any coarser grain —
+    * here per-type totals — answered by MERGING sketches instead of
+    * rescanning the log. HLL merge is a per-register max, so the merged
+    * registers are IDENTICAL to a direct whole-log sketch regardless of
+    * how the input was partitioned — that equality (merge ≡ direct) and
+    * the estimate-vs-exact error bound are pinned in scalatest.
+    * Rows-only: DuckDB's HLL implementation differs.
+    *
+    * Scale (100 TB): the daily sketch table is days×types rows of
+    * KB-sized binaries; every downstream rollup reads THAT, not the
+    * log — the whole point of mergeable sketches.
+    */
+  def x_hllRollup(spark: SparkSession, d: String): DataFrame =
+    dailyUserSketches(spark, d)
+      .groupBy(col("event_type"))
+      .agg(round(hll_sketch_estimate(hll_union_agg(col("sk")))).cast("long")
+        .as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** The materialized daily-sketch grain x_hllRollup rolls up (exposed
+    * for the scalatest merge≡direct pin).
+    */
+  private[graft] def dailyUserSketches(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+
   /** b32: snapshot MERGE (upsert) — the feature-store write-path
     * primitive Spark SQL has no native MERGE INTO for: fold the newer
     * half of the log (the "delta" epoch) onto the older half (the
@@ -807,6 +858,8 @@ object Features {
     "b7_asof_join"         -> b7_asofJoin _,
     "b30_scd2_history"     -> b30_scd2History _,
     "b32_snapshot_merge"   -> b32_snapshotMerge _,
+    "x_approx_percentiles" -> x_approxPercentiles _,
+    "x_hll_rollup"         -> x_hllRollup _,
     "x_asof_bucketed"      -> x_asofBucketed _,
     "b15_salted_agg"       -> b15_saltedAgg _,
     "b21_decayed_features" -> b21_decayedFeatures _,

@@ -38,8 +38,10 @@ class EdgeCaseEventsSpec extends SparkSpec {
       (8L: java.lang.Long, ns(80), 3L: java.lang.Long, "view", 4.0: java.lang.Double, """{"k": 8}"""), // dup id
       (9L: java.lang.Long, ns(-3600L * 24 * 365 * 60), 4L: java.lang.Long, "purchase",
         1.25: java.lang.Double, """{"k": 0}""")) // pre-epoch ts (1964)
-    // stage events.parquet as a single FILE like the raw fixtures (the
-    // streaming source links the file; a directory would stream nothing)
+    // stage events.parquet as a single FILE like the raw fixtures — the
+    // layout the driver gate runs (the stream source handles directory
+    // tables too, via the in-place branch; this spec exercises the
+    // staged-link path the fixtures use)
     val tmp = s"$d/_tmp_events"
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -69,6 +71,7 @@ class EdgeCaseEventsSpec extends SparkSpec {
     "b21_decayed_features", "b22_feature_drift", "b23_funnel", "b24_retention",
     "b25_ltv_curve", "b26_range_join", "b28_unpivot", "b29_anomaly_zscore",
     "b30_scd2_history", "b32_snapshot_merge",
+    "x_approx_percentiles", "x_hll_rollup",
     "b17_latest_features", "x_approx_distinct",
     "s1_stream_pipeline", "s2_stream_window", "s3_stream_sessionize",
     "s4_stream_join", "s5_stream_stream_join", "s6_stream_dedup",

@@ -68,7 +68,8 @@ class EdgeCaseSpec extends SparkSpec {
     "x_minhash_lsh", "x_ann_lsh",
     "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
     "x_corpus_from_clusters", "x_pack_twophase",
-    "c20_bigram_stats", "c21_embedding_quantize", "x_ann_quantized")
+    "c20_bigram_stats", "c21_embedding_quantize", "x_ann_quantized",
+    "c22_vocab_coverage")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

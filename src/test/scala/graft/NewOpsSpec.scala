@@ -666,6 +666,90 @@ class NewOpsSpec extends SparkSpec {
       (4L, "a") -> (("carry", Some(800L), Some(7L), None))))
   }
 
+  test("x_approx_percentiles: sketch values are real data points within t-digest rank error of exact") {
+    val approx = Features.x_approxPercentiles(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        Seq(Option(r.getAs[java.lang.Long]("p25_cents")),
+          Option(r.getAs[java.lang.Long]("p50_cents")),
+          Option(r.getAs[java.lang.Long]("p75_cents")))).toMap
+    val centsByType = Tables.events(spark, sf0001)
+      .select(col("event_type"), Tables.cents.as("cents"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.flatMap(r => Option(r.getAs[java.lang.Long]("cents")).map(_.toLong))
+        .sorted.toIndexedSeq).toMap
+    assert(approx.nonEmpty)
+    for ((t, ps) <- approx; (pOpt, q) <- ps.zip(Seq(0.25, 0.5, 0.75))) {
+      val xs = centsByType(t)
+      pOpt match {
+        case None => assert(xs.isEmpty, s"$t: null percentile with data present")
+        case Some(p) =>
+          // the sketch returns an actual observed value…
+          assert(xs.contains(p), s"$t q=$q: $p is not a data value")
+          // …whose rank is within 1% of the requested quantile (accuracy
+          // 10000 ⇒ ε = 1/10000; 0.01 is a loose regression bound)
+          val below = xs.count(_ < p).toDouble
+          val atOrBelow = xs.count(_ <= p).toDouble
+          val n = xs.size.toDouble
+          assert(below / n - 0.01 <= q && q <= atOrBelow / n + 0.01,
+            s"$t q=$q: value $p rank [${below / n}, ${atOrBelow / n}] off target")
+      }
+    }
+  }
+
+  test("x_hll_rollup: merged daily sketches equal a direct whole-log sketch; estimate near exact") {
+    val viaRollup = Features.x_hllRollup(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    // merge ≡ direct: HLL union is a per-register max, so rolling up the
+    // daily grain must reproduce the direct sketch's estimate EXACTLY
+    val direct = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(round(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).cast("long")
+        .as("approx_users"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    assert(viaRollup === direct)
+    // estimate vs exact: HLL++-class error at this cardinality is ~2%;
+    // 5% is the loose regression bound
+    val exact = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(viaRollup.keySet === exact.keySet)
+    for ((t, est) <- viaRollup) {
+      val n = exact(t).toDouble
+      assert(math.abs(est - n) <= math.max(2.0, 0.05 * n),
+        s"$t: estimate $est too far from exact $n")
+    }
+  }
+
+  test("c22: vocabulary coverage equals the hand model; curve is monotone to 100% of the corpus") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val dir = s"${Tables.scratch}/c22_model"
+    // term counts: a=4 (2+2), b=3 (1+2), c=1; total 8.
+    // top-3 curve: a 4/8=50%, a+b 7/8=87.5%, a+b+c 8/8=100%.
+    Seq(
+      (1L, "a a b", "en", "web", 5L),
+      (2L, "a b b a c", "en", "web", 9L),
+      (3L, null.asInstanceOf[String], "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.c22_vocabCoverage(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("term"), r.getAs[Long]("n"),
+        r.getAs[Long]("cum_n"), r.getAs[Long]("coverage_e6"))).toSeq
+    assert(out === Seq(
+      (1L, "a", 4L, 4L, 500000L),
+      (2L, "b", 3L, 7L, 875000L),
+      (3L, "c", 1L, 8L, 1000000L)))
+    // fixture sanity: the curve is strictly increasing and ends ≤ 1e6
+    val fix = CorpusOps.c22_vocabCoverage(spark, sf0001).collect()
+      .map(_.getAs[Long]("coverage_e6")).toSeq
+    assert(fix === fix.sorted && fix.nonEmpty && fix.last <= 1000000L)
+  }
+
   test("b31: salted join equals the plain join + group (executable spec)") {
     val salted = Relational.b31_saltedJoin(spark, sf0001).collect().toSeq
     val plain = Tables.orders(spark, sf0001)

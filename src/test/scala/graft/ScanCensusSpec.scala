@@ -98,6 +98,9 @@ class ScanCensusSpec extends SparkSpec {
     "b30_scd2_history" -> ((1, 0)),
     // b32: census branch + merge branch each scan events (b29's shape)
     "b32_snapshot_merge" -> ((2, 0)),
+    // sketch rollups: one events scan each (map-side-combined sketches)
+    "x_approx_percentiles" -> ((1, 0)),
+    "x_hll_rollup" -> ((1, 0)),
     // b31: orders + customer, one scan each (the salt explode is narrow)
     "b31_salted_join" -> ((2, 0)),
     "b17_latest_features" -> ((1, 0)),
@@ -123,6 +126,9 @@ class ScanCensusSpec extends SparkSpec {
     // c20: ONE corpus explode feeds the (w1,w2) reduce; the n1 window
     // rides the reduced table, never a second scan
     "c20_bigram_stats" -> ((1, 0)),
+    // c22: one corpus explode; the total census REUSES the term-count
+    // exchange (the reused-exchange ride is the point of the shape)
+    "c22_vocab_coverage" -> ((1, 1)),
     // c21: census branch + quantize branch each scan embeddings (their
     // projections differ, so no reuse — the census reads no vec_id)
     "c21_embedding_quantize" -> ((2, 0)),
