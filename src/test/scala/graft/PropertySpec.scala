@@ -489,6 +489,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("b32 snapshot merge equals a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b32"
+    samples(logGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val evs = rows.zipWithIndex.collect {
+        case ((Some(u), t, day, sec, c), i) if t != null =>
+          (i.toLong, u, t, 1704067200000000L + (day * 86400L + sec) * 1000000L, c)
+      }
+      if (evs.nonEmpty) {
+        val mid = (evs.map(_._4).min + evs.map(_._4).max) / 2 // all-positive: DIV == floor
+        val expected = evs.groupBy(e => (e._2, e._3)).map { case ((u, t), g) =>
+          val base = g.filter(_._4 < mid).sortBy(e => (e._4, e._1)).lastOption
+          val delta = g.filter(_._4 >= mid).sortBy(e => (e._4, e._1)).lastOption
+          val action = (base, delta) match {
+            case (Some(_), Some(_)) => "update"
+            case (None, Some(_))    => "insert"
+            case _                  => "carry"
+          }
+          val cents = delta.orElse(base).flatMap(_._5)
+          (u, t) -> ((action, cents, base.map(_._1), delta.map(_._1)))
+        }
+        val got = graft.ops.Features.b32_snapshotMerge(spark, dir).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+            ((r.getAs[String]("action"),
+              Option(r.getAs[java.lang.Long]("cents")).map(_.toLong),
+              Option(r.getAs[java.lang.Long]("base_eid")).map(_.toLong),
+              Option(r.getAs[java.lang.Long]("delta_eid")).map(_.toLong)))).toMap
+        assert(got === expected)
+      }
+    }
+  }
+
   /** Vector sets with the full hostile-element alphabet: finite values,
     * NaN, ±Inf, null elements, ragged lengths, null vectors.
     */
