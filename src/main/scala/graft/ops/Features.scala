@@ -222,8 +222,9 @@ object Features {
     * 1e6 and floored per bucket so every term and the sum stay BIGINT.
     *
     * Determinism traps avoided by construction: the window split is
-    * the integer midpoint (min+max) DIV 2 of event-time micros (no
-    * float percentile interpolation), and bucketing clamps to
+    * the integer midpoint min + (max−min) DIV 2 of event-time micros
+    * (no float percentile interpolation; the DIV operand is
+    * non-negative so truncate ≡ floor), and bucketing clamps to
     * non-negative BEFORE dividing — Spark's DIV truncates toward zero
     * while DuckDB's // floors, which diverges exactly on negatives.
     *
@@ -240,8 +241,11 @@ object Features {
       .withColumn("cents", Tables.cents)
       .filter(col("cents").isNotNull)
       .withColumn("us", unix_micros(col("ts")))
+    // midpoint as mn + (mx-mn) DIV 2 — b32's floor-consistent form:
+    // the operand of DIV is non-negative, so Spark's truncate and
+    // DuckDB's floor agree even on a pre-epoch (negative-µs) log
     val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
-      .select(expr("(mn + mx) DIV 2").as("t_mid"))
+      .select(expr("mn + (mx - mn) DIV 2").as("t_mid"))
     ev.crossJoin(broadcast(mid))
       .withColumn("bucket", expr("least(greatest(cents, 0L) DIV 1000, 19L)"))
       .groupBy(col("event_type"), col("bucket"))
@@ -525,7 +529,11 @@ object Features {
     val census = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
     val wFull = Window.partitionBy(col("user_id"), col("event_type"))
     ev.crossJoin(broadcast(census))
-      .withColumn("is_delta", col("us") >= expr("(lo + hi) DIV 2"))
+      // midpoint as lo + (hi-lo) DIV 2: hi-lo is non-negative, where
+      // Spark's DIV (truncate toward zero) and DuckDB's // (floor)
+      // agree — the naive (lo+hi) DIV 2 diverges by 1µs when lo+hi < 0
+      // (a mostly pre-epoch log; the edge fixture has a 1964 timestamp)
+      .withColumn("is_delta", col("us") >= expr("lo + (hi - lo) DIV 2"))
       .withColumn("b", max(when(!col("is_delta"),
         struct(col("us"), col("event_id"), col("cents")))).over(wFull))
       .withColumn("dl", max(when(col("is_delta"),
@@ -737,7 +745,7 @@ object Features {
         |            ${Tables.CentsSql} AS cents
         |          FROM events WHERE ts IS NOT NULL),
         |f AS (SELECT * FROM e WHERE cents IS NOT NULL),
-        |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS t_mid FROM f),
+        |m AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS t_mid FROM f),
         |b AS (SELECT event_type, LEAST(GREATEST(cents, 0) // 1000, 19) AS bucket,
         |        CASE WHEN us <= t_mid THEN 1 ELSE 0 END AS ea
         |      FROM f, m),
@@ -798,7 +806,7 @@ object Features {
          |  FROM events
          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
          |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
-         |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+         |m AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM e),
          |base AS (
          |  SELECT user_id, event_type, event_id, cents FROM e, m
          |  WHERE us < mid

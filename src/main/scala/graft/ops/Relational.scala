@@ -184,8 +184,13 @@ object Relational {
     */
   def b31_saltedJoin(spark: SparkSession, d: String): DataFrame = {
     val fact = Tables.orders(spark, d)
+      // coalesce: pmod(NULL, 16) is NULL, which matches NO dim salt —
+      // a null-keyed fact row would silently vanish from the join even
+      // though the join key is o_custkey, diverging from the plain-join
+      // contract below. Null salts land in bucket 0 instead (the salt
+      // only spreads load; ANY bucket is correct).
       .select(col("o_custkey"),
-        pmod(col("o_orderkey"), lit(SaltBuckets)).cast("int").as("salt"),
+        coalesce(pmod(col("o_orderkey"), lit(SaltBuckets)), lit(0)).cast("int").as("salt"),
         Tables.cents(col("o_totalprice")).as("cents"))
     val dim = Tables.customer(spark, d)
       .select(col("c_custkey"), col("c_mktsegment"))

@@ -74,7 +74,9 @@ object Tables {
 
   /** [[cents]]'s DuckDB twin for `events.value`, verbatim for splicing
     * into oracle SQL. TRY_CAST matches try_cast's NULL-on-overflow;
-    * both engines half-even-round DOUBLEs.
+    * both engines round halves away from zero (HALF_UP) on DOUBLEs —
+    * Spark's round() and DuckDB's round(DOUBLE) alike (neither is
+    * half-even).
     */
   val CentsSql: String = centsSqlOf("value")
 

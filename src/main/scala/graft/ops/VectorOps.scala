@@ -293,7 +293,10 @@ object VectorOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
       .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"),
         col("xf").cast("double").as("x"))
-      // NaN fails both comparisons; NULL propagates to NULL = filtered
+      // NaN: Spark orders NaN greater than everything, so NaN > -Inf is
+      // TRUE and it is the `< Infinity` bound that excludes it (DuckDB
+      // fails both comparisons) — keep BOTH bounds; NULL propagates to
+      // NULL = filtered
       .filter(col("x") > Double.NegativeInfinity && col("x") < Double.PositiveInfinity)
     val census = exploded.groupBy(col("i"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))

@@ -52,6 +52,22 @@ class EdgeCaseWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("b31 equals the plain join on the poisoned warehouse (null o_orderkey keeps its bucket)") {
+    // the fixture nulls o_orderkey in one row: pmod(NULL, 16) is NULL,
+    // and before the coalesce-to-bucket-0 fix that row silently vanished
+    // from the salted join even though its o_custkey matched — this pin
+    // is the divergence-vs-plain-join check, not just totality
+    val plain = graft.ops.Tables.orders(spark, dir)
+      .join(graft.ops.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(graft.ops.Tables.cents(col("o_totalprice"))), lit(0L)).as("rev_cents"))
+      .orderBy(col("c_mktsegment"))
+      .collect().toSeq
+    val salted = graft.ops.Relational.b31_saltedJoin(spark, dir).collect().toSeq
+    assert(salted === plain)
+  }
+
   test("b12 aggregates degrade poisoned measures to NULL, keeping clean groups") {
     val out = SparkEntry.queries("b12_tpch_q1like")(spark, dir).collect()
     assert(out.nonEmpty)

@@ -498,7 +498,10 @@ class PropertySpec extends SparkSpec {
           (i.toLong, u, t, 1704067200000000L + (day * 86400L + sec) * 1000000L, c)
       }
       if (evs.nonEmpty) {
-        val mid = (evs.map(_._4).min + evs.map(_._4).max) / 2 // all-positive: DIV == floor
+        // lo + (hi-lo)/2: the query's floor-consistent midpoint form
+        // (exact for negative-µs logs too, not just this all-positive gen)
+        val (lo, hi) = (evs.map(_._4).min, evs.map(_._4).max)
+        val mid = lo + (hi - lo) / 2
         val expected = evs.groupBy(e => (e._2, e._3)).map { case ((u, t), g) =>
           val base = g.filter(_._4 < mid).sortBy(e => (e._4, e._1)).lastOption
           val delta = g.filter(_._4 >= mid).sortBy(e => (e._4, e._1)).lastOption
