@@ -60,6 +60,13 @@ object RangeJoin {
     * bucketed equi-join plan, byte-equal to the naive non-equi form
     * (NewOpsSpec pins equality; PlanSpec pins the census: no
     * BroadcastNestedLoopJoin anywhere).
+    *
+    * Regime note: work here is O(candidate pairs) — the right plan
+    * while per-bucket density is bounded (the decade ladder's 1.19
+    * exponent is the workload's pair growth, not the plan's). When
+    * density itself grows with the corpus, switch models to
+    * [[b26b_attributionCounters]], whose join is hour-grain and
+    * density-independent.
     */
   def b26_rangeJoin(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
@@ -93,6 +100,68 @@ object RangeJoin {
       .agg(count(when(inRange, col("p_event_id"))).as("n_purchases"),
         coalesce(sum(when(inRange, col("p_cents"))), lit(0L)).as("cents_1h"))
       .orderBy(col("event_id"))
+  }
+
+  /** Attribution horizon for [[b26b_attributionCounters]]: 6 hour
+    * buckets, decay weight 2^(5 − age_hours) (exact integer — b21's
+    * fixed-point idiom; denominator 2^5, so the `_x32` columns are the
+    * counter scaled by 32 at age 0).
+    */
+  val AttribHours = 6
+
+  /** b26b: the conversion question b26 answers per-PAIR, answered as
+    * per-signup-hour DECAYED COUNTERS — the windowed-aggregate regime
+    * BENCH_NOTES' b26 decade note argues for. b26's bucket-fan-out is
+    * the right plan while matches stay sparse, but its work is
+    * O(candidate pairs): at genuine density growth (events per hour
+    * rising with corpus size) pairs grow quadratically in density and
+    * NO join plan fixes that — the model has to change. Here both
+    * streams first collapse to hour grain (two map-side-combinable
+    * groupBys — the only data-sized work, linear in events), and
+    * attribution joins HOUR rows: each signup hour takes the following
+    * [[AttribHours]] purchase-hour buckets weighted 2^(5 − age_hours),
+    * so the join is bounded by hours×6 regardless of how dense the log
+    * gets. The trade is granularity: attribution is by hour bucket
+    * (the signup's own bucket counts at full weight), not by each
+    * signup's exact (t, t+1h] window — see [[b26_rangeJoin]] for the
+    * exact-window form and its regime.
+    *
+    * Determinism: hour buckets and weights are pure LONG arithmetic
+    * ([[bucketStart]] + shiftleft), cents are exact integers — every
+    * output column is BIGINT, bit-identical across engines.
+    *
+    * Scale (100 TB): the two hour-grain aggregates partial-combine on
+    * the map side, the fan-out×6 and the attribution join touch only
+    * hour-grain rows (≤ 8.8k rows/decade/stream), and nothing after
+    * the first aggregates is data-sized. Density ×100 changes the
+    * aggregate input, not the join.
+    */
+  def b26b_attributionCounters(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val signupHours = ev
+      .filter(col("event_type") === "signup" && col("ts").isNotNull)
+      .select(bucketStart(unix_micros(col("ts"))).as("hour_us"))
+      .groupBy(col("hour_us")).agg(count(lit(1)).as("n_signups"))
+    val purchaseHours = ev
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(bucketStart(unix_micros(col("ts"))).as("p_hour"),
+        Tables.cents.as("p_cents"))
+      .groupBy(col("p_hour"))
+      .agg(count(lit(1)).as("n_p"), coalesce(sum(col("p_cents")), lit(0L)).as("c_p"))
+    // fan the signup hour to its 6 target buckets with the decay weight
+    // baked in, then LEFT equi-join purchase hours: a zero-conversion
+    // hour survives with zero counters, and both join sides are already
+    // hour-grain — the b26 pair explosion never happens here.
+    signupHours
+      .withColumn("off", explode(sequence(lit(0), lit(AttribHours - 1))))
+      .withColumn("w", expr(s"shiftleft(CAST(1 AS BIGINT), ${AttribHours - 1} - off)"))
+      .withColumn("p_hour", col("hour_us") + col("off") * WindowUs)
+      .join(purchaseHours, Seq("p_hour"), "left")
+      .groupBy(col("hour_us"))
+      .agg(max(col("n_signups")).as("n_signups"),
+        coalesce(sum(col("n_p") * col("w")), lit(0L)).as("decayed_purchases_x32"),
+        coalesce(sum(col("c_p") * col("w")), lit(0L)).as("decayed_cents_x32"))
+      .orderBy(col("hour_us"))
   }
 
   /** The naive non-equi formulation (BroadcastNestedLoopJoin) — the
@@ -136,9 +205,36 @@ object RangeJoin {
          |  ON p.pu > s.su AND p.pu <= s.su + ${WindowUs}
          |GROUP BY s.event_id, s.user_id
          |ORDER BY s.event_id""".stripMargin,
+    // floor-aligned hour bucket: epoch_us − non-negative-mod(epoch_us, W)
+    // — DuckDB's % follows the dividend's sign, so ((x % W) + W) % W is
+    // Spark's pmod exactly (negative pre-epoch timestamps included).
+    // The attribution join is written as the naive BETWEEN range (tiny:
+    // hour-grain rows only); (p.hour − s.hour) is a non-negative
+    // multiple of W, so // W is exact and the shift weight matches
+    // Spark's shiftleft bit-for-bit.
+    "b26b_attribution_counters" ->
+      s"""WITH s AS (
+         |  SELECT epoch_us(ts) - ((epoch_us(ts) % ${WindowUs} + ${WindowUs}) % ${WindowUs}) AS hour_us,
+         |    COUNT(*) AS n_signups
+         |  FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT epoch_us(ts) - ((epoch_us(ts) % ${WindowUs} + ${WindowUs}) % ${WindowUs}) AS p_hour,
+         |    COUNT(*) AS n_p,
+         |    CAST(coalesce(SUM(${Tables.CentsSql}), 0) AS BIGINT) AS c_p
+         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT s.hour_us, s.n_signups,
+         |  CAST(coalesce(SUM(p.n_p * (1 << (${AttribHours - 1} - (p.p_hour - s.hour_us) // ${WindowUs}))), 0) AS BIGINT) AS decayed_purchases_x32,
+         |  CAST(coalesce(SUM(p.c_p * (1 << (${AttribHours - 1} - (p.p_hour - s.hour_us) // ${WindowUs}))), 0) AS BIGINT) AS decayed_cents_x32
+         |FROM s LEFT JOIN p
+         |  ON p.p_hour >= s.hour_us AND p.p_hour < s.hour_us + ${AttribHours.toLong * WindowUs}
+         |GROUP BY s.hour_us, s.n_signups
+         |ORDER BY s.hour_us""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b26_range_join" -> b26_rangeJoin _,
+    "b26b_attribution_counters" -> b26b_attributionCounters _,
   )
 }

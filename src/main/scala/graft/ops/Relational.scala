@@ -161,6 +161,46 @@ object Relational {
         |ORDER BY c_mktsegment, rn""".stripMargin)
   }
 
+  /** b33: correlated-scalar-subquery DECORRELATION exemplar — the one
+    * optimizer behavior in SURVEY §4's checklist without a dedicated
+    * query until now: "orders above their own customer's average order
+    * value", written in the natural correlated form
+    * (`WHERE cents > (SELECT AVG(...) WHERE same customer)`). Executed
+    * naively that is one aggregate re-run PER ROW; Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates it into ONE
+    * per-customer aggregate joined back on the correlation key — the
+    * plan a human would hand-write — and PlanSpec pins exactly that
+    * (an Aggregate + equi-join on o_custkey, no nested loop, no
+    * per-row re-scan). The oracle runs the IDENTICAL correlated SQL in
+    * DuckDB, which decorrelates the same way.
+    *
+    * Determinism: cents are exact BIGINT (the b21 idiom on
+    * o_totalprice); AVG over them is sum/count where every partial sum
+    * stays below 2^53, so the double average is the same single IEEE
+    * division on both engines, and the strict `>` excludes the
+    * boundary identically. NULL custkey/totalprice degrade the same
+    * way on both sides (empty correlated group → NULL avg → filtered).
+    *
+    * Scale (100 TB): after decorrelation this is one map-side-
+    * combinable groupBy(custkey) over the slim (custkey, cents)
+    * projection plus one equi-join of the fact against that
+    * customer-sized aggregate — the same bill as a hand-written
+    * avg-join. The correlated FORM costs nothing; that is the point.
+    */
+  def b33_decorrelate(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders_v)
+        |SELECT o_orderkey, o_custkey, cents
+        |FROM o
+        |WHERE cents > (SELECT CAST(AVG(o2.cents) AS DOUBLE)
+        |               FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Salt fan-out for b31 — 16 shards per hot key. */
   val SaltBuckets = 16
 
@@ -204,6 +244,18 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // the IDENTICAL correlated SQL (only the view name differs): both
+    // engines must decorrelate it to the same aggregate+join result
+    "b33_decorrelate" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, cents
+        |FROM o
+        |WHERE cents > (SELECT CAST(AVG(o2.cents) AS DOUBLE)
+        |               FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "b31_salted_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |  CAST(coalesce(SUM(${Tables.centsSqlOf("o_totalprice")}), 0) AS BIGINT) AS rev_cents
@@ -298,5 +350,6 @@ object Relational {
     "b13_q5like"       -> b13_q5like _,
     "b14_sql_cte"      -> b14_sqlCte _,
     "b31_salted_join"  -> b31_saltedJoin _,
+    "b33_decorrelate"  -> b33_decorrelate _,
   )
 }

@@ -59,9 +59,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 89 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 89)
-    assert(SparkEntry.oracleSql.size === 81)
+  test("the inventory holds all 91 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 91)
+    assert(SparkEntry.oracleSql.size === 83)
   }
 
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,

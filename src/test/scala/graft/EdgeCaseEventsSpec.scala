@@ -69,7 +69,8 @@ class EdgeCaseEventsSpec extends SparkSpec {
     "b7_asof_join", "x_asof_bucketed", "b11_scalar_suite", "b15_salted_agg",
     "b16_percentiles",
     "b21_decayed_features", "b22_feature_drift", "b23_funnel", "b24_retention",
-    "b25_ltv_curve", "b26_range_join", "b28_unpivot", "b29_anomaly_zscore",
+    "b25_ltv_curve", "b26_range_join", "b26b_attribution_counters",
+    "b28_unpivot", "b29_anomaly_zscore",
     "b30_scd2_history", "b32_snapshot_merge",
     "x_approx_percentiles", "x_hll_rollup",
     "b17_latest_features", "x_approx_distinct",

@@ -43,7 +43,7 @@ class EdgeCaseWarehouseSpec extends SparkSpec {
   private val warehouseQueries = Seq(
     "b8_join_suite", "b9_sort_topk", "b10_setops", "b12_tpch_q1like",
     "b13_q5like", "b14_sql_cte", "b18_q3like", "b19_bucketed_join",
-    "b20_q14like", "b27_bloom_join", "b31_salted_join")
+    "b20_q14like", "b27_bloom_join", "b31_salted_join", "b33_decorrelate")
 
   warehouseQueries.foreach { name =>
     test(s"$name survives the poisoned warehouse") {

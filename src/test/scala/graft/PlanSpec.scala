@@ -495,6 +495,36 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"only the tiny census agg should hash-shuffle, saw $hashEx:\n$p")
   }
 
+  test("b33: Catalyst DECORRELATES the scalar subquery — one aggregate + equi-join, no per-row loop") {
+    val p = plan(Relational.b33_decorrelate(spark, sf0001))
+    // the correlated form must plan as ONE per-customer avg joined back
+    // on the correlation key — never a nested loop / per-row re-scan
+    assert(p.contains("HashAggregate") && p.contains("avg(cents"),
+      s"expected the decorrelated per-customer aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the correlation key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation failed — per-row subquery execution:\n$p")
+    // exactly two scans: the fact side and the aggregate's input — a
+    // per-row re-scan plan would multiply these
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 orders scans (fact + aggregate input), saw $scans:\n$p")
+  }
+
+  test("b26b: attribution counters — both streams collapse to hour grain BEFORE the join") {
+    val p = plan(RangeJoin.b26b_attributionCounters(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the attribution join must stay an equi-join:\n$p")
+    // the join sits ABOVE both hour-grain exchanges (deeper operators
+    // print later): the only two hash exchanges are the grain reduces,
+    // and both are below the join — the join moves hour rows, not
+    // events, and the final reduce RIDES the signup-hour partitioning
+    val joinIdx = p.indexOf("Join")
+    val exIdxs = "Exchange hashpartitioning".r.findAllIn(p).matchData.map(_.start).toList
+    assert(joinIdx >= 0 && exIdxs.size == 2 && exIdxs.forall(_ > joinIdx),
+      s"expected exactly the two hour-grain exchanges, both under the join:\n$p")
+  }
+
   test("b27: the bloom probe filters the orders scan inside codegen") {
     val p = plan(BloomJoin.b27_bloomJoin(spark, sf0001))
     assert(p.contains("bloom_might_contain"), s"probe missing from the plan:\n$p")
