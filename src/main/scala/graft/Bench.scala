@@ -87,23 +87,34 @@ object Bench {
       else "-1"
     val qs = names.map { case (k, _) => s"\"" + k + "\":" + j(results(k)) }
       .mkString("{", ",", "}")
-    val med = names.map { case (k, _) => s"\"" + k + "\":" + j(medians(k)) }
-      .mkString("{", ",", "}")
-    // all raw samples ride along so a surprising value is explainable
-    // from the artifact alone (stall vs real regression)
-    val raw = names.map { case (k, _) =>
-      s"\"" + k + "\":" + samples(k).reverse.map(j).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
     val total = results.values.filter(java.lang.Double.isFinite).sum
-    // Two lines, audit detail FIRST: the round-7 artifact arrived
-    // truncated mid-line, and one ~10 KB JSON line loses everything past
-    // the cut. The detail line carries the full sample evidence behind a
-    // non-JSON prefix (any per-line JSON parser skips it); the CONTRACT
-    // line stays last and compact (~1.6 KB: headline second-smallest per
-    // query only), so whichever capture convention the driver uses —
-    // last line, or last parseable JSON — it gets an intact summary.
-    println(s"""#bench-detail {"medians":$med,"samples":$raw,"reps":$reps,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Truncation-proof layout (BENCH_r10/r11 both lost their HEADS to
+    // driver-side tail capture; round 7 lost a TAIL mid-line — so no
+    // single placement is safe and every line must be independently
+    // parseable): the audit detail (median + all raw samples, the
+    // stall-vs-regression evidence) and the headline map are each split
+    // into `#bench-… k/n` PART lines of ~25 queries behind a non-JSON
+    // prefix (per-line JSON parsers skip them; a partial capture keeps
+    // whole parts), and the final line is the compact driver CONTRACT
+    // line carrying the FULL headline map plus an explicit
+    // total_s/n_queries summary — whichever window survives, the total
+    // and most of the map survive with it.
+    val partSize = 25
+    val parts = names.grouped(partSize).toSeq
+    val n = parts.size
+    for ((grp, i) <- parts.zipWithIndex) {
+      val det = grp.map { case (k, _) =>
+        s"\"" + k + "\":{\"med\":" + j(medians(k)) + ",\"raw\":" +
+          samples(k).reverse.map(j).mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}")
+      println(s"""#bench-detail ${i + 1}/$n {"queries":$det,"reps":$reps,"sf":"$sfDir"}""")
+    }
+    for ((grp, i) <- parts.zipWithIndex) {
+      val part = grp.map { case (k, _) => s"\"" + k + "\":" + j(results(k)) }
+        .mkString("{", ",", "}")
+      println(s"""#bench-part ${i + 1}/$n {"queries":$part,"total_s":${j(total)},"n_queries":${names.size}}""")
+    }
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":${j(total)},"n_queries":${names.size}}""")
     spark.stop()
   }
 }

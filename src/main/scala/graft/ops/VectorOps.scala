@@ -105,15 +105,24 @@ object VectorOps {
     * they do in c3 — the finiteNorm domain stays identical on both
     * paths.
     */
-  def x_annQuantized(spark: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, d)
-    val censusRows = emb
+  /** The per-dim (min, max) census x_annQuantized collects as driver
+    * model state. Exposed for the scalatest size pin: the collect is
+    * bounded by DIMENSIONALITY (≤ dims rows), never by corpus rows — a
+    * refactor that grouped by anything row-sized would turn this into a
+    * data-sized driver collect, which the pin turns into a red test.
+    */
+  private[graft] def quantizeCensusRows(emb: DataFrame): Array[org.apache.spark.sql.Row] =
+    emb
       .select(posexplode(col("embedding")).as(Seq("i0", "xf")))
       .select((col("i0") + 1).as("i"), col("xf").cast("double").as("x"))
       .filter(col("x") > Double.NegativeInfinity && col("x") < Double.PositiveInfinity)
       .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect() // model state: ≤ dims rows (the IVF-codebook pattern)
+
+  def x_annQuantized(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val censusRows = quantizeCensusRows(emb)
     if (censusRows.isEmpty) return cosineTopK(emb.filter(lit(false)))
     val byDim = censusRows.map(r => r.getAs[Int]("i") ->
       ((r.getAs[Double]("mn"), r.getAs[Double]("mx")))).toMap

@@ -144,6 +144,19 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("x_ann_quantized: the census collect is DIMENSIONALITY-sized, never corpus-sized") {
+    // the only driver collect on this path is the per-dim (mn, mx)
+    // census — model state, like the IVF codebook. The fixture corpus
+    // has 64-dim vectors and thousands of rows; a refactor that grouped
+    // the census by anything row-sized (vec_id, a bucket of it, …)
+    // would collect the corpus to the driver and fail here.
+    val census = VectorOps.quantizeCensusRows(
+      graft.ops.Tables.embeddings(spark, sf0001))
+    assert(census.length <= 64,
+      s"quantize census must be ≤ dims rows, got ${census.length}")
+    assert(census.nonEmpty)
+  }
+
   test("TopCells native ranking ≡ the literal-SQL oracle, incl. degenerate vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark) // dot_f32 for the oracle side
