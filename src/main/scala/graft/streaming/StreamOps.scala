@@ -536,6 +536,56 @@ object StreamOps {
       .orderBy(col("EventID").cast("long"))
   }
 
+  /** s8: STREAMING sketch rollup — x_hll_rollup's streaming twin, the
+    * daily-sketch job a lake actually schedules: each micro-batch
+    * reduces to per-(event_type, day) HLL sketches of its user ids
+    * (`hll_sketch_agg` inside foreachBatch — KB-sized binaries, the
+    * only thing the sink ever stores), and the final estimate merges
+    * ALL materialized sketches with `hll_union_agg`. HLL merge is a
+    * per-register max — associative, commutative, idempotent — so the
+    * merged registers are IDENTICAL to the batch job's no matter how
+    * the log was cut into micro-batches; `merge ≡ batch x_hll_rollup`
+    * is pinned EXACTLY in StreamingSpec (rows-only in the driver gate,
+    * like its batch twin: sketch binaries are engine-specific).
+    *
+    * Scale (100 TB): this is the incremental form of the
+    * pre-aggregation argument (Features.scala x_hllRollup) — the
+    * stream pays one map-side-combinable shuffle of sketch buffers per
+    * micro-batch, the sketch table grows by KB rows per (type, day,
+    * batch), and every later rollup reads THAT, never the log. A
+    * replayed batch overwrites its own `bid=` directory (the s1
+    * idempotent-sink convention), and re-unioning a replayed sketch
+    * would be absorbed by idempotent register max anyway.
+    */
+  def s8_streamHllRollup(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s8_out"
+    val chk = s"${Tables.scratch}/s8_chk"
+    rmrf(out); rmrf(chk)
+    // same projection + null posture as the batch twin's daily grain
+    // (Features.dailyUserSketches): only a missing user id drops a row
+    val ev = eventStream(spark, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val sketched = ev.limit(0).groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val q = ev.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.groupBy(col("event_type"), col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    readSink(spark, out, sketched.schema)
+      .groupBy(col("event_type"))
+      .agg(round(hll_sketch_estimate(hll_union_agg(col("sk")))).cast("long")
+        .as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output.
     */
@@ -614,5 +664,6 @@ object StreamOps {
     "s5_stream_stream_join" -> s5_streamStreamJoin _,
     "s6_stream_dedup"    -> s6_streamDedup _,
     "s7_stream_quarantine" -> s7_streamQuarantine _,
+    "s8_stream_hll_rollup" -> s8_streamHllRollup _,
   )
 }

@@ -76,7 +76,7 @@ class EdgeCaseEventsSpec extends SparkSpec {
     "b17_latest_features", "x_approx_distinct",
     "s1_stream_pipeline", "s2_stream_window", "s3_stream_sessionize",
     "s4_stream_join", "s5_stream_stream_join", "s6_stream_dedup",
-    "s7_stream_quarantine")
+    "s7_stream_quarantine", "s8_stream_hll_rollup")
 
   eventQueries.foreach { name =>
     test(s"$name survives the dirty event log") {

@@ -309,6 +309,23 @@ class StreamingSpec extends SparkSpec {
       graft.ops.Ingest.a1_scan(spark, sf0001).count(), "the split must partition a1")
   }
 
+  test("s8 semantics: streamed sketch rollup ≡ the batch x_hll_rollup, exactly") {
+    // HLL merge is a per-register max — associative, commutative,
+    // idempotent — so merging the per-micro-batch daily sketches must
+    // land on REGISTER-identical state to the batch job's per-day
+    // sketches, and the rounded estimates must be equal row-for-row
+    // (not merely close): any cut of the log into batches is invisible
+    // to the rollup. This equality is s8's correctness pin; the driver
+    // gate runs it rows-only (sketch binaries are engine-specific).
+    val streamed = graft.streaming.StreamOps.s8_streamHllRollup(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("approx_users")))
+    val batch = graft.ops.Features.x_hllRollup(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("approx_users")))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "per-batch sketch merge must equal the batch rollup exactly")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
