@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Part-C vector / multimodal operators over embeddings + documents
   * (SURVEY.md §2B).
@@ -55,15 +57,22 @@ object VectorOps {
     * so the two paths cannot drift: probes (vec_id < 20) broadcast,
     * cosine top-10 per probe.
     */
-  private[ops] def cosineTopK(emb: DataFrame): DataFrame = {
+  private[ops] def cosineTopK(emb: DataFrame): DataFrame = cosineTopKAsym(emb, emb)
+
+  /** The scorer with SEPARATE probe and corpus frames — the asymmetric
+    * form [[x_annPq]] needs (probes score in full float precision
+    * against a code-reconstructed corpus); [[cosineTopK]] is the
+    * symmetric specialization, so every path still shares one body.
+    */
+  private[ops] def cosineTopKAsym(probeSrc: DataFrame, corpusSrc: DataFrame): DataFrame = {
     // norms projected per ROW before the join (c7's side() pattern):
     // joined to ~20 probes, a per-pair norm would run the 64-element
     // kernel ~20× per corpus row instead of once on the hot scan
-    val probes = emb.filter(col("vec_id") < 20)
+    val probes = probeSrc.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         sqrt(sumSqOf("embedding")).as("p_norm"))
       .filter(finiteNorm(col("p_norm")))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+    val corpus = corpusSrc.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       sqrt(sumSqOf("embedding")).as("c_norm"))
       .filter(finiteNorm(col("c_norm")))
     val dot = expr("dot_f32(pe, ce)")
@@ -150,6 +159,118 @@ object VectorOps {
           |       END
           |  ELSE CAST(x AS DOUBLE) END AS FLOAT))""".stripMargin).as("embedding"))
     cosineTopK(recon)
+  }
+
+  // ---- product quantization (x_ann_pq) ------------------------------
+
+  /** PQ geometry: M subspaces × k codewords. k = 256 keeps every code
+    * in one byte — 64-d float vectors compress 256 B → 8 B (32×), the
+    * standard IVF-PQ cell layout. Dimensionalities not divisible by 8
+    * degrade to the largest fitting subspace count (…4, 2, 1).
+    */
+  val PqSubspaces = 8
+  val PqCodebookSize = 256
+  private val PqTrainIters = 2
+
+  private def pqCol(cbs: Array[Array[Array[Float]]], codes: Boolean): Column =
+    ColumnBridge.column(graft.functions.PqAssign(
+      UnresolvedAttribute("embedding"), cbs, codes))
+
+  /** Train the per-subspace codebooks: Lloyd iterations per subspace,
+    * all M subspaces in the SAME aggregate (one (m, code) centroid
+    * reduce per iteration — map-side combined, the shuffle carries
+    * M×k subDim-double buffers, never vectors). Training runs on the
+    * bounded [[Extras.ivfTrainSample]] (≤ 1024 vectors, cached), so at
+    * 100 TB the codebook cost is decoupled from corpus size — the
+    * x_ann_ivf argument, and the collect is MODEL STATE bounded at
+    * M×k rows per iteration (pinned in scalatest). Seeding is
+    * hash-deterministic (xxhash64(vec_id, m) mod k), so the whole
+    * codebook is rerun-stable; a cell that captures no vectors keeps
+    * its previous codeword.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, emb: DataFrame): Array[Array[Array[Float]]] = {
+    graft.functions.GraftFunctions.register(spark)
+    val trainAll = Extras.ivfTrainSample(emb).cache()
+    try {
+      // one codebook has one geometry: train on the sample's modal
+      // vector dim (x_ann_ivf's ragged-lake posture) — stray ragged
+      // vectors leave the domain at PqAssign's length check anyway
+      val modalDim = trainAll
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .groupBy(size(col("embedding")).as("d")).count()
+        .orderBy(col("count").desc, col("d")).limit(1)
+        .collect().headOption.map(_.getAs[Int]("d"))
+      if (modalDim.isEmpty) return Array.empty
+      val dims = modalDim.get
+      val m = Seq(PqSubspaces, 4, 2, 1).find(dims % _ == 0).get
+      val subDim = dims / m
+      // the training domain = the search domain (finiteNorm): a vector
+      // with null/NaN/Inf slots cannot feed a centroid
+      val train = trainAll
+        .filter(size(col("embedding")) === dims)
+        .withColumn("nrm", sqrt(sumSqOf("embedding")))
+        .filter(finiteNorm(col("nrm")))
+        .select(col("vec_id"), col("embedding"))
+      val centroid = graft.functions.VectorCentroidUdaf.column
+      def rebuild(assigned: DataFrame,
+          prev: Array[Array[Array[Float]]]): Array[Array[Array[Float]]] = {
+        val got = assigned
+          .withColumn("subv", slice(col("embedding"), col("m") * subDim + 1, lit(subDim)))
+          .groupBy(col("m"), col("code"))
+          .agg(centroid(col("subv")).as("cvec"))
+          .collect() // model state: ≤ M×k rows (the IVF-codebook pattern)
+          .map(r => (r.get(0).asInstanceOf[Number].intValue,
+            r.get(1).asInstanceOf[Number].intValue) ->
+            r.getSeq[Double](2).map(_.toFloat).toArray)
+          .toMap
+        Array.tabulate(m, PqCodebookSize) { (mm, c) =>
+          got.getOrElse((mm, c),
+            if (prev.isEmpty) new Array[Float](subDim) else prev(mm)(c))
+        }
+      }
+      val seeded = train
+        .withColumn("m", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn("code",
+          pmod(xxhash64(col("vec_id"), col("m")), lit(PqCodebookSize)).cast("int"))
+      var cbs = rebuild(seeded, Array.empty)
+      if (cbs.isEmpty) return Array.empty
+      for (_ <- 1 to PqTrainIters) {
+        val assigned = train.select(col("vec_id"), col("embedding"),
+          posexplode(pqCol(cbs, codes = true)).as(Seq("m", "code")))
+        cbs = rebuild(assigned, cbs)
+      }
+      cbs
+    } finally trainAll.unpersist(blocking = false)
+  }
+
+  /** x: IVF-PQ's quantization half — the real 100 TB compressed ANN
+    * index: the corpus is stored as M=8 one-byte codes per vector (the
+    * per-subspace L2-nearest codeword, 32× smaller than f32), and
+    * search is ASYMMETRIC — the probe stays full float and scores
+    * against the code-reconstructed corpus ([[cosineTopKAsym]]), which
+    * is algebraically Σ_m dot(probe_m, codeword_m): the classic ADC
+    * table lookup, executed here as one fused native map
+    * ([[graft.functions.PqAssign]]) + c3's broadcast-probe join so the
+    * scorer stays shared with every other ANN variant. Completes the
+    * compression story: c21 = scalar quantization, x_ann_quantized =
+    * its search cost, x_ann_pq = the trained-codebook form an index
+    * actually ships. Rows-only like the other ANN variants (ranking
+    * near-ties legitimately reorder); recall@10 vs exact c3 and the
+    * model-state census are pinned in scalatest.
+    *
+    * Scale (100 TB): training reads ≤ 1024 cached vectors; the
+    * codebook (M×k×subDim floats ≈ 64 KB) rides the plan as a
+    * reference object (never a shuffle, never a broadcast TABLE); the
+    * corpus is touched by exactly one pure-map scan + the probe
+    * broadcast join. Nothing data-sized ever meets the driver.
+    */
+  def x_annPq(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val cbs = pqCodebooks(spark, emb)
+    if (cbs.isEmpty) return cosineTopK(emb.filter(lit(false)))
+    val recon = emb.select(col("vec_id"), pqCol(cbs, codes = false).as("embedding"))
+    cosineTopKAsym(probeSrc = emb, corpusSrc = recon)
   }
 
   /** ANN via random-hyperplane LSH bucketing (no oracle — probabilistic;
@@ -382,5 +503,6 @@ object VectorOps {
     "x_label_centroids"  -> labelCentroids _,
     "c21_embedding_quantize" -> c21_embeddingQuantize _,
     "x_ann_quantized"    -> x_annQuantized _,
+    "x_ann_pq"           -> x_annPq _,
   )
 }

@@ -495,6 +495,23 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"only the tiny census agg should hash-shuffle, saw $hashEx:\n$p")
   }
 
+  test("x_ann_pq: codebook rides the plan as model state — corpus is one pure-map scan + probe broadcast") {
+    val p = plan(VectorOps.x_annPq(spark, sf0001))
+    // the search plan must look exactly like c3's: probes broadcast,
+    // corpus streamed once through the decode map — the M×k×subDim
+    // codebook is a plan reference object, NEVER a joined/broadcast
+    // table, and training (already executed eagerly) leaves no trace
+    assert(p.contains("pq_reconstruct"), s"native decode missing from the plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PQ search must not cartesian:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected probe + corpus scans only, saw $scans:\n$p")
+    // one hash exchange: the per-probe top-k window (same as c3)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"decode must stay a pure map — saw $hashEx hash exchanges:\n$p")
+  }
+
   test("b33: Catalyst DECORRELATES the scalar subquery — one aggregate + equi-join, no per-row loop") {
     val p = plan(Relational.b33_decorrelate(spark, sf0001))
     // the correlated form must plan as ONE per-customer avg joined back

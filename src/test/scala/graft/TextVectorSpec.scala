@@ -144,6 +144,102 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("x_ann_pq: recall@10 vs exact c3; ADC sims within reconstruction error") {
+    val exact = VectorOps.c3_simTopk(spark, sf0001).collect()
+    val pq = VectorOps.x_annPq(spark, sf0001).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val e = pairs(exact); val q = pairs(pq)
+    assert(e.nonEmpty && q.nonEmpty)
+    // same probes, same k, same schema as every other ANN variant
+    assert(pq.map(_.getAs[Long]("probe_id")).toSet === exact.map(_.getAs[Long]("probe_id")).toSet)
+    // 8-byte PQ codes on the fixture's iid-RANDOM vectors — PQ's
+    // adversarial case (top-10 sims pack tightly, so code-level error
+    // reorders the tail; real embedding manifolds cluster and fare
+    // far better). Measured 0.585 at sf0.001 / 0.595 at sf0.01; pin a
+    // floor that catches a broken codebook or decode (those collapse
+    // recall toward the ~0.02 random-overlap baseline), not fixture
+    // noise.
+    val recall = (e intersect q).size.toDouble / e.size
+    assert(recall >= 0.4, s"PQ recall@10 too low: $recall")
+    // asymmetric-distance sims must stay within reconstruction error
+    // of the exact sims on shared pairs (measured max drift ~0.11 e6;
+    // a decode bug produces drifts at the 1e6 scale)
+    val eSim = exact.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Long]("sim_e6")).toMap
+    pq.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      eSim.get(k).foreach { es =>
+        assert(math.abs(es - r.getAs[Long]("sim_e6")) <= 250000L,
+          s"ADC sim drifted past reconstruction error for $k")
+      }
+    }
+  }
+
+  test("x_ann_pq: the codebook is M×k MODEL STATE — geometry exact, collects bounded") {
+    // the only driver collects on the PQ path are the modal-dim probe
+    // and the per-(m, code) centroid reduces — each bounded by M×k,
+    // never by corpus rows. The trained codebook's geometry pins that:
+    // 64-d fixture vectors → 8 subspaces × 256 codewords × 8 dims.
+    val cbs = VectorOps.pqCodebooks(spark,
+      graft.ops.Tables.embeddings(spark, sf0001))
+    assert(cbs.length === VectorOps.PqSubspaces)
+    assert(cbs.forall(_.length === VectorOps.PqCodebookSize))
+    assert(cbs.forall(_.forall(_.length === 64 / VectorOps.PqSubspaces)))
+    // trained state must not be degenerate: most codewords captured
+    // training vectors (non-zero) on the dense fixture
+    val nonZero = cbs.flatten.count(_.exists(_ != 0f))
+    assert(nonZero > VectorOps.PqCodebookSize,
+      s"codebook mostly zeros — training collapsed: $nonZero")
+  }
+
+  test("PqAssign kernel ≡ a Scala model, incl. degenerate vectors") {
+    import spark.implicits._
+    // tiny geometry: 2 subspaces × 2 dims, 3 codewords each
+    val cbs: Array[Array[Array[Float]]] = Array(
+      Array(Array(0f, 0f), Array(1f, 1f), Array(2f, 0f)),
+      Array(Array(0f, 1f), Array(5f, 5f), Array(-1f, -1f)))
+    def model(v: Seq[Float]): Option[(Seq[Int], Seq[Float])] = {
+      if (v == null || v.length != 4) return None
+      val codes = (0 until 2).map { m =>
+        val sub = v.slice(m * 2, m * 2 + 2)
+        (0 until 3).minBy { c =>
+          sub.zip(cbs(m)(c)).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
+        }
+      }
+      Some((codes, codes.zipWithIndex.flatMap { case (c, m) => cbs(m)(c) }))
+    }
+    val vecs: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      1L -> Seq[java.lang.Float](0.1f, 0.2f, 0.1f, 0.9f),
+      2L -> Seq[java.lang.Float](1.2f, 0.8f, 4f, 6f),
+      3L -> Seq[java.lang.Float](2f, 0f, -1f, -1f),
+      4L -> Seq[java.lang.Float](0.5f, 0.5f, 0f, 0f), // ties → lower code
+      5L -> Seq[java.lang.Float](1f, 2f, 3f),          // ragged → NULL
+      6L -> Seq[java.lang.Float](1f, null, 1f, 1f),    // null slot → NULL
+      7L -> null)                                       // null vector → NULL
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val got = df.select(col("vec_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PqAssign(UnresolvedAttribute("embedding"), cbs, emitCodes = true)).as("codes"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PqAssign(UnresolvedAttribute("embedding"), cbs, emitCodes = false)).as("recon"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.getAs[Seq[Int]]("codes")), Option(r.getAs[Seq[Float]]("recon")))).toMap
+    vecs.foreach { case (id, v) =>
+      val exp = model(if (v == null) null else v.map(x => if (x == null) Float.NaN else x.floatValue))
+      // null-slot vectors are invalid for the EXPRESSION (null ≠ NaN):
+      // ids 5/6/7 must be NULL on both outputs
+      if (v == null || v.length != 4 || v.contains(null)) {
+        assert(got(id)._1.isEmpty && got(id)._2.isEmpty, s"row $id should be NULL")
+      } else {
+        assert(got(id)._1.contains(exp.get._1), s"codes diverged for $id")
+        assert(got(id)._2.contains(exp.get._2), s"reconstruction diverged for $id")
+      }
+    }
+  }
+
   test("x_ann_quantized: the census collect is DIMENSIONALITY-sized, never corpus-sized") {
     // the only driver collect on this path is the per-dim (mn, mx)
     // census — model state, like the IVF codebook. The fixture corpus
