@@ -88,6 +88,9 @@ class ScanCensusSpec extends SparkSpec {
     // two scans by design: slim signup + purchase projections of the one
     // log (LEFT bucket join folds the zero-match recovery into the agg)
     "b26_range_join" -> ((2, 0)),
+    // b26b: the same two slim projections, each collapsed to hour grain
+    // BEFORE the attribution join (which moves hour rows only)
+    "b26b_attribution_counters" -> ((2, 0)),
     // customer (dim) + nation + orders; the sketch build is its own
     // eagerly-run job, not part of the final plan
     "b27_bloom_join" -> ((3, 0)),
@@ -103,6 +106,10 @@ class ScanCensusSpec extends SparkSpec {
     "x_hll_rollup" -> ((1, 0)),
     // b31: orders + customer, one scan each (the salt explode is narrow)
     "b31_salted_join" -> ((2, 0)),
+    // b33: the decorrelated form's two orders scans — the fact side and
+    // the per-customer aggregate's input; a per-row subquery plan would
+    // multiply these (the PlanSpec decorrelation pin's census twin)
+    "b33_decorrelate" -> ((2, 0)),
     "b17_latest_features" -> ((1, 0)),
     "b18_q3like" -> ((3, 0)),
     "b19_bucketed_join" -> ((2, 0)),
@@ -136,6 +143,10 @@ class ScanCensusSpec extends SparkSpec {
     // frame (c3's shape); the per-dim census is collected eagerly at
     // plan-build time as driver model state, outside the final plan
     "x_ann_quantized" -> ((2, 0)),
+    // x_ann_pq: float-probe + code-reconstructed-corpus branches (c3's
+    // shape); training runs eagerly on the bounded sample at plan-build
+    // time — the codebook is a plan reference object, not a scan
+    "x_ann_pq" -> ((2, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),
@@ -155,6 +166,9 @@ class ScanCensusSpec extends SparkSpec {
     "s5_stream_stream_join" -> ((1, 0)),
     "s6_stream_dedup" -> ((1, 0)),
     "s7_stream_quarantine" -> ((1, 0)),
+    // s8 censuses the sketch-table read-back + rollup (the streamed run
+    // has its own per-micro-batch plans): one scan of the sink, ever
+    "s8_stream_hll_rollup" -> ((1, 0)),
     "x_approx_distinct" -> ((1, 0)),
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),
