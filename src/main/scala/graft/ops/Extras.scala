@@ -199,9 +199,12 @@ object Extras {
   private def assignCol(cents: Array[Array[Float]]): Column =
     topCellsCol(cents, 1).getItem(0)
 
-  def annIvf(spark: SparkSession, d: String): DataFrame = {
+  /** The trained IVF coarse quantizer — extracted so [[annIvf]] and
+    * [[graft.ops.VectorOps.x_annIvfPq]] (the composed IVF-PQ index)
+    * share ONE trainer. Returns empty for an empty/all-null corpus.
+    */
+  private[graft] def ivfCentroids(spark: SparkSession, emb: DataFrame): Array[Array[Float]] = {
     graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, d)
 
     // ---- codebook training: spherical k-means, Lloyd iterations ----
     // The codebook (k×dim floats) is MODEL STATE, not data: like MLlib's
@@ -276,14 +279,23 @@ object Extras {
       // scheduled job over an empty partition returns the empty result,
       // it does not die in the trainer.
       trainAll.unpersist(blocking = false)
-      return emb.select(col("vec_id").as("probe_id"),
-        col("vec_id").as("neighbor_id"), lit(0L).as("sim_e6")).limit(0)
+      return Array.empty
     }
     val train = trainAll.filter(size(col("embedding")) === modalDim.get)
     var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
     for (_ <- 1 to IvfTrainIters)
       cents = centroidsOf(train.withColumn("cell", assignCol(cents)), cents)
     trainAll.unpersist(blocking = false)
+    cents
+  }
+
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val cents = ivfCentroids(spark, emb)
+    if (cents.isEmpty)
+      return emb.select(col("vec_id").as("probe_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("sim_e6")).limit(0)
 
     // ---- index + search ----
     // norms projected per ROW before the join (c7's side() pattern) —

@@ -273,6 +273,64 @@ object VectorOps {
     cosineTopKAsym(probeSrc = emb, corpusSrc = recon)
   }
 
+  /** x: the COMPOSED IVF-PQ index — both halves together, the layout a
+    * production 100 TB vector index actually ships: the IVF coarse
+    * quantizer ([[Extras.ivfCentroids]], shared trainer) bounds the
+    * candidate set (each probe searches its nprobe nearest cells, never
+    * the corpus), and within those cells scoring is ASYMMETRIC against
+    * the PQ-reconstructed corpus ([[pqCodebooks]] + PqAssign decode) —
+    * so the index stores one byte of cell id + 8 bytes of PQ codes per
+    * vector and search touches candidates×ADC, not corpus×float.
+    * Output is c3's schema (top-10 per probe) so recall composes with
+    * the other variants' pins; rows-only like every ANN variant.
+    *
+    * The recall trade is multiplicative and MEASURED in scalatest:
+    * IVF's cell coverage bounds which true neighbors are reachable
+    * (x_ann_ivf's pin), PQ's code error reorders the reachable tail
+    * (x_ann_pq's pin) — on the fixture's iid-random vectors (both
+    * stages' adversarial case) the composition still finds most exact
+    * top-1s; clustered real manifolds fare far better on both axes.
+    *
+    * Scale (100 TB): training reads the one bounded sample twice (both
+    * trainers share it); the search plan is the c3 shape — probes
+    * broadcast with their probed cells, the corpus streams once
+    * through cell-assign + decode as a pure map, one equi-join on the
+    * cell id, candidates bounded by nprobe/cells of the corpus per
+    * probe. Both codebooks are plan reference objects.
+    */
+  def x_annIvfPq(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val cents = Extras.ivfCentroids(spark, emb)
+    val cbs = pqCodebooks(spark, emb)
+    if (cents.isEmpty || cbs.isEmpty) return cosineTopK(emb.filter(lit(false)))
+    // index build: cell from the TRUE vector (assignment quality), codes
+    // from the same vector (what the index stores); the reconstruction
+    // and its norm are what search ever reads
+    val corpus = emb.select(
+        col("vec_id").as("neighbor_id"),
+        pqCol(cbs, codes = false).as("ce"),
+        Extras.topCellsCol(cents, 1).getItem(0).as("cell"))
+      .withColumn("c_norm", sqrt(expr("dot_f32(ce, ce)")))
+      .filter(finiteNorm(col("c_norm")))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        explode(Extras.topCellsCol(cents, Extras.IvfNprobe)).as("cell"),
+        sqrt(sumSqOf("embedding")).as("p_norm"))
+      .filter(finiteNorm(col("p_norm")))
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim_e6",
+        floor(expr("dot_f32(pe, ce)") / (col("p_norm") * col("c_norm")) * 1e6).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim_e6").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("neighbor_id"), col("sim_e6"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** ANN via random-hyperplane LSH bucketing (no oracle — probabilistic;
     * recall vs c3 is validated in scalatest). Each vector gets a sign
     * bucket from 8 deterministic pseudo-random hyperplanes; candidates
@@ -504,5 +562,6 @@ object VectorOps {
     "c21_embedding_quantize" -> c21_embeddingQuantize _,
     "x_ann_quantized"    -> x_annQuantized _,
     "x_ann_pq"           -> x_annPq _,
+    "x_ann_ivfpq"        -> x_annIvfPq _,
   )
 }

@@ -69,7 +69,7 @@ class EdgeCaseSpec extends SparkSpec {
     "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
     "x_corpus_from_clusters", "x_pack_twophase",
     "c20_bigram_stats", "c21_embedding_quantize", "x_ann_quantized",
-    "c22_vocab_coverage", "x_ann_pq")
+    "c22_vocab_coverage", "x_ann_pq", "x_ann_ivfpq")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

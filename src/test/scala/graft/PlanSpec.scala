@@ -512,6 +512,19 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"decode must stay a pure map — saw $hashEx hash exchanges:\n$p")
   }
 
+  test("x_ann_ivfpq: cell equi-join + pure-map decode — both codebooks are reference objects") {
+    val p = plan(VectorOps.x_annIvfPq(spark, sf0001))
+    assert(p.contains("pq_reconstruct") && p.contains("top_cells"),
+      s"both index halves must appear as native maps:\n$p")
+    // candidates come from an EQUI-join on the cell id (probes
+    // broadcast) — never a nested loop over the corpus
+    assert(p.contains("BroadcastHashJoin"), s"expected the cell equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF-PQ search must stay a bucket equi-join:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected probe + corpus scans only, saw $scans:\n$p")
+  }
+
   test("b33: Catalyst DECORRELATES the scalar subquery — one aggregate + equi-join, no per-row loop") {
     val p = plan(Relational.b33_decorrelate(spark, sf0001))
     // the correlated form must plan as ONE per-customer avg joined back

@@ -147,6 +147,9 @@ class ScanCensusSpec extends SparkSpec {
     // shape); training runs eagerly on the bounded sample at plan-build
     // time — the codebook is a plan reference object, not a scan
     "x_ann_pq" -> ((2, 0)),
+    // x_ann_ivfpq: same two branches (cell-assign + decode are pure
+    // maps on the corpus scan; both codebooks are reference objects)
+    "x_ann_ivfpq" -> ((2, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),

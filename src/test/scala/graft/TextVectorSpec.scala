@@ -176,6 +176,27 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("x_ann_ivfpq: the composed index still finds the neighborhood — recall floor vs c3") {
+    val exact = VectorOps.c3_simTopk(spark, sf0001).collect()
+    val ivfpq = VectorOps.x_annIvfPq(spark, sf0001).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val e = pairs(exact); val q = pairs(ivfpq)
+    assert(e.nonEmpty && q.nonEmpty)
+    assert(ivfpq.map(_.getAs[Long]("probe_id")).toSet ===
+      exact.map(_.getAs[Long]("probe_id")).toSet)
+    // per-probe ranks are 1..n (candidate sets can run short of 10 in
+    // small cells; they don't on the fixture — pinned by the count)
+    assert(ivfpq.length === exact.length, "every probe should fill its top-10 here")
+    // multiplicative recall trade on iid-RANDOM fixture vectors (both
+    // stages' adversarial case): IVF nprobe-3-of-10 coverage × PQ code
+    // reorder — measured 0.42 at sf0.001 / 0.44 at sf0.01. The floor
+    // catches a broken compose (wrong cells or wrong codes collapse
+    // overlap toward the ~0.02 random baseline), not fixture noise.
+    val recall = (e intersect q).size.toDouble / e.size
+    assert(recall >= 0.25, s"IVF-PQ recall@10 too low: $recall")
+  }
+
   test("x_ann_pq: the codebook is M×k MODEL STATE — geometry exact, collects bounded") {
     // the only driver collects on the PQ path are the modal-dim probe
     // and the per-(m, code) centroid reduces — each bounded by M×k,
