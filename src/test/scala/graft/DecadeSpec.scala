@@ -116,6 +116,30 @@ class DecadeSpec extends SparkSpec {
     assert(expected.exceptAll(repJ).count() === 0)
   }
 
+  test("decade events: b26b counters are EXACTLY F× the source's — the density axis is linear in the aggregates") {
+    // replicas share the time span (the density axis), so every hour
+    // bucket holds exactly F× the signups and purchases; because b26b's
+    // decayed sums are integer-linear in the hour-grain counts, the
+    // whole output must equal the source's with all three counters
+    // scaled by exactly F — the correctness half of the (af) ladder:
+    // density growth changes magnitudes, never structure.
+    val d = s"${Tables.scratch}/decade_spec_events_x$factor"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet"))) {
+      Tables.rmrf(d)
+      CorpusDecade.replicateEvents(spark, sf0001, factor)
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val src = graft.ops.RangeJoin.b26b_attributionCounters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rep = graft.ops.RangeJoin.b26b_attributionCounters(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep.keySet === src.keySet, "hour buckets must be identical")
+    src.foreach { case (h, (n, wp, wc)) =>
+      assert(rep(h) === ((n * factor, wp * factor, wc * factor)),
+        s"hour $h counters must scale by exactly F=$factor")
+    }
+  }
+
   test("decade corpus: cluster count scales by exactly F, no cross-replica members") {
     val srcClusters = TextOps.c15_dedupClusters(spark, sf0001)
     val repClusters = TextOps.c15_dedupClusters(spark, dir)

@@ -333,6 +333,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("b26b attribution counters equal a Scala model on generated logs") {
+    val dir = s"${graft.ops.Tables.scratch}/prop_b26b"
+    val W = graft.ops.RangeJoin.WindowUs
+    val K = graft.ops.RangeJoin.AttribHours
+    samples(burstGen, 5).foreach { rows =>
+      writeLog(rows, dir)
+      val evs = rows.map { case (_, t, day, sec, c) =>
+        (t, 1704067200000000L + (day * 86400L + sec) * 1000000L, c)
+      }
+      def hourOf(us: Long) = us - java.lang.Math.floorMod(us, W)
+      val sHours = evs.filter(_._1 == "signup").groupBy(e => hourOf(e._2))
+        .map { case (h, rs) => h -> rs.size.toLong }
+      val pHours = evs.filter(_._1 == "purchase").groupBy(e => hourOf(e._2))
+        .map { case (h, rs) => h -> ((rs.size.toLong, rs.flatMap(_._3).sum)) }
+      val expected = sHours.map { case (h, n) =>
+        val terms = (0 until K).flatMap { a =>
+          pHours.get(h + a * W).map { case (np, cp) =>
+            val w = 1L << (K - 1 - a); (np * w, cp * w)
+          }
+        }
+        h -> ((n, terms.map(_._1).sum, terms.map(_._2).sum))
+      }
+      val got = graft.ops.RangeJoin.b26b_attributionCounters(spark, dir).collect()
+        .map(r => r.getAs[Long]("hour_us") -> ((r.getAs[Long]("n_signups"),
+          r.getAs[Long]("decayed_purchases_x32"),
+          r.getAs[Long]("decayed_cents_x32")))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("b26b aligns pre-epoch hours by FLOOR — a 1963 signup attributes its own hour") {
+    // pmod keeps bucket starts at-or-below the timestamp for negative
+    // µs too; a truncate-toward-zero alignment would report an hour_us
+    // ABOVE the events. The scaladoc's whole-long-domain claim, pinned.
+    val dir = s"${graft.ops.Tables.scratch}/prop_b26b_preepoch"
+    val W = graft.ops.RangeJoin.WindowUs
+    val base = -200000000000000L // ≈ 1963-08-27, negative µs
+    val hour = base - java.lang.Math.floorMod(base, W)
+    Seq(
+      (1L, 1L, hour + 600L * 1000000, "signup", 10.00),
+      (2L, 1L, hour + 1800L * 1000000, "purchase", 25.00))
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        (col("us") * 1000).as("ts"), col("event_type"), col("value"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.RangeJoin.b26b_attributionCounters(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("hour_us") === hour, "bucket start must FLOOR below the event")
+    assert(got(0).getAs[Long]("n_signups") === 1L)
+    assert(got(0).getAs[Long]("decayed_purchases_x32") === 32L) // same hour: weight 2^5
+    assert(got(0).getAs[Long]("decayed_cents_x32") === 2500L * 32)
+  }
+
   test("b21 decayed counters equal a Scala model on generated logs") {
     val dir = s"${graft.ops.Tables.scratch}/prop_b21"
     samples(logGen, 5).foreach { rows =>
