@@ -92,6 +92,30 @@ object CorpusDecade {
     ev.crossJoin(spark.range(factor).toDF("r")).select(cols.toIndexedSeq: _*)
   }
 
+  /** The replicated embeddings frame — the vector-corpus analog for the
+    * ANN/quantization tier (c3/c21/x_ann_*). Replica r > 0 shifts
+    * `vec_id` into a disjoint id space; `embedding` and `label` pass
+    * through UNCHANGED. Consequences:
+    *
+    *   - probes stay exactly the source's (vec_id < 20 selects replica 0
+    *     only), so every ladder step searches the same 20 queries
+    *     against an F× corpus — the axis a search-scaling measurement
+    *     wants;
+    *   - every IVF cell, LSH bucket, and per-dim census group holds
+    *     exactly F× the vectors (values unchanged ⇒ assignments
+    *     unchanged), so candidate-bounding behavior scales cleanly;
+    *   - replica 0 is byte-identical to the source table.
+    */
+  def replicateEmbeddings(spark: SparkSession, srcDir: String, factor: Int) = {
+    val emb = graft.ops.Tables.embeddings(spark, srcDir)
+    val stride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val cols = emb.columns.map {
+      case "vec_id" => (col("vec_id") + col("r") * stride).as("vec_id")
+      case c        => col(c)
+    }
+    emb.crossJoin(spark.range(factor).toDF("r")).select(cols.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args(0).toInt
     val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -115,11 +139,15 @@ object CorpusDecade {
     replicateEvents(spark, srcDir, factor)
       .repartition(32, col("event_id"))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    replicateEmbeddings(spark, srcDir, factor)
+      .repartition(32, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     spark.read.parquet(s"$srcDir/region.parquet")
       .write.mode("overwrite").parquet(s"$outDir/region.parquet")
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/events.parquet").count()
-    println(s"[corpus-decade] wrote $n documents + $ne events (factor $factor of $srcDir) -> $outDir")
+    val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"[corpus-decade] wrote $n documents + $ne events + $nv vectors (factor $factor of $srcDir) -> $outDir")
     spark.stop()
   }
 }

@@ -140,6 +140,21 @@ class DecadeSpec extends SparkSpec {
     }
   }
 
+  test("decade embeddings: F replicas, replica 0 byte-equal, probes stay replica-0-only") {
+    val rep = CorpusDecade.replicateEmbeddings(spark, sf0001, factor)
+    val src = Tables.embeddings(spark, sf0001)
+    val stride = src.agg(max(col("vec_id"))).head.getLong(0) + 1
+    assert(rep.count() === factor * src.count())
+    // replica 0 is the source table verbatim; ids never collide
+    assert(rep.filter(col("vec_id") < stride).exceptAll(src).count() === 0)
+    assert(rep.groupBy(col("vec_id")).count().filter(col("count") > 1).count() === 0)
+    // the probe set (vec_id < 20) is exactly the source's — every
+    // ladder step searches the SAME queries against an F× corpus
+    assert(rep.filter(col("vec_id") < 20).exceptAll(src.filter(col("vec_id") < 20))
+      .count() === 0)
+    assert(rep.filter(col("vec_id") < 20).count() === src.filter(col("vec_id") < 20).count())
+  }
+
   test("decade corpus: cluster count scales by exactly F, no cross-replica members") {
     val srcClusters = TextOps.c15_dedupClusters(spark, sf0001)
     val repClusters = TextOps.c15_dedupClusters(spark, dir)
