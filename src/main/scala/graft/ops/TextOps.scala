@@ -455,7 +455,211 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(50)
 
+  /** Language marker profiles for c23, alphabetical by code — small
+    * disjoint token sets standing in for the character-n-gram profiles
+    * a production language identifier ships as configuration (the
+    * fixture corpus draws every language label from ONE synthetic
+    * vocabulary, so real linguistic profiles could not discriminate
+    * it; the profiles are data, the operator is the machinery).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "merge", "group"),
+    "en" -> Seq("the", "a", "row", "table", "scan"),
+    "es" -> Seq("data", "sort", "column", "stream"),
+    "fr" -> Seq("query", "value", "order", "line"),
+    "zh" -> Seq("join", "small", "hash", "key"))
+
+  /** c23: heuristic language identification — the classify step of
+    * corpus curation (c13's `lang` stratum column is its downstream
+    * consumer shape). Each document is scored against every
+    * [[LangProfiles]] marker set as hits-per-million-tokens (exact
+    * rational-e6 BIGINT, c12's idf idiom — no float division, so both
+    * engines agree bit-for-bit); prediction is the argmax with
+    * alphabetical tie-break, `margin_e6 = best − second` is the
+    * confidence, and a document with zero marker hits anywhere
+    * (null/empty/out-of-domain text) classifies as 'und' rather than
+    * inheriting a tie-break language.
+    *
+    * Scale (100 TB): language ID is pure per-row work — the profiles
+    * compile into the projection as codegen'd higher-order filters
+    * (no join, no broadcast table, NO shuffle; the only exchange is
+    * the presentation orderBy, which a lake job drops). A corpus
+    * rescore touches each document exactly once.
+    */
+  def c23_langId(spark: SparkSession, d: String): DataFrame = {
+    val tk = when(col("text").isNull, array().cast("array<string>"))
+      .otherwise(split(col("text"), " "))
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), tk.as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    val scored = LangProfiles.foldLeft(base) { case (df, (code, markers)) =>
+      df.withColumn(s"h_$code",
+          size(filter(col("tk"), x => x.isInCollection(markers))).cast("long"))
+        .withColumn(s"e_$code",
+          when(col("n_tok") === 0, lit(0L))
+            .otherwise(expr(s"h_$code * 1000000 DIV n_tok")))
+    }
+    val codes = LangProfiles.map(_._1)
+    val scoreCols = codes.map(c => col(s"e_$c"))
+    val pred = when(col("best_e6") === 0, lit("und"))
+      .otherwise(codes.init.foldRight(lit(codes.last): org.apache.spark.sql.Column) {
+        case (c, alt) => when(col(s"e_$c") === col("best_e6"), lit(c)).otherwise(alt)
+      })
+    scored
+      .withColumn("best_e6", greatest(scoreCols: _*))
+      .withColumn("margin_e6",
+        col("best_e6") - element_at(array_sort(array(scoreCols: _*)), -2))
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("n_tok"), col("pred_lang"),
+        col("best_e6"), col("margin_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    * [[WinnowK]]-token grams hashed with the cross-engine 60-bit md5
+    * contract, then the minimum hash of each window of [[WinnowW]]
+    * consecutive grams is selected. Guarantee: any shared passage of
+    * ≥ W+K−1 tokens shares at least one fingerprint.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Shared fingerprint builder for c24/c25: (doc_id, fp) rows,
+    * entirely via higher-order functions — grams, hashes, and the
+    * window-min selection are ONE per-row projection (no posexplode +
+    * per-doc window shuffle; the document never leaves its partition
+    * until its KB-sized fingerprint set is already computed). Docs
+    * shorter than K tokens have no grams and emit nothing; docs with
+    * fewer than W grams emit the min over all their grams (the
+    * paper's short-document degenerate).
+    */
+  private[ops] def winnowFps(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= WinnowK)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = transform(sequence(lit(1), size(col("tk")) - (WinnowK - 1)),
+      i => concat_ws(" ", element_at(col("tk"), i),
+        element_at(col("tk"), i + lit(1)), element_at(col("tk"), i + lit(2))))
+    val hashes = transform(grams, g => graft.functions.CrossEngineHash.md5_60(g))
+    base.select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), greatest(size(col("hs")) - (WinnowW - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(WinnowW))))).as("fps"))
+      // explode_OUTER, deliberately: fps is never empty for a surviving
+      // doc (the window sequence always has ≥ 1 element), but plain
+      // explode lets InferFiltersFromGenerate clone the ENTIRE
+      // gram-hash-winnow expression into a pushed-down `size(fps) > 0`
+      // scan filter — doubling the md5 work per document. The outer
+      // form produces the identical rows without the inferred filter.
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+  }
+
+  /** c24: winnowed document fingerprints — the plagiarism-detection /
+    * near-dup index a corpus pipeline materializes once and reuses
+    * (MOSS's data structure). Output is the exploded (doc_id, fp)
+    * posting list, ~1 fingerprint per W/2 tokens per the paper's
+    * density bound — a 100 TB corpus compresses to a few TB of
+    * 16-byte rows.
+    *
+    * Scale (100 TB): fingerprinting is pure per-row map work (see
+    * [[winnowFps]]); the posting-list sort is the only exchange and
+    * exists for presentation.
+    */
+  def c24_winnowFingerprint(spark: SparkSession, d: String): DataFrame =
+    winnowFps(Tables.documents(spark, d))
+      .orderBy(col("doc_id"), col("fp"))
+
+  /** c25 near-dup decision threshold: report pairs sharing ≥ this many
+    * winnow fingerprints (2 still admits single-collision noise on the
+    * fixture — 3k pairs share exactly one fingerprint, ~80 share two,
+    * a clean gap above). */
+  val WinnowShared = 3
+  /** Fingerprint document-frequency band (c2's df-cap contract): a
+    * fingerprint in < 2 docs pairs nothing; one in > this many docs is
+    * boilerplate and would only manufacture quadratic bucket blowup. */
+  val WinnowDfCap = 64
+
+  /** c25: near-duplicate pairs by shared winnow fingerprints — the
+    * third member of the near-dup family (c2 exact shingle-Jaccard,
+    * c6 SimHash bands, x_minhash sketches; winnowing trades their
+    * set-similarity semantics for POSITIONAL run guarantees: shared
+    * fingerprints certify shared ≥ W+K−1-token passages, the
+    * contamination-detection contract).
+    *
+    * Scale (100 TB): candidates come from the fp equi-join, never
+    * all-pairs; the df band bounds every join bucket at
+    * [[WinnowDfCap]]² pairs, so worst-case work is posting-list
+    * linear. Same shape as c2 — shuffle on fp, reduce on the pair.
+    */
+  def c25_winnowNeardup(spark: SparkSession, d: String): DataFrame = {
+    val fps = winnowFps(Tables.documents(spark, d))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
+      .select(col("fp"))
+    val fk = fps.join(keep, "fp")
+    fk.select(col("fp"), col("doc_id").as("a_id"))
+      .join(fk.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB SQL marker list for one [[LangProfiles]] entry. */
+  private def markersSql(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** Shared DuckDB winnow-fingerprint CTE body (mirrors [[winnowFps]]
+    * exactly: K=3 grams, 60-bit md5 contract, window-of-W min, distinct;
+    * one string so the c24/c25 oracles cannot drift apart). */
+  private val WinnowFpsSql: String =
+    s"""t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+       |       WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= $WinnowK),
+       |g AS (SELECT doc_id, list_transform(range(1, len(tk) - ${WinnowK - 2}),
+       |        i -> CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15) AS BIGINT)) AS hs
+       |      FROM t),
+       |f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - ${WinnowW - 2}, 2)),
+       |        j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))) AS fps
+       |      FROM g),
+       |fps AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c23_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS tk FROM documents),
+         |h AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+         |  len(list_filter(tk, x -> x IN (${markersSql(LangProfiles(0)._2)}))) AS h_de,
+         |  len(list_filter(tk, x -> x IN (${markersSql(LangProfiles(1)._2)}))) AS h_en,
+         |  len(list_filter(tk, x -> x IN (${markersSql(LangProfiles(2)._2)}))) AS h_es,
+         |  len(list_filter(tk, x -> x IN (${markersSql(LangProfiles(3)._2)}))) AS h_fr,
+         |  len(list_filter(tk, x -> x IN (${markersSql(LangProfiles(4)._2)}))) AS h_zh
+         |  FROM t),
+         |e AS (SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok = 0 THEN 0 ELSE h_de * 1000000 // n_tok END AS e_de,
+         |  CASE WHEN n_tok = 0 THEN 0 ELSE h_en * 1000000 // n_tok END AS e_en,
+         |  CASE WHEN n_tok = 0 THEN 0 ELSE h_es * 1000000 // n_tok END AS e_es,
+         |  CASE WHEN n_tok = 0 THEN 0 ELSE h_fr * 1000000 // n_tok END AS e_fr,
+         |  CASE WHEN n_tok = 0 THEN 0 ELSE h_zh * 1000000 // n_tok END AS e_zh
+         |  FROM h),
+         |b AS (SELECT *, greatest(e_de, e_en, e_es, e_fr, e_zh) AS best,
+         |        list_sort([e_de, e_en, e_es, e_fr, e_zh])[-2] AS second FROM e)
+         |SELECT doc_id, n_tok,
+         |  CASE WHEN best = 0 THEN 'und' WHEN e_de = best THEN 'de' WHEN e_en = best THEN 'en'
+         |       WHEN e_es = best THEN 'es' WHEN e_fr = best THEN 'fr' ELSE 'zh' END AS pred_lang,
+         |  CAST(best AS BIGINT) AS best_e6, CAST(best - second AS BIGINT) AS margin_e6
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "c24_winnow_fingerprint" ->
+      s"""WITH $WinnowFpsSql
+         |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+    "c25_winnow_neardup" ->
+      s"""WITH $WinnowFpsSql,
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
+         |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= $WinnowShared
+         |ORDER BY a_id, b_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT sha256(lower(text)) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY sha256(lower(text)) ORDER BY keep_id""".stripMargin,
@@ -563,5 +767,8 @@ object TextOps {
     "c4_text_stats"    -> c4_textStats _,
     "c4b_top_terms"    -> c4b_topTerms _,
     "c19_heavy_hitters" -> c19_heavyHitters _,
+    "c23_lang_id"      -> c23_langId _,
+    "c24_winnow_fingerprint" -> c24_winnowFingerprint _,
+    "c25_winnow_neardup" -> c25_winnowNeardup _,
   )
 }

@@ -488,6 +488,34 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 2, s"expected reduce + vocab-window exchanges only, saw $hashEx:\n$p")
   }
 
+  test("c23: language ID is pure per-row work — no join, no hash shuffle, one scan") {
+    val p = plan(TextOps.c23_langId(spark, sf0001))
+    assert(!p.contains("Join"), s"the profiles must compile into the projection, not join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"classification must not shuffle (only the presentation sort), saw $hashEx:\n$p")
+  }
+
+  test("c24: fingerprinting is one per-row projection — no window shuffle, no join") {
+    val p = plan(TextOps.c24_winnowFingerprint(spark, sf0001))
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+    // the paper's window-min runs INSIDE the higher-order projection,
+    // not as a per-doc Window operator (which would shuffle on doc_id)
+    assert(!p.contains("Window"), s"window-min must stay in the projection:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"fingerprinting must not hash-shuffle, saw $hashEx:\n$p")
+  }
+
+  test("c25: candidates come from the fp equi-join over ONE fingerprinting pass") {
+    val df = TextOps.c25_winnowNeardup(spark, sf0001)
+    df.collect() // reuse only shows in the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"pair generation must be the fp equi-join, never all-pairs:\n$p")
+    // the fingerprint exchange is computed once and REUSED by both the
+    // df-cap census and the second join side (ScanCensus pins 2,2)
+    assert(p.contains("ReusedExchange"), s"expected the fps exchange to be reused:\n$p")
+  }
+
   test("c21: the per-dim census broadcasts — the exploded stream never shuffles") {
     val p = plan(VectorOps.c21_embeddingQuantize(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast census join:\n$p")

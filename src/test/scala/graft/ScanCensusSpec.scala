@@ -139,6 +139,13 @@ class ScanCensusSpec extends SparkSpec {
     // c21: census branch + quantize branch each scan embeddings (their
     // projections differ, so no reuse — the census reads no vec_id)
     "c21_embedding_quantize" -> ((2, 0)),
+    // c23/c24 are pure per-row maps over one documents scan; c25's pair
+    // join reuses the fingerprint exchange on BOTH consumers (the df-cap
+    // census and the second join side) — 2 scans, 2 ReusedExchanges IS
+    // the one-fingerprinting-pass design.
+    "c23_lang_id" -> ((1, 0)),
+    "c24_winnow_fingerprint" -> ((1, 0)),
+    "c25_winnow_neardup" -> ((2, 2)),
     // x_ann_quantized: probe + corpus branches of the reconstructed
     // frame (c3's shape); the per-dim census is collected eagerly at
     // plan-build time as driver model state, outside the final plan

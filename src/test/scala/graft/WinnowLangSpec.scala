@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** c23/c24/c25 semantics, pinned against independent Scala models on a
+  * literal fixture (FIXTURES.md §3: unit tests build tiny DataFrames,
+  * the oracle gate owns the driver fixtures):
+  *  - c23: marker scoring ≡ a Scala reimplementation; the 'und' floor,
+  *    the alphabetical tie-break, and the rational-e6 margin.
+  *  - c24: winnow fingerprints ≡ a Scala winnowing model (same 60-bit
+  *    md5 contract), including the short-document degenerates.
+  *  - c25: the paper's guarantee — two documents sharing a run of
+  *    ≥ W+K−1 tokens share a fingerprint — plus pair orientation and
+  *    the exact n_shared count vs the model.
+  */
+class WinnowLangSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(sub: String, docs: Seq[(Long, String, String, String, java.lang.Long)]): String = {
+    val d = s"${graft.ops.Tables.scratch}/winnowlang_$sub"
+    graft.ops.Tables.rmrf(d)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  // ---- c23 ------------------------------------------------------------
+
+  /** Scala model of c23's scoring: hits-per-million as floor-div
+    * BIGINT, argmax alphabetical-first, 'und' when best == 0.
+    */
+  private def langModel(text: String): (Long, String, Long, Long) = {
+    val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
+    val n = toks.length.toLong
+    val scores = TextOps.LangProfiles.map { case (code, markers) =>
+      val hits = toks.count(markers.contains).toLong
+      code -> (if (n == 0) 0L else hits * 1000000L / n)
+    }
+    val best = scores.map(_._2).max
+    val second = scores.map(_._2).sorted.apply(scores.size - 2)
+    val pred = if (best == 0) "und" else scores.find(_._2 == best).get._1
+    (n, pred, best, best - second)
+  }
+
+  private val langDocs: Seq[(Long, String, String, String, java.lang.Long)] = Seq(
+    (0L, null, null, null, null),                                   // null text -> und
+    (1L, "", "en", "w", 0L: java.lang.Long),                        // empty-string token, no hits -> und
+    (2L, "zzz yyy xxx", "en", "w", 11L: java.lang.Long),            // out-of-domain -> und
+    (3L, "the a row table scan noise", "en", "w", 26L: java.lang.Long),
+    (4L, "window batch data sort", "de", "w", 22L: java.lang.Long), // de/es tie (2 hits each) -> de (alphabetical)
+    (5L, "join small hash key key key", "zh", "w", 27L: java.lang.Long),
+    (6L, "query value the a order line", "fr", "w", 28L: java.lang.Long),
+    (7L, "data stream sort column the", "es", "w", 27L: java.lang.Long))
+
+  test("c23 ≡ the Scala scoring model — und floor, alphabetical tie-break, e6 margin") {
+    val dir = writeDocs("c23", langDocs)
+    val got = TextOps.c23_langId(spark, dir).collect()
+    assert(got.length === langDocs.length, "one classification per document, nulls included")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, pred, best, margin) = langModel(langDocs.find(_._1 == id).get._2)
+      assert(r.getAs[Long]("n_tok") === n, s"doc $id n_tok")
+      assert(r.getAs[String]("pred_lang") === pred, s"doc $id pred")
+      assert(r.getAs[Long]("best_e6") === best, s"doc $id best")
+      assert(r.getAs[Long]("margin_e6") === margin, s"doc $id margin")
+    }
+    // the fixture exercises every outcome the operator defines
+    val preds = got.map(_.getAs[String]("pred_lang")).toSet
+    assert(Set("und", "de", "en", "es", "fr", "zh").subsetOf(preds))
+    // doc 4 is a genuine de/es tie — the alphabetical rule, not chance
+    val (_, _, b4, m4) = langModel(langDocs(4)._2)
+    assert(m4 === 0L && b4 > 0L, "tie fixture must stay a tie")
+  }
+
+  test("c23 profiles are pairwise disjoint (a marker in two profiles would double-count)") {
+    val all = TextOps.LangProfiles.flatMap(_._2)
+    assert(all.distinct.length === all.length)
+  }
+
+  // ---- c24 ------------------------------------------------------------
+
+  /** Scala winnowing model: the same K-gram / 60-bit md5 / W-window-min
+    * / distinct pipeline, written independently over plain collections.
+    */
+  private def winnowModel(text: String): Set[Long] = {
+    if (text == null) return Set.empty
+    val toks = text.split(" ", -1)
+    if (toks.length < TextOps.WinnowK) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val hashes = toks.sliding(TextOps.WinnowK).map(g => h60(g.mkString(" "))).toVector
+    val nWin = math.max(hashes.length - TextOps.WinnowW + 1, 1)
+    (0 until nWin).map(j => hashes.slice(j, j + TextOps.WinnowW).min).toSet
+  }
+
+  private val winnowDocs: Seq[(Long, String, String, String, java.lang.Long)] = Seq(
+    (0L, null, null, null, null),                       // no grams
+    (1L, "one two", "en", "w", 7L: java.lang.Long),     // < K tokens: no grams
+    (2L, "one two three", "en", "w", 13L: java.lang.Long),          // exactly 1 gram -> 1 fp
+    (3L, "a b c d e f", "en", "w", 11L: java.lang.Long),            // 4 grams = exactly 1 window
+    (4L, "the quick brown fox jumps over the lazy dog today", "en", "w", 49L: java.lang.Long),
+    (5L, "x x x x x x x x", "en", "w", 15L: java.lang.Long),        // all grams equal -> 1 distinct fp
+    (6L, (0 until 60).map(i => s"t${i % 17}").mkString(" "), "en", "w", 200L: java.lang.Long))
+
+  test("c24 ≡ the Scala winnowing model, incl. short-document degenerates") {
+    val dir = writeDocs("c24", winnowDocs)
+    val got = TextOps.c24_winnowFingerprint(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp")).toSet }
+    winnowDocs.foreach { case (id, text, _, _, _) =>
+      val want = winnowModel(text)
+      assert(got.getOrElse(id, Set.empty[Long]) === want, s"doc $id fingerprints")
+    }
+    assert(!got.contains(0L) && !got.contains(1L), "sub-K docs emit nothing")
+    assert(got(2L).size === 1 && got(3L).size === 1 && got(5L).size === 1)
+    // density bound sanity: a doc never emits more fps than windows
+    assert(got(6L).size <= 60 - TextOps.WinnowK - TextOps.WinnowW + 2)
+  }
+
+  // ---- c25 ------------------------------------------------------------
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+  private val pairDocs: Seq[(Long, String, String, String, java.lang.Long)] = Seq(
+    (1L, s"intro words here $base tail one", "en", "w", 1L: java.lang.Long),
+    (2L, s"completely different opening $base closing run two", "en", "w", 1L: java.lang.Long),
+    (3L, "unrelated content entirely separate vocabulary nothing shared at all here", "en", "w", 1L: java.lang.Long),
+    (4L, s"intro words here $base tail one", "en", "w", 1L: java.lang.Long)) // exact dup of 1
+
+  test("c25: the winnowing guarantee — a shared ≥ W+K−1-token run yields a reported pair") {
+    val dir = writeDocs("c25", pairDocs)
+    val got = TextOps.c25_winnowNeardup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Long]("n_shared")).toMap
+    // model: pairwise fingerprint-set intersections above the threshold
+    val fps = pairDocs.map { case (id, t, _, _, _) => id -> winnowModel(t) }.toMap
+    val want = (for {
+      a <- pairDocs.map(_._1); b <- pairDocs.map(_._1) if a < b
+      shared = (fps(a) intersect fps(b)).size if shared >= TextOps.WinnowShared
+    } yield (a, b) -> shared.toLong).toMap
+    assert(got === want, "pair set + n_shared must match the set-intersection model")
+    // the guarantee itself: docs 1/2 share a 16-token run ≫ W+K−1
+    assert(got.contains((1L, 2L)), "shared run must produce a pair")
+    assert(got((1L, 4L)) === fps(1L).size.toLong, "exact dup shares every fingerprint")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L }, "unrelated doc pairs with nothing")
+    got.keys.foreach { case (a, b) => assert(a < b, "pairs oriented a < b") }
+  }
+}
