@@ -582,7 +582,7 @@ object TextOps {
   val WinnowDfCap = 64
 
   /** c25: near-duplicate pairs by shared winnow fingerprints — the
-    * third member of the near-dup family (c2 exact shingle-Jaccard,
+    * fourth member of the near-dup family (c2 exact shingle-Jaccard,
     * c6 SimHash bands, x_minhash sketches; winnowing trades their
     * set-similarity semantics for POSITIONAL run guarantees: shared
     * fingerprints certify shared ≥ W+K−1-token passages, the
@@ -605,6 +605,48 @@ object TextOps {
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowShared)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** BPE-ish pre-tokenizer regex (c26) — the GPT-2-family shape:
+    * contractions, space-prefixed letter runs, space-prefixed digit
+    * runs, space-prefixed punctuation runs. Deliberately restricted to
+    * the Java-regex ∩ RE2 common subset (no lookarounds, no \p
+    * classes) so the DuckDB oracle evaluates the IDENTICAL pattern;
+    * no alternative matches the empty string, so piece counts are
+    * well-defined on both engines.
+    */
+  val BpePattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ 'a-z0-9]+"
+
+  /** c26: token-counting statistics, whitespace vs the BPE-ish regex
+    * pre-tokenizer — the cost-estimation numbers an LLM-data pipeline
+    * reports before committing a corpus to a real tokenizer (budget
+    * packing c14 consumes whitespace counts; a BPE tokenizer's piece
+    * count tracks the regex pre-split). Per document: whitespace
+    * tokens, regex pieces, distinct pieces, longest piece, and the
+    * pieces-per-whitespace-token blowup as an exact rational-e6
+    * BIGINT (no float division — engines agree bit-for-bit).
+    *
+    * Scale (100 TB): pure per-row work, like c23 — the regex compiles
+    * once per task, nothing joins, nothing shuffles except the
+    * presentation orderBy.
+    */
+  def c26_bpeTokenStats(spark: SparkSession, d: String): DataFrame = {
+    val pieces = when(col("text").isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+    val ws = when(col("text").isNull, array().cast("array<string>"))
+      .otherwise(split(col("text"), " "))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), ws.as("ws"), pieces.as("pc"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_ws"),
+        size(col("pc")).cast("long").as("n_bpe"),
+        size(array_distinct(col("pc"))).cast("long").as("n_uniq_bpe"),
+        coalesce(array_max(transform(col("pc"), p => length(p))),
+          lit(0)).cast("long").as("max_piece_len"))
+      .withColumn("blowup_e6",
+        when(col("n_ws") === 0, lit(0L))
+          .otherwise(expr("n_bpe * 1000000 DIV n_ws")))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB SQL marker list for one [[LangProfiles]] entry. */
@@ -652,6 +694,20 @@ object TextOps {
     "c24_winnow_fingerprint" ->
       s"""WITH $WinnowFpsSql
          |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+    "c26_bpe_token_stats" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS ws,
+         |  CASE WHEN text IS NULL THEN [] ELSE regexp_extract_all(text, '${BpePattern.replace("'", "''")}') END AS pc
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_ws,
+         |  CAST(len(pc) AS BIGINT) AS n_bpe,
+         |  CAST(len(list_distinct(pc)) AS BIGINT) AS n_uniq_bpe,
+         |  CAST(COALESCE(list_aggregate(list_transform(pc, p -> len(p)), 'max'), 0) AS BIGINT) AS max_piece_len
+         |  FROM t)
+         |SELECT doc_id, n_ws, n_bpe, n_uniq_bpe, max_piece_len,
+         |  CAST(CASE WHEN n_ws = 0 THEN 0 ELSE n_bpe * 1000000 // n_ws END AS BIGINT) AS blowup_e6
+         |FROM s ORDER BY doc_id""".stripMargin,
     "c25_winnow_neardup" ->
       s"""WITH $WinnowFpsSql,
          |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
@@ -770,5 +826,6 @@ object TextOps {
     "c23_lang_id"      -> c23_langId _,
     "c24_winnow_fingerprint" -> c24_winnowFingerprint _,
     "c25_winnow_neardup" -> c25_winnowNeardup _,
+    "c26_bpe_token_stats" -> c26_bpeTokenStats _,
   )
 }

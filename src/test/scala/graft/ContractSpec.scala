@@ -63,9 +63,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 97 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 97)
-    assert(SparkEntry.oracleSql.size === 86)
+  test("the inventory holds all 98 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 98)
+    assert(SparkEntry.oracleSql.size === 87)
   }
 
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,

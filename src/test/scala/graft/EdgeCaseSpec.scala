@@ -70,7 +70,8 @@ class EdgeCaseSpec extends SparkSpec {
     "x_corpus_from_clusters", "x_pack_twophase",
     "c20_bigram_stats", "c21_embedding_quantize", "x_ann_quantized",
     "c22_vocab_coverage", "x_ann_pq", "x_ann_ivfpq",
-    "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup")
+    "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup",
+    "c26_bpe_token_stats")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

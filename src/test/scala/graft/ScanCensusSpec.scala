@@ -146,6 +146,7 @@ class ScanCensusSpec extends SparkSpec {
     "c23_lang_id" -> ((1, 0)),
     "c24_winnow_fingerprint" -> ((1, 0)),
     "c25_winnow_neardup" -> ((2, 2)),
+    "c26_bpe_token_stats" -> ((1, 0)),
     // x_ann_quantized: probe + corpus branches of the reconstructed
     // frame (c3's shape); the per-dim census is collected eagerly at
     // plan-build time as driver model state, outside the final plan

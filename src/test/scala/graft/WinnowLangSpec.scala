@@ -148,4 +148,50 @@ class WinnowLangSpec extends SparkSpec {
     assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L }, "unrelated doc pairs with nothing")
     got.keys.foreach { case (a, b) => assert(a < b, "pairs oriented a < b") }
   }
+
+  // ---- c26 ------------------------------------------------------------
+
+  /** Scala model of c26 via java.util.regex over the same pattern —
+    * pins the counting logic and the null/empty/degenerate handling.
+    */
+  private def bpeModel(text: String): (Long, Long, Long, Long, Long) = {
+    if (text == null) return (0L, 0L, 0L, 0L, 0L)
+    val ws = text.split(" ", -1)
+    val m = java.util.regex.Pattern.compile(TextOps.BpePattern).matcher(text)
+    val pieces = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toVector
+    val nWs = ws.length.toLong
+    val blowup = if (nWs == 0) 0L else pieces.length * 1000000L / nWs
+    (nWs, pieces.length.toLong, pieces.distinct.length.toLong,
+      if (pieces.isEmpty) 0L else pieces.map(_.length).max.toLong, blowup)
+  }
+
+  private val bpeDocs: Seq[(Long, String, String, String, java.lang.Long)] = Seq(
+    (0L, null, null, null, null),
+    (1L, "plain words only here", "en", "w", 1L: java.lang.Long),
+    (2L, "it's can't won't", "en", "w", 1L: java.lang.Long),          // contractions split
+    (3L, "version 42 build 7x rc1", "en", "w", 1L: java.lang.Long),   // digit runs split
+    (4L, "semi;colon, dash-dash \"quoted\"", "en", "w", 1L: java.lang.Long),
+    (5L, "double  space   runs", "en", "w", 1L: java.lang.Long),      // bare spaces match nothing
+    (6L, "héllo 日本語 mixed", "xx", "w", 1L: java.lang.Long))          // non-ascii → punct-run branch
+
+  test("c26 ≡ the java.util.regex model — contractions, digits, punct, gaps, unicode") {
+    val dir = writeDocs("c26", bpeDocs)
+    val got = TextOps.c26_bpeTokenStats(spark, dir).collect()
+    assert(got.length === bpeDocs.length)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nWs, nBpe, nUniq, maxLen, blowup) = bpeModel(bpeDocs.find(_._1 == id).get._2)
+      assert(r.getAs[Long]("n_ws") === nWs, s"doc $id n_ws")
+      assert(r.getAs[Long]("n_bpe") === nBpe, s"doc $id n_bpe")
+      assert(r.getAs[Long]("n_uniq_bpe") === nUniq, s"doc $id n_uniq_bpe")
+      assert(r.getAs[Long]("max_piece_len") === maxLen, s"doc $id max_piece_len")
+      assert(r.getAs[Long]("blowup_e6") === blowup, s"doc $id blowup")
+    }
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // pure single-spaced words: the pre-tokenizer is exactly whitespace
+    assert(byId(1L).getAs[Long]("n_bpe") === byId(1L).getAs[Long]("n_ws"))
+    assert(byId(1L).getAs[Long]("blowup_e6") === 1000000L)
+    // contractions split into stem + 'suffix: strictly more pieces
+    assert(byId(2L).getAs[Long]("n_bpe") > byId(2L).getAs[Long]("n_ws"))
+  }
 }
