@@ -525,36 +525,32 @@ object TextOps {
   val WinnowK = 3
   val WinnowW = 4
 
-  /** Shared fingerprint builder for c24/c25: (doc_id, fp) rows,
-    * entirely via higher-order functions — grams, hashes, and the
-    * window-min selection are ONE per-row projection (no posexplode +
-    * per-doc window shuffle; the document never leaves its partition
-    * until its KB-sized fingerprint set is already computed). Docs
-    * shorter than K tokens have no grams and emit nothing; docs with
-    * fewer than W grams emit the min over all their grams (the
+  /** Shared fingerprint builder for c24/c25: (doc_id, fp) rows, ONE
+    * per-row projection through the fused native kernel
+    * ([[graft.functions.WinnowFps]] — no posexplode + per-doc window
+    * shuffle; the document never leaves its partition until its
+    * KB-sized fingerprint set is already computed, and the kernel
+    * hashes text byte-slices directly instead of materializing
+    * gram/hex strings per gram the way the portable
+    * split→transform(md5_60)→array_min→array_distinct pipeline the
+    * DuckDB oracle runs does). Docs shorter than K tokens have no
+    * grams and emit nothing (the kernel's NULL, filtered here); docs
+    * with fewer than W grams emit the min over all their grams (the
     * paper's short-document degenerate).
+    *
+    * explode_OUTER, deliberately: fps is never empty for a surviving
+    * doc (the kernel always emits ≥ 1 fingerprint), but plain explode
+    * lets InferFiltersFromGenerate clone the whole kernel call into a
+    * pushed-down `size(fps) > 0` scan filter — doubling the per-doc
+    * hashing. The outer form produces identical rows without it.
     */
-  private[ops] def winnowFps(docs: DataFrame): DataFrame = {
-    val base = docs
-      .filter(col("text").isNotNull &&
-        size(split(col("text"), " ")) >= WinnowK)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val grams = transform(sequence(lit(1), size(col("tk")) - (WinnowK - 1)),
-      i => concat_ws(" ", element_at(col("tk"), i),
-        element_at(col("tk"), i + lit(1)), element_at(col("tk"), i + lit(2))))
-    val hashes = transform(grams, g => graft.functions.CrossEngineHash.md5_60(g))
-    base.select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), greatest(size(col("hs")) - (WinnowW - 1), lit(1))),
-          j => array_min(slice(col("hs"), j, lit(WinnowW))))).as("fps"))
-      // explode_OUTER, deliberately: fps is never empty for a surviving
-      // doc (the window sequence always has ≥ 1 element), but plain
-      // explode lets InferFiltersFromGenerate clone the ENTIRE
-      // gram-hash-winnow expression into a pushed-down `size(fps) > 0`
-      // scan filter — doubling the md5 work per document. The outer
-      // form produces the identical rows without the inferred filter.
+  private[ops] def winnowFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.WinnowFps(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
+          WinnowK, WinnowW)).as("fps"))
+      .filter(col("fps").isNotNull)
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
-  }
 
   /** c24: winnowed document fingerprints — the plagiarism-detection /
     * near-dup index a corpus pipeline materializes once and reuses
