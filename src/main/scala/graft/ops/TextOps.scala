@@ -486,10 +486,18 @@ object TextOps {
     * the presentation orderBy, which a lake job drops). A corpus
     * rescore touches each document exactly once.
     */
-  def c23_langId(spark: SparkSession, d: String): DataFrame = {
+  def c23_langId(spark: SparkSession, d: String): DataFrame =
+    langIdOf(Tables.documents(spark, d)).orderBy(col("doc_id"))
+
+  /** The classifier itself, source-agnostic: pure per-row transforms,
+    * so the SAME code runs batch (c23) and streaming (s9 — stateless,
+    * append mode, no watermark needed). Output unordered; callers
+    * order for presentation.
+    */
+  private[graft] def langIdOf(docs: DataFrame): DataFrame = {
     val tk = when(col("text").isNull, array().cast("array<string>"))
       .otherwise(split(col("text"), " "))
-    val base = Tables.documents(spark, d)
+    val base = docs
       .select(col("doc_id"), tk.as("tk"))
       .withColumn("n_tok", size(col("tk")).cast("long"))
     val scored = LangProfiles.foldLeft(base) { case (df, (code, markers)) =>
@@ -512,7 +520,6 @@ object TextOps {
       .withColumn("pred_lang", pred)
       .select(col("doc_id"), col("n_tok"), col("pred_lang"),
         col("best_e6"), col("margin_e6"))
-      .orderBy(col("doc_id"))
   }
 
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken, "Winnowing:

@@ -118,9 +118,15 @@ object StreamOps {
     * (ts normalized to µs TimestampType — same conversion as the batch
     * reader, whichever precision the fixture generation wrote).
     */
-  private def fileEventStream(spark: SparkSession, d: String): DataFrame = {
-    val schema = Tables.t(spark, d, "events").schema
-    val src = Paths.get(s"$d/events.parquet")
+  private def fileEventStream(spark: SparkSession, d: String): DataFrame =
+    stagedFileStream(spark, d, "events")
+
+  /** File-source stream over any single-table fixture — shared by the
+    * event tier (s1-s8) and the document tier (s9).
+    */
+  private def stagedFileStream(spark: SparkSession, d: String, table: String): DataFrame = {
+    val schema = Tables.t(spark, d, table).schema
+    val src = Paths.get(s"$d/$table.parquet")
     // a DIRECTORY table (Spark-written, e.g. the decade-scale generated
     // logs) is already the layout the file source wants — stream it in
     // place. The staging below exists only for the single-FILE fixture
@@ -131,9 +137,9 @@ object StreamOps {
       return spark.readStream.schema(schema).parquet(src.toString)
     // the file source requires a directory: stage a per-sf dir holding a
     // symlink to the fixture file (falls back to a copy if unsupported)
-    val stageDir = Paths.get(s"${Tables.scratch}/events_src_${Tables.sanitize(d)}")
+    val stageDir = Paths.get(s"${Tables.scratch}/${table}_src_${Tables.sanitize(d)}")
     Files.createDirectories(stageDir)
-    val link = stageDir.resolve("events.parquet")
+    val link = stageDir.resolve(s"$table.parquet")
     // self-healing: a DANGLING symlink (fixture dir moved) fails the
     // follow-check but still occupies the name, and a stale COPY
     // (fallback path, fixture regenerated) would stream old data
@@ -586,6 +592,39 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** s9: c23's language classifier as a streaming job — the
+    * classify-on-arrival shape of corpus curation: documents stream in
+    * from the file source, every micro-batch is scored by the SAME
+    * per-row marker machinery as the batch query
+    * ([[graft.ops.TextOps.langIdOf]] — stateless pure maps, so append
+    * mode needs no watermark and holds no state), sunk
+    * replay-idempotently (batchId-keyed overwrite, see s1), and read
+    * back ordered. Stream ≡ batch exactly — shared transform,
+    * deterministic per-row work, no aggregation to re-order — so s9
+    * carries c23's DuckDB oracle VERBATIM and is driver-hash-checked:
+    * the stream/batch parity contract, the property that lets a lake
+    * run ONE classifier implementation in both its backfill and its
+    * arrival paths.
+    */
+  def s9_streamLangId(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${Tables.scratch}/s9_out"
+    val chk = s"${Tables.scratch}/s9_chk"
+    rmrf(out); rmrf(chk)
+    val classified = graft.ops.TextOps.langIdOf(stagedFileStream(spark, d, "documents"))
+    val q = classified.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    readSink(spark, out, classified.schema)
+      .select(classified.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output.
     */
@@ -607,6 +646,8 @@ object StreamOps {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // batch twin of the streamed A14 pipeline (same rows, same sink layout)
     "s1_stream_pipeline" -> (Ingest.oracles("a14_pipeline_e2e")),
+    // stream ≡ batch for the stateless classifier: c23's oracle verbatim
+    "s9_stream_lang_id" -> graft.ops.TextOps.oracles("c23_lang_id"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -665,5 +706,6 @@ object StreamOps {
     "s6_stream_dedup"    -> s6_streamDedup _,
     "s7_stream_quarantine" -> s7_streamQuarantine _,
     "s8_stream_hll_rollup" -> s8_streamHllRollup _,
+    "s9_stream_lang_id"  -> s9_streamLangId _,
   )
 }

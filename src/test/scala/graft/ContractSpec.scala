@@ -52,20 +52,23 @@ class ContractSpec extends AnyFunSuite {
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
-  test("the four byte-equal x_* variants share their twin's oracle verbatim") {
+  test("the byte-equal twin variants share their twin's oracle verbatim") {
     val twins = Seq(
       "x_asof_bucketed" -> "b7_asof_join",
       "x_stratified_prefilter" -> "c13_stratified_sample",
       "x_corpus_from_clusters" -> "c16_corpus_pipeline",
-      "x_pack_twophase" -> "c14_pack_sequences")
+      "x_pack_twophase" -> "c14_pack_sequences",
+      // stream ≡ batch for the stateless classifier (s9 is c23's
+      // streaming twin, like s1/a14 — same rows, same order)
+      "s9_stream_lang_id" -> "c23_lang_id")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 98 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 98)
-    assert(SparkEntry.oracleSql.size === 87)
+  test("the inventory holds all 99 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 99)
+    assert(SparkEntry.oracleSql.size === 88)
   }
 
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,

@@ -180,6 +180,7 @@ class ScanCensusSpec extends SparkSpec {
     // s8 censuses the sketch-table read-back + rollup (the streamed run
     // has its own per-micro-batch plans): one scan of the sink, ever
     "s8_stream_hll_rollup" -> ((1, 0)),
+    "s9_stream_lang_id" -> ((1, 0)),
     "x_approx_distinct" -> ((1, 0)),
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),

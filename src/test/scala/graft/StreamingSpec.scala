@@ -326,6 +326,20 @@ class StreamingSpec extends SparkSpec {
       "per-batch sketch merge must equal the batch rollup exactly")
   }
 
+  test("s9 semantics: streamed language ID ≡ the batch c23, row-for-row") {
+    // the classifier is stateless per-row work, so however the file
+    // source cuts the corpus into micro-batches, the union of sunk
+    // batches must be EXACTLY the batch classification — same rows,
+    // same values, same presentation order. This is the stream/batch
+    // parity the shared langIdOf transform + the shared c23 oracle
+    // promise; a dropped or duplicated micro-batch breaks it.
+    val streamed = graft.streaming.StreamOps.s9_streamLangId(spark, sf0001).collect()
+    val batch = graft.ops.TextOps.c23_langId(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed classification must equal the batch query exactly")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
