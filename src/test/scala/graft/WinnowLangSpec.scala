@@ -104,7 +104,15 @@ class WinnowLangSpec extends SparkSpec {
     (3L, "a b c d e f", "en", "w", 11L: java.lang.Long),            // 4 grams = exactly 1 window
     (4L, "the quick brown fox jumps over the lazy dog today", "en", "w", 49L: java.lang.Long),
     (5L, "x x x x x x x x", "en", "w", 15L: java.lang.Long),        // all grams equal -> 1 distinct fp
-    (6L, (0 until 60).map(i => s"t${i % 17}").mkString(" "), "en", "w", 200L: java.lang.Long))
+    (6L, (0 until 60).map(i => s"t${i % 17}").mkString(" "), "en", "w", 200L: java.lang.Long),
+    // consecutive spaces: split(" ") yields EMPTY tokens that join back
+    // into the gram byte-slices — the kernel's byte-scan must agree
+    // with the regex split + concat_ws semantics exactly
+    (7L, "gap  here   and a  tail", "en", "w", 23L: java.lang.Long),
+    // multi-byte UTF-8 inside grams: 0x20 never occurs inside a
+    // multi-byte sequence, so byte-scanning for spaces is the
+    // codepoint split — pinned with CJK + emoji + accents
+    (8L, "héllo wörld 日本語 🙂 mixed ünïcode done", "ja", "w", 40L: java.lang.Long))
 
   test("c24 ≡ the Scala winnowing model, incl. short-document degenerates") {
     val dir = writeDocs("c24", winnowDocs)
