@@ -551,13 +551,15 @@ object TextOps {
     * pushed-down `size(fps) > 0` scan filter — doubling the per-doc
     * hashing. The outer form produces identical rows without it.
     */
-  private[ops] def winnowFps(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  private[graft] def winnowFps(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val carried = col("doc_id") +: keep.map(col)
+    docs.select(carried :+
         org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.WinnowFps(
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
-          WinnowK, WinnowW)).as("fps"))
+          WinnowK, WinnowW)).as("fps"): _*)
       .filter(col("fps").isNotNull)
-      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .select(carried :+ explode_outer(col("fps")).as("fp"): _*)
+  }
 
   /** c24: winnowed document fingerprints — the plagiarism-detection /
     * near-dup index a corpus pipeline materializes once and reuses
@@ -652,6 +654,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The held-out set for c27 — the fixture's stand-in for "the eval
+    * benchmarks": one source shard. Configuration, like [[LangProfiles]];
+    * the operator is the asymmetric-containment machinery. */
+  val EvalSource = "src0"
+  /** c27 decision threshold: a train document is flagged when it covers
+    * ≥ this fraction (e6 rational) of an eval document's fingerprints.
+    * On the fixture the real containments sit at 92-100% and the
+    * incidental-overlap tail below 17% — 50% splits them cleanly. */
+  val ContainFracE6 = 500000L
+
+  /** c27: train/eval CONTAMINATION detection — the decontamination
+    * audit an LLM pipeline schedules before training: which training
+    * documents contain an eval document's content? Asymmetric winnow
+    * containment: a pair is flagged when the shared fingerprints cover
+    * ≥ [[ContainFracE6]] of the EVAL document's fingerprint set — the
+    * question c25's symmetric near-dup cannot answer (a short eval doc
+    * embedded in a long train doc has low Jaccard but 100%
+    * containment). Docs with NULL source belong to neither side (both
+    * engines' `<>` drops them — documented, not accidental).
+    *
+    * Scale (100 TB): the eval side is a benchmark suite — KB-MB of
+    * posting list, broadcast by construction (both the fp probe and
+    * the per-doc cardinality census), so the lake-sized train side
+    * streams through a broadcast join with NO shuffle of train
+    * fingerprints except the train-df cap census; the [[WinnowDfCap]]
+    * band bounds every probe bucket.
+    */
+  def c27_contamination(spark: SparkSession, d: String): DataFrame = {
+    val fps = winnowFps(Tables.documents(spark, d), keep = Seq("source"))
+    val ev = fps.filter(col("source") === EvalSource).select(col("doc_id"), col("fp"))
+    val tr0 = fps.filter(col("source").isNotNull && col("source") =!= EvalSource)
+      .select(col("doc_id"), col("fp"))
+    val keepFp = tr0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select(col("fp"))
+    val tr = tr0.join(keepFp, "fp")
+    val card = ev.groupBy(col("doc_id").as("c_id")).agg(count(lit(1)).as("n_eval_fp"))
+    broadcast(ev.select(col("doc_id").as("eval_id"), col("fp")))
+      .join(tr.select(col("doc_id").as("train_id"), col("fp")), Seq("fp"))
+      .groupBy(col("eval_id"), col("train_id")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(card), col("c_id") === col("eval_id"))
+      .withColumn("frac_e6", expr("n_shared * 1000000 DIV n_eval_fp"))
+      .filter(col("frac_e6") >= ContainFracE6)
+      .select(col("eval_id"), col("train_id"), col("n_shared"),
+        col("n_eval_fp"), col("frac_e6"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   /** DuckDB SQL marker list for one [[LangProfiles]] entry. */
   private def markersSql(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString(", ")
@@ -660,15 +709,15 @@ object TextOps {
     * exactly: K=3 grams, 60-bit md5 contract, window-of-W min, distinct;
     * one string so the c24/c25 oracles cannot drift apart). */
   private val WinnowFpsSql: String =
-    s"""t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+    s"""t AS (SELECT doc_id, source, str_split(text, ' ') AS tk FROM documents
        |       WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= $WinnowK),
-       |g AS (SELECT doc_id, list_transform(range(1, len(tk) - ${WinnowK - 2}),
+       |g AS (SELECT doc_id, source, list_transform(range(1, len(tk) - ${WinnowK - 2}),
        |        i -> CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15) AS BIGINT)) AS hs
        |      FROM t),
-       |f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - ${WinnowW - 2}, 2)),
+       |f AS (SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(hs) - ${WinnowW - 2}, 2)),
        |        j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))) AS fps
        |      FROM g),
-       |fps AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
+       |fps AS (SELECT doc_id, source, unnest(fps) AS fp FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "c23_lang_id" ->
@@ -711,6 +760,20 @@ object TextOps {
          |SELECT doc_id, n_ws, n_bpe, n_uniq_bpe, max_piece_len,
          |  CAST(CASE WHEN n_ws = 0 THEN 0 ELSE n_bpe * 1000000 // n_ws END AS BIGINT) AS blowup_e6
          |FROM s ORDER BY doc_id""".stripMargin,
+    "c27_contamination" ->
+      s"""WITH $WinnowFpsSql,
+         |ev AS (SELECT doc_id, fp FROM fps WHERE source = '$EvalSource'),
+         |tr0 AS (SELECT doc_id, fp FROM fps WHERE source IS NOT NULL AND source <> '$EvalSource'),
+         |keep AS (SELECT fp FROM tr0 GROUP BY fp HAVING COUNT(*) <= $WinnowDfCap),
+         |tr AS (SELECT tr0.doc_id, tr0.fp FROM tr0 JOIN keep USING (fp)),
+         |card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_fp FROM ev GROUP BY doc_id),
+         |hits AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |         FROM ev e JOIN tr t ON e.fp = t.fp GROUP BY 1, 2)
+         |SELECT h.eval_id, h.train_id, h.n_shared, c.n_eval_fp,
+         |  CAST(h.n_shared * 1000000 // c.n_eval_fp AS BIGINT) AS frac_e6
+         |FROM hits h JOIN card c ON c.doc_id = h.eval_id
+         |WHERE h.n_shared * 1000000 // c.n_eval_fp >= $ContainFracE6
+         |ORDER BY eval_id, train_id""".stripMargin,
     "c25_winnow_neardup" ->
       s"""WITH $WinnowFpsSql,
          |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
@@ -830,5 +893,6 @@ object TextOps {
     "c24_winnow_fingerprint" -> c24_winnowFingerprint _,
     "c25_winnow_neardup" -> c25_winnowNeardup _,
     "c26_bpe_token_stats" -> c26_bpeTokenStats _,
+    "c27_contamination" -> c27_contamination _,
   )
 }

@@ -66,9 +66,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 99 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 99)
-    assert(SparkEntry.oracleSql.size === 88)
+  test("the inventory holds all 100 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 100)
+    assert(SparkEntry.oracleSql.size === 89)
   }
 
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,

@@ -512,6 +512,18 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"fingerprinting must not hash-shuffle, saw $hashEx:\n$p")
   }
 
+  test("c27: the eval side broadcasts — train fingerprints meet it without a join shuffle") {
+    val p = plan(TextOps.c27_contamination(spark, sf0001))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"containment must probe via the fp equi-join:\n$p")
+    // both eval-side frames (the fp posting list and the per-doc
+    // cardinality census) are benchmark-suite-sized — broadcast by
+    // construction, so the lake-sized train side never shuffles for
+    // the probe (only the train-df cap census exchanges)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected broadcast eval probe + census joins, saw $bhj:\n$p")
+  }
+
   test("c25: candidates come from the fp equi-join over ONE fingerprinting pass") {
     val df = TextOps.c25_winnowNeardup(spark, sf0001)
     df.collect() // reuse only shows in the FINAL adaptive plan

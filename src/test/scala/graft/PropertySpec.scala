@@ -621,4 +621,85 @@ class PropertySpec extends SparkSpec {
       assert(got.values.forall(q => q >= 0L && q <= 255L))
     }
   }
+
+  /** Token soup for the winnow-kernel check: real words, empty tokens
+    * (consecutive spaces after joining), and multi-byte UTF-8 — the
+    * inputs where the kernel's byte-scan/byte-slice shortcuts could
+    * diverge from the split+concat semantics the model implements.
+    */
+  private val winnowDocGen: Gen[Option[String]] = Gen.frequency(
+    1 -> Gen.const(Option.empty[String]),
+    1 -> Gen.const(Some("")),
+    10 -> (for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "x", "yy"),
+        1 -> Gen.const(""),
+        1 -> Gen.oneOf("日本語", "héllo", "🙂", "ünï")))
+    } yield Some(toks.mkString(" "))))
+
+  test("winnow kernel equals the Scala model on generated corpora") {
+    val corpusGen = Gen.listOfN(25, winnowDocGen)
+    samples(corpusGen, 6).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.orNull) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextOps.winnowFps(df).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp")).toSet }
+      docs.zipWithIndex.foreach { case (t, i) =>
+        assert(got.getOrElse(i.toLong, Set.empty[Long]) === WinnowLangSpec.winnowModel(t.orNull),
+          s"doc $i: ${t.orNull}")
+      }
+    }
+  }
+
+  test("c23 scoring equals the Scala model on generated marker documents") {
+    val markers = graft.ops.TextOps.LangProfiles.flatMap(_._2)
+    val docGen: Gen[Option[String]] = Gen.frequency(
+      1 -> Gen.const(Option.empty[String]),
+      8 -> (for {
+        n <- Gen.choose(1, 30)
+        toks <- Gen.listOfN(n, Gen.frequency(
+          5 -> Gen.oneOf(markers),
+          4 -> Gen.oneOf("noise", "filler", "pad", "zzz")))
+      } yield Some(toks.mkString(" "))))
+    def model(text: String): (String, Long, Long) = {
+      val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
+      val n = toks.length.toLong
+      val scores = graft.ops.TextOps.LangProfiles.map { case (code, ms) =>
+        code -> (if (n == 0) 0L else toks.count(ms.contains).toLong * 1000000L / n)
+      }
+      val best = scores.map(_._2).max
+      val second = scores.map(_._2).sorted.apply(scores.size - 2)
+      (if (best == 0) "und" else scores.find(_._2 == best).get._1, best, best - second)
+    }
+    samples(Gen.listOfN(30, docGen), 6).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.orNull) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextOps.langIdOf(df).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("pred_lang"), r.getAs[Long]("best_e6"), r.getAs[Long]("margin_e6")))).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === model(t.orNull), s"doc $i: ${t.orNull}")
+      }
+    }
+  }
+
+  test("the BPE-ish pre-tokenizer regex equals java.util.regex on generated strings") {
+    val pieceGen = Gen.listOfN(12, Gen.oneOf(
+      "word", "UPPER", "it's", "42", "3x7", ";;", "--", "\"q\"", "héllo", "🙂", " ", "  "))
+      .map(_.mkString(" "))
+    val pat = java.util.regex.Pattern.compile(graft.ops.TextOps.BpePattern)
+    samples(Gen.listOfN(20, pieceGen), 6).foreach { strs =>
+      val got = strs.toDF("text")
+        .select(regexp_extract_all(col("text"),
+          lit(graft.ops.TextOps.BpePattern), lit(0)).as("pc"))
+        .collect().map(_.getSeq[String](0).toList)
+      val expected = strs.map { s =>
+        val m = pat.matcher(s)
+        Iterator.continually(m).takeWhile(_.find()).map(_.group()).toList
+      }
+      assert(got.toSeq === expected, "piece sequences must match the JVM regex")
+    }
+  }
 }

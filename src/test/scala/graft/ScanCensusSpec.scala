@@ -147,6 +147,12 @@ class ScanCensusSpec extends SparkSpec {
     "c24_winnow_fingerprint" -> ((1, 0)),
     "c25_winnow_neardup" -> ((2, 2)),
     "c26_bpe_token_stats" -> ((1, 0)),
+    // c27: eval side ×2 (broadcast fp probe + cardinality census, both
+    // source-filter-pruned at the scan) and train side ×2 (df-cap
+    // census + probe consumer — the c25 df-band pattern, which costs a
+    // rescan instead of shuffling the lake-sized posting list; the
+    // census agg moves slim (fp, count) pairs only)
+    "c27_contamination" -> ((4, 0)),
     // x_ann_quantized: probe + corpus branches of the reconstructed
     // frame (c3's shape); the per-dim census is collected eagerly at
     // plan-build time as driver model state, outside the final plan

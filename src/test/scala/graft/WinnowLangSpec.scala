@@ -80,22 +80,10 @@ class WinnowLangSpec extends SparkSpec {
 
   // ---- c24 ------------------------------------------------------------
 
-  /** Scala winnowing model: the same K-gram / 60-bit md5 / W-window-min
-    * / distinct pipeline, written independently over plain collections.
+  /** Scala winnowing model — shared with PropertySpec's randomized
+    * kernel check (one model body, two consumers).
     */
-  private def winnowModel(text: String): Set[Long] = {
-    if (text == null) return Set.empty
-    val toks = text.split(" ", -1)
-    if (toks.length < TextOps.WinnowK) return Set.empty
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h60(s: String): Long = {
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
-    val hashes = toks.sliding(TextOps.WinnowK).map(g => h60(g.mkString(" "))).toVector
-    val nWin = math.max(hashes.length - TextOps.WinnowW + 1, 1)
-    (0 until nWin).map(j => hashes.slice(j, j + TextOps.WinnowW).min).toSet
-  }
+  private def winnowModel(text: String): Set[Long] = WinnowLangSpec.winnowModel(text)
 
   private val winnowDocs: Seq[(Long, String, String, String, java.lang.Long)] = Seq(
     (0L, null, null, null, null),                       // no grams
@@ -157,6 +145,44 @@ class WinnowLangSpec extends SparkSpec {
     got.keys.foreach { case (a, b) => assert(a < b, "pairs oriented a < b") }
   }
 
+  // ---- c27 ------------------------------------------------------------
+
+  private val contDocs: Seq[(Long, String, String, String, java.lang.Long)] = Seq(
+    (1L, base, "en", "src0", 1L: java.lang.Long),                       // eval doc
+    (2L, s"intro filler words $base trailing context here", "en", "crawl", 1L: java.lang.Long), // contains it
+    (3L, "unrelated training content with entirely separate vocabulary throughout the document", "en", "crawl", 1L: java.lang.Long),
+    (4L, s"short prefix $base", "en", "src0", 1L: java.lang.Long),      // second eval; eval-eval never reported
+    (5L, base, "en", null, 1L: java.lang.Long),                         // NULL source: neither side
+    // shares exactly the minimum guaranteed run (W+K−1 = 6 tokens) with
+    // the eval doc — ≥1 shared fp by the paper, but far below the
+    // containment threshold
+    (6L, "alpha beta gamma delta epsilon zeta completely different tail content words here now", "en", "crawl", 1L: java.lang.Long))
+
+  test("c27 ≡ the asymmetric-containment model — threshold, sides, null source") {
+    val dir = writeDocs("c27", contDocs)
+    val got = TextOps.c27_contamination(spark, dir).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_eval_fp"), r.getAs[Long]("frac_e6"))).toMap
+    val fps = contDocs.map { case (id, t, _, _, _) => id -> winnowModel(t) }.toMap
+    val evalIds = contDocs.filter(d => d._4 == "src0").map(_._1)
+    val trainIds = contDocs.filter(d => d._4 != null && d._4 != "src0").map(_._1)
+    val want = (for {
+      e <- evalIds; t <- trainIds
+      shared = (fps(e) intersect fps(t)).size.toLong if fps(e).nonEmpty
+      frac = shared * 1000000L / fps(e).size if frac >= TextOps.ContainFracE6
+    } yield (e, t) -> ((shared, fps(e).size.toLong, frac))).toMap
+    assert(got === want, "flagged pairs + counts must match the set model")
+    // the true containment is caught — for BOTH eval docs — and the
+    // asymmetry is the point: jaccard-style symmetric overlap of (1,2)
+    // is low (train doc is much larger), containment is high
+    assert(got.contains((1L, 2L)) && got.contains((4L, 2L)))
+    // a minimum-guarantee run (6 tokens) shares ≥1 fp but stays below
+    // the threshold; the null-source twin of the eval doc is invisible
+    assert((fps(1L) intersect fps(6L)).nonEmpty, "paper guarantee on the 6-token run")
+    assert(!got.contains((1L, 6L)), "short shared run must stay below the containment bar")
+    assert(!got.keys.exists { case (_, t) => t == 5L }, "null-source docs join neither side")
+  }
+
   // ---- c26 ------------------------------------------------------------
 
   /** Scala model of c26 via java.util.regex over the same pattern —
@@ -201,5 +227,27 @@ class WinnowLangSpec extends SparkSpec {
     assert(byId(1L).getAs[Long]("blowup_e6") === 1000000L)
     // contractions split into stem + 'suffix: strictly more pieces
     assert(byId(2L).getAs[Long]("n_bpe") > byId(2L).getAs[Long]("n_ws"))
+  }
+}
+
+object WinnowLangSpec {
+  /** Independent Scala reimplementation of the winnowing pipeline: the
+    * same K-gram / 60-bit md5 / W-window-min / distinct contract,
+    * written over plain collections (strings and hex parsing — none of
+    * the kernel's byte-slice shortcuts, which is the point).
+    */
+  def winnowModel(text: String): Set[Long] = {
+    if (text == null) return Set.empty
+    val toks = text.split(" ", -1)
+    if (toks.length < graft.ops.TextOps.WinnowK) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val hashes = toks.sliding(graft.ops.TextOps.WinnowK)
+      .map(g => h60(g.mkString(" "))).toVector
+    val nWin = math.max(hashes.length - graft.ops.TextOps.WinnowW + 1, 1)
+    (0 until nWin).map(j => hashes.slice(j, j + graft.ops.TextOps.WinnowW).min).toSet
   }
 }
