@@ -681,8 +681,32 @@ object TextOps {
     * fingerprints except the train-df cap census; the [[WinnowDfCap]]
     * band bounds every probe bucket.
     */
-  def c27_contamination(spark: SparkSession, d: String): DataFrame = {
-    val fps = winnowFps(Tables.documents(spark, d), keep = Seq("source"))
+  def c27_contamination(spark: SparkSession, d: String): DataFrame =
+    containmentOf(winnowFps(Tables.documents(spark, d), keep = Seq("source")))
+
+  /** x_contain_from_postings: c27 over a MATERIALIZED c24 posting list
+    * — the index-consumer path c24's scaladoc promises: fingerprinting
+    * is paid ONCE at corpus-build time, and every subsequent audit
+    * (new benchmark suite, re-tuned threshold) reads the slim
+    * (doc_id, source, fp) table instead of re-hashing 100 TB of text.
+    * Byte-equal to c27 (same rows through the same containment tail),
+    * so it carries c27's oracle verbatim and is driver-hash-checked —
+    * the x_corpus_from_clusters pattern. PlanSpec pins the property
+    * that makes it the scale path: the consumer plan contains NO
+    * winnow kernel — only postings scans.
+    */
+  def x_containFromPostings(spark: SparkSession, d: String): DataFrame = {
+    val dir = s"${Tables.scratch}/x_postings_${Tables.sanitize(d)}"
+    Tables.rmrf(dir)
+    winnowFps(Tables.documents(spark, d), keep = Seq("source"))
+      .write.mode("overwrite").parquet(s"$dir/postings.parquet")
+    containmentOf(spark.read.parquet(s"$dir/postings.parquet"))
+  }
+
+  /** The containment tail shared by c27 and its materialized twin:
+    * expects (doc_id, source, fp) posting rows.
+    */
+  private def containmentOf(fps: DataFrame): DataFrame = {
     val ev = fps.filter(col("source") === EvalSource).select(col("doc_id"), col("fp"))
     val tr0 = fps.filter(col("source").isNotNull && col("source") =!= EvalSource)
       .select(col("doc_id"), col("fp"))
@@ -719,7 +743,25 @@ object TextOps {
        |      FROM g),
        |fps AS (SELECT doc_id, source, unnest(fps) AS fp FROM f)""".stripMargin
 
+  /** c27's oracle — one instance shared with x_contain_from_postings
+    * (byte-equal twin, the ContractSpec `eq` contract). */
+  private val ContainOracle: String =
+    s"""WITH $WinnowFpsSql,
+       |ev AS (SELECT doc_id, fp FROM fps WHERE source = '$EvalSource'),
+       |tr0 AS (SELECT doc_id, fp FROM fps WHERE source IS NOT NULL AND source <> '$EvalSource'),
+       |keep AS (SELECT fp FROM tr0 GROUP BY fp HAVING COUNT(*) <= $WinnowDfCap),
+       |tr AS (SELECT tr0.doc_id, tr0.fp FROM tr0 JOIN keep USING (fp)),
+       |card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_fp FROM ev GROUP BY doc_id),
+       |hits AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |         FROM ev e JOIN tr t ON e.fp = t.fp GROUP BY 1, 2)
+       |SELECT h.eval_id, h.train_id, h.n_shared, c.n_eval_fp,
+       |  CAST(h.n_shared * 1000000 // c.n_eval_fp AS BIGINT) AS frac_e6
+       |FROM hits h JOIN card c ON c.doc_id = h.eval_id
+       |WHERE h.n_shared * 1000000 // c.n_eval_fp >= $ContainFracE6
+       |ORDER BY eval_id, train_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_contain_from_postings" -> ContainOracle,
     "c23_lang_id" ->
       s"""WITH t AS (SELECT doc_id, CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS tk FROM documents),
          |h AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
@@ -760,20 +802,7 @@ object TextOps {
          |SELECT doc_id, n_ws, n_bpe, n_uniq_bpe, max_piece_len,
          |  CAST(CASE WHEN n_ws = 0 THEN 0 ELSE n_bpe * 1000000 // n_ws END AS BIGINT) AS blowup_e6
          |FROM s ORDER BY doc_id""".stripMargin,
-    "c27_contamination" ->
-      s"""WITH $WinnowFpsSql,
-         |ev AS (SELECT doc_id, fp FROM fps WHERE source = '$EvalSource'),
-         |tr0 AS (SELECT doc_id, fp FROM fps WHERE source IS NOT NULL AND source <> '$EvalSource'),
-         |keep AS (SELECT fp FROM tr0 GROUP BY fp HAVING COUNT(*) <= $WinnowDfCap),
-         |tr AS (SELECT tr0.doc_id, tr0.fp FROM tr0 JOIN keep USING (fp)),
-         |card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_fp FROM ev GROUP BY doc_id),
-         |hits AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |         FROM ev e JOIN tr t ON e.fp = t.fp GROUP BY 1, 2)
-         |SELECT h.eval_id, h.train_id, h.n_shared, c.n_eval_fp,
-         |  CAST(h.n_shared * 1000000 // c.n_eval_fp AS BIGINT) AS frac_e6
-         |FROM hits h JOIN card c ON c.doc_id = h.eval_id
-         |WHERE h.n_shared * 1000000 // c.n_eval_fp >= $ContainFracE6
-         |ORDER BY eval_id, train_id""".stripMargin,
+    "c27_contamination" -> ContainOracle,
     "c25_winnow_neardup" ->
       s"""WITH $WinnowFpsSql,
          |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
@@ -894,5 +923,6 @@ object TextOps {
     "c25_winnow_neardup" -> c25_winnowNeardup _,
     "c26_bpe_token_stats" -> c26_bpeTokenStats _,
     "c27_contamination" -> c27_contamination _,
+    "x_contain_from_postings" -> x_containFromPostings _,
   )
 }

@@ -60,15 +60,17 @@ class ContractSpec extends AnyFunSuite {
       "x_pack_twophase" -> "c14_pack_sequences",
       // stream ≡ batch for the stateless classifier (s9 is c23's
       // streaming twin, like s1/a14 — same rows, same order)
-      "s9_stream_lang_id" -> "c23_lang_id")
+      "s9_stream_lang_id" -> "c23_lang_id",
+      // the materialized-posting-list consumer is byte-equal to c27
+      "x_contain_from_postings" -> "c27_contamination")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 100 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 100)
-    assert(SparkEntry.oracleSql.size === 89)
+  test("the inventory holds all 101 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 101)
+    assert(SparkEntry.oracleSql.size === 90)
   }
 
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,

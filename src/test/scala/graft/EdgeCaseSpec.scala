@@ -71,7 +71,7 @@ class EdgeCaseSpec extends SparkSpec {
     "c20_bigram_stats", "c21_embedding_quantize", "x_ann_quantized",
     "c22_vocab_coverage", "x_ann_pq", "x_ann_ivfpq",
     "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup",
-    "c26_bpe_token_stats", "c27_contamination",
+    "c26_bpe_token_stats", "c27_contamination", "x_contain_from_postings",
     // s9 reads documents, not events — the one streaming query that
     // belongs in the corpus sweep (dirty text through the classifier
     // stream; empty corpus must drain to an empty, schema-correct sink)

@@ -524,6 +524,18 @@ class PlanSpec extends SparkSpec {
     assert(bhj >= 2, s"expected broadcast eval probe + census joins, saw $bhj:\n$p")
   }
 
+  test("x_contain_from_postings: the consumer plan reads the index — no winnow kernel anywhere") {
+    // default metadata truncation (100 chars) cuts the scan location
+    // before the postings leaf — widen so the path assertion can see it
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2048")
+    val p = plan(TextOps.x_containFromPostings(spark, sf0001))
+    // the point of materializing the posting list: a re-audit must not
+    // re-hash the corpus — every scan is the slim postings table
+    assert(!p.contains("winnow_fps"), s"consumer must read postings, not re-fingerprint:\n$p")
+    assert(!p.contains("md5"), s"no hashing in the consumer plan:\n$p")
+    assert(p.contains("postings.parquet"), s"expected postings scans:\n$p")
+  }
+
   test("c25: candidates come from the fp equi-join over ONE fingerprinting pass") {
     val df = TextOps.c25_winnowNeardup(spark, sf0001)
     df.collect() // reuse only shows in the FINAL adaptive plan

@@ -153,6 +153,11 @@ class ScanCensusSpec extends SparkSpec {
     // rescan instead of shuffling the lake-sized posting list; the
     // census agg moves slim (fp, count) pairs only)
     "c27_contamination" -> ((4, 0)),
+    // x_contain: same 4-consumer shape as c27, but every scan is the
+    // SLIM materialized postings table (postings×4, zero documents
+    // scans in the consumer — the index-consumer property PlanSpec
+    // pins by the absence of the winnow kernel)
+    "x_contain_from_postings" -> ((4, 0)),
     // x_ann_quantized: probe + corpus branches of the reconstructed
     // frame (c3's shape); the per-dim census is collected eagerly at
     // plan-build time as driver model state, outside the final plan

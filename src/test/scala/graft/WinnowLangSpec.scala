@@ -183,6 +183,15 @@ class WinnowLangSpec extends SparkSpec {
     assert(!got.keys.exists { case (_, t) => t == 5L }, "null-source docs join neither side")
   }
 
+  test("x_contain_from_postings is byte-equal to c27 on both fixtures") {
+    val litDir = writeDocs("c27x", contDocs)
+    Seq(litDir, sf0001).foreach { d =>
+      val direct = TextOps.c27_contamination(spark, d).collect().toSeq
+      val viaIndex = TextOps.x_containFromPostings(spark, d).collect().toSeq
+      assert(viaIndex === direct, s"materialized-postings path must equal c27 on $d")
+    }
+  }
+
   // ---- c26 ------------------------------------------------------------
 
   /** Scala model of c26 via java.util.regex over the same pattern —
