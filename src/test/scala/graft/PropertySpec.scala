@@ -653,6 +653,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("c25 equals a brute-force winnow-pair model on generated boilerplate-heavy corpora") {
+    // 80-doc corpora where ~90% of docs share a boilerplate header —
+    // the header's fingerprints exceed the df cap (WinnowDfCap = 64),
+    // so this exercises the band the crafted fixtures cannot: the
+    // model must REPLICATE the cap to agree, proving the query drops
+    // exactly the boilerplate postings and nothing else.
+    val docGen: Gen[String] = for {
+      hasHeader <- Gen.frequency(9 -> Gen.const(true), 1 -> Gen.const(false))
+      n <- Gen.choose(3, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    } yield (if (hasHeader) "standard license header text applies here " else "") +
+      toks.mkString(" ")
+    val dir = s"${graft.ops.Tables.scratch}/prop_c25"
+    samples(Gen.listOfN(80, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", s"src${i % 3}", t.length.toLong)
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val fps = docs.map { case (id, t, _, _, _) => id -> WinnowLangSpec.winnowModel(t) }.toMap
+      val df = fps.values.toSeq.flatten.groupBy(identity).map { case (fp, xs) => fp -> xs.size }
+      val kept = df.collect { case (fp, n) if n >= 2 && n <= graft.ops.TextOps.WinnowDfCap => fp }.toSet
+      assert(df.values.max > graft.ops.TextOps.WinnowDfCap,
+        "generator must produce an over-cap boilerplate fingerprint for this test to bite")
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        shared = (fps(a) intersect fps(b) intersect kept).size.toLong
+        if shared >= graft.ops.TextOps.WinnowShared
+      } yield (a, b) -> shared).toMap
+      val got = graft.ops.TextOps.c25_winnowNeardup(spark, dir).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Long]("n_shared")).toMap
+      assert(got === want)
+    }
+  }
+
   test("c23 scoring equals the Scala model on generated marker documents") {
     val markers = graft.ops.TextOps.LangProfiles.flatMap(_._2)
     val docGen: Gen[Option[String]] = Gen.frequency(
