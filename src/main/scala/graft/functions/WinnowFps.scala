@@ -70,15 +70,19 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
     val ng = n - k + 1
     val hashes = new Array[Long](ng)
     val md = WinnowFps.digest.get()
+    // digest into the per-thread buffer: md.digest() would allocate a
+    // fresh 16-byte array PER GRAM (round-13 ADVICE) — corpus-scale
+    // garbage for a value read and discarded immediately. digest(buf)
+    // also resets the engine, so no explicit reset() per gram either.
+    val d = WinnowFps.digestBuf.get()
     var g = 0
     while (g < ng) {
       // gram g = tokens [g, g+k-1] single-space-joined = the original
       // byte slice [starts(g), starts(g+k) - 1)
       val off = starts(g)
       val len = starts(g + k) - 1 - off
-      md.reset()
       md.update(bytes, off, len)
-      val d = md.digest()
+      md.digest(d, 0, 16)
       // first 15 hex chars = 7 full bytes + the high nibble of byte 7
       var v = 0L
       var j = 0
@@ -133,4 +137,11 @@ object WinnowFps {
     */
   private val digest: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Per-thread 16-byte output buffer for `digest(buf, 0, 16)` — the
+    * companion of [[digest]]; without it every gram allocates a fresh
+    * digest array (see the call site).
+    */
+  private val digestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
 }

@@ -295,8 +295,9 @@ object CorpusOps {
     * by declared design: the c16 oracle covers the identical output.
     */
   def x_corpusFromClusters(spark: SparkSession, d: String): DataFrame = {
-    val dir = s"${Tables.scratch}/x_clusters_${Tables.sanitize(d)}"
-    Tables.rmrf(dir)
+    // generation-suffixed scratch (see Tables.scratchDir): a fixed name
+    // raced concurrent invocations over the same fixture
+    val dir = Tables.scratchDir("x_clusters", d)
     TextOps.c15_dedupClusters(spark, d)
       .write.mode("overwrite").parquet(s"$dir/clusters.parquet")
     corpusFromClusters(spark, d,

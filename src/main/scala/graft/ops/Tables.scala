@@ -90,6 +90,52 @@ object Tables {
     */
   def sanitize(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** How many newer generations of a [[scratchDir]] prefix must exist
+    * before an older one is reaped. Concurrency bound: up to this many
+    * SIMULTANEOUS invocations of the same (tag, dataset) can hold live
+    * lazy readers without any of their directories being deleted under
+    * them (the parallel-suite case — scalatest runs specs concurrently
+    * in the one JVM).
+    */
+  val ScratchLag = 3
+
+  private val scratchGens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Scratch namer for queries that MATERIALIZE an artifact (postings
+    * index, cluster labels) and then consume it LAZILY: dataset-keyed
+    * AND generation-suffixed. The old fixed-per-dataset name raced —
+    * invocation B's `rmrf` could delete invocation A's files between
+    * A's write and A's deferred read (round-13 ADVICE). A fresh
+    * generation per invocation removes the race; generations older
+    * than [[ScratchLag]] behind the newest (per prefix) are reaped
+    * here, so a bench loop's disk stays bounded without ever touching
+    * a directory a concurrent invocation could still be reading.
+    * (A production deployment writes such indices to governed lake
+    * paths with real lifecycle management; this namer is the
+    * single-JVM test/bench analog.)
+    */
+  def scratchDir(tag: String, d: String): String = {
+    val prefix = s"${tag}_${sanitize(d)}_g"
+    val g = scratchGens
+      .computeIfAbsent(prefix, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(scratch)
+    if (Files.isDirectory(base)) {
+      val s = Files.list(base)
+      try s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix)) {
+          val gen = n.substring(prefix.length)
+          if (gen.nonEmpty && gen.forall(_.isDigit) && gen.toLong <= g - ScratchLag)
+            rmrf(p.toString)
+        }
+      } finally s.close()
+    }
+    s"$scratch/$prefix$g"
+  }
+
   /** Recursive delete of a scratch path (no-op if absent). The walk
     * stream holds open directory handles until closed — leak one per
     * call (b19 calls this every bench rep) and fd pressure eventually

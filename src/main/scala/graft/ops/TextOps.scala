@@ -696,8 +696,9 @@ object TextOps {
     * winnow kernel — only postings scans.
     */
   def x_containFromPostings(spark: SparkSession, d: String): DataFrame = {
-    val dir = s"${Tables.scratch}/x_postings_${Tables.sanitize(d)}"
-    Tables.rmrf(dir)
+    // generation-suffixed scratch (see Tables.scratchDir): a fixed name
+    // raced concurrent invocations over the same fixture
+    val dir = Tables.scratchDir("x_postings", d)
     winnowFps(Tables.documents(spark, d), keep = Seq("source"))
       .write.mode("overwrite").parquet(s"$dir/postings.parquet")
     containmentOf(spark.read.parquet(s"$dir/postings.parquet"))
@@ -729,14 +730,23 @@ object TextOps {
   private def markersSql(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString(", ")
 
+  /** The K-token gram as DuckDB list-index concatenation —
+    * interpolated from [[WinnowK]] (round-13 ADVICE: the gram was
+    * hardcoded to three indices while the range interpolated WinnowK,
+    * so changing K would have silently desynchronized oracle and
+    * kernel). */
+  private val WinnowGramSql: String =
+    (0 until WinnowK).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+      .mkString(" || ' ' || ")
+
   /** Shared DuckDB winnow-fingerprint CTE body (mirrors [[winnowFps]]
-    * exactly: K=3 grams, 60-bit md5 contract, window-of-W min, distinct;
-    * one string so the c24/c25 oracles cannot drift apart). */
+    * exactly: K-token grams, 60-bit md5 contract, window-of-W min,
+    * distinct; one string so the c24/c25 oracles cannot drift apart). */
   private val WinnowFpsSql: String =
     s"""t AS (SELECT doc_id, source, str_split(text, ' ') AS tk FROM documents
        |       WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= $WinnowK),
        |g AS (SELECT doc_id, source, list_transform(range(1, len(tk) - ${WinnowK - 2}),
-       |        i -> CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15) AS BIGINT)) AS hs
+       |        i -> CAST('0x' || substr(md5($WinnowGramSql), 1, 15) AS BIGINT)) AS hs
        |      FROM t),
        |f AS (SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(hs) - ${WinnowW - 2}, 2)),
        |        j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))) AS fps

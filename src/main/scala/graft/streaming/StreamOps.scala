@@ -27,6 +27,20 @@ object StreamOps {
 
   private def rmrf(dir: String): Unit = Tables.rmrf(dir)
 
+  /** Sink + checkpoint dirs for one streaming query, keyed by DATASET
+    * (round-13 ADVICE: the fixed names meant runs over two fixtures
+    * overwrote each other's sinks and shared a checkpoint — and a
+    * checkpoint pins its source path, so the second dataset would
+    * silently re-drain the first's files). Both dirs are cleared up
+    * front: every call is a fresh bounded AvailableNow drain.
+    */
+  private def sinkDirs(tag: String, d: String): (String, String) = {
+    val out = s"${Tables.scratch}/${tag}_out_${Tables.sanitize(d)}"
+    val chk = s"${Tables.scratch}/${tag}_chk_${Tables.sanitize(d)}"
+    rmrf(out); rmrf(chk)
+    (out, chk)
+  }
+
   /** Stateful streaming shuffles are pinned to a lower partition count
     * than batch: each state partition carries its own store instance +
     * checkpoint files per micro-batch, so partitions should track state
@@ -167,9 +181,7 @@ object StreamOps {
     * with AvailableNow, then read back.
     */
   def s1_streamPipeline(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s1_out"
-    val chk = s"${Tables.scratch}/s1_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s1", d)
     val dwd = Ingest.dwdOf(Ingest.envelopeOf(eventStream(spark, d)))
     val q = dwd.writeStream
       .trigger(Trigger.AvailableNow())
@@ -211,9 +223,7 @@ object StreamOps {
     * appear in the output.
     */
   def s2_streamWindow(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s2_out"
-    val chk = s"${Tables.scratch}/s2_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s2", d)
     val sinkSchema = withStreamShuffle(spark, 8) {
       val agg = eventStream(spark, d)
         .withColumn("cents", graft.ops.Tables.cents)
@@ -312,9 +322,7 @@ object StreamOps {
   def s3_streamSessionize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val chk = s"${Tables.scratch}/s3_chk"
-    val out = s"${Tables.scratch}/s3_out"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s3", d)
     val evs = eventStream(spark, d)
       // a record without a user or a clock cannot belong to any session;
       // dropping it here is the semantic choice — and the mechanical
@@ -364,9 +372,7 @@ object StreamOps {
     * pattern.
     */
   def s4_streamJoin(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s4_out"
-    val chk = s"${Tables.scratch}/s4_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s4", d)
     val sinkSchema = withStreamShuffle(spark, 8) {
       val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
       val agg = eventStream(spark, d)
@@ -409,9 +415,7 @@ object StreamOps {
     * identically).
     */
   def s5_streamStreamJoin(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s5_out"
-    val chk = s"${Tables.scratch}/s5_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s5", d)
     // a row without a key or a clock can never satisfy the equi+range
     // condition; dropping it at the source keeps the watermark total
     // over dirty logs (a null event time would abort the stateful op)
@@ -468,9 +472,7 @@ object StreamOps {
     * Oracle: SELECT DISTINCT of the same projection.
     */
   def s6_streamDedup(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s6_out"
-    val chk = s"${Tables.scratch}/s6_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s6", d)
     val sinkSchema = withStreamShuffle(spark, 8) {
       val once = eventStream(spark, d).unionByName(eventStream(spark, d))
         // state is evicted by event time and the id anchors the record:
@@ -515,9 +517,7 @@ object StreamOps {
     * batch a18 SQL.
     */
   def s7_streamQuarantine(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s7_out"
-    val chk = s"${Tables.scratch}/s7_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s7", d)
     val reason = concat_ws(",",
       Ingest.EventFields.map(f => when(col(f).isNull, lit(f))): _*)
     val labeled = Ingest.envelopeOf(eventStream(spark, d))
@@ -564,9 +564,7 @@ object StreamOps {
     * would be absorbed by idempotent register max anyway.
     */
   def s8_streamHllRollup(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s8_out"
-    val chk = s"${Tables.scratch}/s8_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s8", d)
     // same projection + null posture as the batch twin's daily grain
     // (Features.dailyUserSketches): only a missing user id drops a row
     val ev = eventStream(spark, d)
@@ -607,9 +605,7 @@ object StreamOps {
     * arrival paths.
     */
   def s9_streamLangId(spark: SparkSession, d: String): DataFrame = {
-    val out = s"${Tables.scratch}/s9_out"
-    val chk = s"${Tables.scratch}/s9_chk"
-    rmrf(out); rmrf(chk)
+    val (out, chk) = sinkDirs("s9", d)
     val classified = graft.ops.TextOps.langIdOf(stagedFileStream(spark, d, "documents"))
     val q = classified.writeStream
       .trigger(Trigger.AvailableNow())
@@ -628,12 +624,12 @@ object StreamOps {
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output.
     */
-  private[graft] def s7ValidSide(spark: SparkSession): DataFrame = {
+  private[graft] def s7ValidSide(spark: SparkSession, d: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       Ingest.EventFields.map(f =>
         org.apache.spark.sql.types.StructField(f,
           org.apache.spark.sql.types.StringType)))
-    readSink(spark, s"${Tables.scratch}/s7_out/valid", schema)
+    readSink(spark, s"${Tables.scratch}/s7_out_${Tables.sanitize(d)}/valid", schema)
       .select(schema.fieldNames.map(col): _*)
   }
 

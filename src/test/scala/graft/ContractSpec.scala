@@ -73,6 +73,37 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.size === 90)
   }
 
+  /** Round-13 ADVICE lint: every scratch path an operator writes must
+    * be keyed by its dataset (`sanitize(d)` or the generation-suffixed
+    * `scratchDir`) — a fixed name makes two fixtures' runs overwrite
+    * each other's sinks (and a streaming checkpoint PINS its source
+    * path, so the second dataset would silently re-drain the first's
+    * files). Enforced at the source level so the next fixed-name
+    * scratch dir is a red test, not a latent cross-dataset bug.
+    */
+  test("scratch-path lint: every main-source scratch dir is dataset-keyed") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val files = java.nio.file.Files.walk(root)
+    val offenders = try {
+      files.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filterNot(_.getFileName.toString == "Tables.scala") // the namers themselves
+        .flatMap { p =>
+          java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+            case (line, i) if line.contains("Tables.scratch}") &&
+              !line.contains("sanitize(") && !line.contains("scratchDir(") &&
+              // the one sanctioned fixed name: Derby's JVM-wide error
+              // log location (a global system property, not a sink)
+              !line.contains("derby.log") =>
+              s"$p:${i + 1}: ${line.trim}"
+          }
+        }.toList
+    } finally files.close()
+    assert(offenders.isEmpty,
+      "scratch paths without dataset keying:\n  " + offenders.mkString("\n  "))
+  }
+
   /** The round-10 red: two new oracles left a DuckDB `sum(...)` un-cast,
     * DuckDB widened BIGINT sums to HUGEINT, and the driver's typed hash
     * diverged from Spark's BIGINT even though every value matched. The

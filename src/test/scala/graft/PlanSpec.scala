@@ -526,14 +526,23 @@ class PlanSpec extends SparkSpec {
 
   test("x_contain_from_postings: the consumer plan reads the index — no winnow kernel anywhere") {
     // default metadata truncation (100 chars) cuts the scan location
-    // before the postings leaf — widen so the path assertion can see it
-    spark.conf.set("spark.sql.maxMetadataStringLength", "2048")
-    val p = plan(TextOps.x_containFromPostings(spark, sf0001))
-    // the point of materializing the posting list: a re-audit must not
-    // re-hash the corpus — every scan is the slim postings table
-    assert(!p.contains("winnow_fps"), s"consumer must read postings, not re-fingerprint:\n$p")
-    assert(!p.contains("md5"), s"no hashing in the consumer plan:\n$p")
-    assert(p.contains("postings.parquet"), s"expected postings scans:\n$p")
+    // before the postings leaf — widen so the path assertion can see
+    // it, and RESTORE after (round-13 ADVICE: the widened value leaked
+    // into every later test's plan strings)
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "2048")
+    try {
+      val p = plan(TextOps.x_containFromPostings(spark, sf0001))
+      // the point of materializing the posting list: a re-audit must not
+      // re-hash the corpus — every scan is the slim postings table
+      assert(!p.contains("winnow_fps"), s"consumer must read postings, not re-fingerprint:\n$p")
+      assert(!p.contains("md5"), s"no hashing in the consumer plan:\n$p")
+      assert(p.contains("postings.parquet"), s"expected postings scans:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("c25: candidates come from the fp equi-join over ONE fingerprinting pass") {

@@ -300,7 +300,7 @@ class StreamingSpec extends SparkSpec {
     // running the query populates BOTH sink sides; the registered query
     // returns dead letters (oracled against a18), so pin the valid side
     val dead = graft.streaming.StreamOps.s7_streamQuarantine(spark, sf0001)
-    val valid = graft.streaming.StreamOps.s7ValidSide(spark)
+    val valid = graft.streaming.StreamOps.s7ValidSide(spark, sf0001)
     val batchValid = graft.ops.Ingest.a7_validate(spark, sf0001)
     assert(valid.count() === batchValid.count())
     assert(valid.unionByName(batchValid).distinct().count() === batchValid.count(),
