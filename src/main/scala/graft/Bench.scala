@@ -115,6 +115,36 @@ object Bench {
       println(s"""#bench-part ${i + 1}/$n {"queries":$part,"total_s":${j(total)},"n_queries":${names.size}}""")
     }
     println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":${j(total)},"n_queries":${names.size}}""")
+    // The repo-artifact copy (round-13 brief item 2): BENCH_r10/r11/r13
+    // all lost part of the stdout map to driver-side tail truncation,
+    // so the builder's own full per-query map is ALSO written to a
+    // file the judge can always parse whole. Pretty-printed one query
+    // per line so a git diff of two rounds reads as a per-query delta.
+    // Only full-suite runs overwrite it (a dev-loop subset would
+    // silently shrink the committed artifact).
+    if (only.isEmpty) {
+      val med = names.map { case (k, _) => s"""    "$k": ${j(medians(k))}""" }
+        .mkString("{\n", ",\n", "\n  }")
+      val head = names.map { case (k, _) => s"""    "$k": ${j(results(k))}""" }
+        .mkString("{\n", ",\n", "\n  }")
+      val self =
+        s"""{
+           |  "metric": "total",
+           |  "value": ${j(total)},
+           |  "unit": "sec",
+           |  "sf": "$sfDir",
+           |  "cpus": $cpus,
+           |  "reps": $reps,
+           |  "n_queries": ${names.size},
+           |  "total_s": ${j(total)},
+           |  "estimator": "second-smallest of reps (see Bench.scala)",
+           |  "queries": $head,
+           |  "medians": $med
+           |}
+           |""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SELF.json"), self)
+    }
     spark.stop()
   }
 }
