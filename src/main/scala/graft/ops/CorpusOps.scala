@@ -376,6 +376,42 @@ object CorpusOps {
   def x_packTwophase(spark: SparkSession, d: String): DataFrame =
     packSizedTwoPhase(sizeDocs(Tables.documents(spark, d)))
 
+  /** Stage 1 of BPE-unit packing: [[sizeDocs]] with the size taken in
+    * BPE-ish PIECES (c26's regex pre-tokenizer, [[TextOps.BpePattern]])
+    * instead of whitespace tokens. Null text packs as 0 pieces, like
+    * c14's null-as-0 convention. Emitted under c14's `n_tok` column
+    * name so [[packSized]] stays one shared stage; c28 renames it to
+    * `n_bpe` at the surface.
+    */
+  private[ops] def sizeDocsBpe(docs: DataFrame): DataFrame = {
+    val npieces = when(col("text").isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(col("text"),
+        lit(TextOps.BpePattern), lit(0))).cast("long"))
+    docs.select(col("doc_id"), col("source"), npieces.as("n_tok"),
+      md5(col("doc_id").cast("string")).as("order_key"))
+  }
+
+  /** c28: sequence packing in the unit the trainer BILLS — c14's
+    * shard/order/running-sum machinery with document length measured
+    * in c26's BPE-ish pieces instead of whitespace tokens. A packer
+    * that budgets whitespace tokens overfills every sequence by the
+    * pieces-per-token blowup (c26's `blowup_e6` column measures it at
+    * ~1.1-1.5× on real text); this is the composition c26's scaladoc
+    * promises, closing the loop between the cost ESTIMATE and the
+    * actual packing.
+    *
+    * Scale (100 TB): identical to c14 — the regex piece count is pure
+    * per-row map work fused into the sizing projection (the regex
+    * compiles once per task, c26's argument), then one shuffle on the
+    * shard key and a spillable O(1)-state running sum. All integer
+    * arithmetic, bit-identical across engines; the two-phase prefix
+    * sum (x_pack_twophase) composes here unchanged when source-level
+    * parallelism becomes the bottleneck.
+    */
+  def c28_packBpe(spark: SparkSession, d: String): DataFrame =
+    packSized(sizeDocsBpe(Tables.documents(spark, d)))
+      .withColumnRenamed("n_tok", "n_bpe")
+
   /** Minimum bigram count for c20's report — keeps the published table
     * to the statistically meaningful rows (the full count table still
     * exists upstream of the filter; n1 is computed BEFORE it so the
@@ -504,6 +540,7 @@ object CorpusOps {
         |QUALIFY rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
     "c13_stratified_sample" -> C13Sql,
+    "c28_pack_bpe" -> C28Sql,
     // x_stratified_prefilter / x_pack_twophase / x_corpus_from_clusters
     // are byte-equal to their twins (scalatest-pinned), so they share
     // the twin's oracle string VERBATIM — one definition, no drift.
@@ -538,6 +575,28 @@ object CorpusOps {
         |SELECT doc_id, source, n_tok,
         |  CAST((tok_end - n_tok) // 256 AS BIGINT) AS seq_id,
         |  CAST((tok_end - n_tok) % 256 AS BIGINT) AS offset
+        |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin
+
+  /** c14's oracle with the sizing CTE swapped to c26's regex piece
+    * count — the same pattern string both engines run (Java∩RE2
+    * subset, see [[TextOps.BpePattern]]), the same integer DIV/%
+    * chunking.
+    */
+  private lazy val C28Sql =
+      s"""WITH sized AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) END AS n_bpe,
+        |    md5(CAST(doc_id AS VARCHAR)) AS order_key
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_bpe,
+        |    SUM(n_bpe) OVER (PARTITION BY source ORDER BY order_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS tok_end
+        |  FROM sized)
+        |SELECT doc_id, source, n_bpe,
+        |  CAST((tok_end - n_bpe) // $SeqBudget AS BIGINT) AS seq_id,
+        |  CAST((tok_end - n_bpe) % $SeqBudget AS BIGINT) AS offset
         |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin
 
   private lazy val C16Sql =
@@ -582,6 +641,7 @@ object CorpusOps {
     "c12_tfidf_top_terms" -> c12_tfidfTopTerms _,
     "c13_stratified_sample" -> c13_stratifiedSample _,
     "c14_pack_sequences"  -> c14_packSequences _,
+    "c28_pack_bpe"        -> c28_packBpe _,
     "c16_corpus_pipeline" -> c16_corpusPipeline _,
     "x_stratified_prefilter" -> x_stratifiedPrefilter _,
     "x_corpus_from_clusters" -> x_corpusFromClusters _,

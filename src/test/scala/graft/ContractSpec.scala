@@ -68,9 +68,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 101 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 101)
-    assert(SparkEntry.oracleSql.size === 90)
+  test("the inventory holds all 102 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 102)
+    assert(SparkEntry.oracleSql.size === 91)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

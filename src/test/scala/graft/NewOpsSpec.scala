@@ -168,6 +168,69 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("c28: BPE-unit packing equals the java.util.regex cumulative model") {
+    val b = CorpusOps.SeqBudget
+    val pat = java.util.regex.Pattern.compile(graft.ops.TextOps.BpePattern)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .map { case (id, src, text) =>
+          val n = if (text == null) 0L
+            else { val m = pat.matcher(text); var c = 0L; while (m.find()) c += 1; c }
+          val start = cum; cum += n
+          (id, src, n, start / b, start % b)
+        }
+    }.toSet
+    val got = CorpusOps.c28_packBpe(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_bpe"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset")))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("c28: the billed unit bites — pieces diverge from whitespace tokens on punctuated text") {
+    // the fixture corpus is pure lowercase words (1 piece per token, so
+    // c28 ≡ c14 there — covered above); real text has digits, punct and
+    // contractions, where the pre-tokenizer splits finer. Pin both the
+    // divergence and the null-text/budget-overflow behavior on a
+    // synthetic corpus.
+    val dir = s"${graft.ops.Tables.scratch}/c28_punct"
+    graft.ops.Tables.rmrf(dir)
+    val rows = (0L until 48L).map { i =>
+      (i,
+       if (i % 7 == 3) null
+       else (s"it's item$i, priced 12.50 (see row $i); " * (i % 5 + 1).toInt).trim,
+       s"src${i % 3}")
+    }
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bpe = CorpusOps.c28_packBpe(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bpe"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset"))).toMap
+    val ws = CorpusOps.c14_packSequences(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    // every non-null doc splits strictly finer in pieces than in tokens
+    assert(bpe.keySet === ws.keySet)
+    assert(bpe.forall { case (id, (n, _, _)) => ws(id) == 0L || n > ws(id) },
+      "punctuated text must yield more pieces than whitespace tokens")
+    // null text packs as 0 pieces and still gets a slot
+    assert(bpe.exists { case (_, (n, _, _)) => n == 0L })
+    // the finer unit actually moves sequence assignment at this budget
+    assert(bpe.exists { case (_, (_, s, _)) => s > 0L })
+    // and the java.util.regex model agrees on a punctuated corpus too
+    val pat = java.util.regex.Pattern.compile(graft.ops.TextOps.BpePattern)
+    val model = rows.map { case (id, text, _) =>
+      id -> (if (text == null) 0L
+             else { val m = pat.matcher(text); var c = 0L; while (m.find()) c += 1; c })
+    }.toMap
+    assert(bpe.view.mapValues(_._1).toMap === model)
+  }
+
   /** Union-find reference model: (member, component-min, isMin). */
   private def ufClusters(pairs: Array[(Long, Long)]): Set[(Long, Long, Boolean)] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]

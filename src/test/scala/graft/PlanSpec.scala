@@ -387,9 +387,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("c13/c14: corpus-prep windows are ONE hash shuffle each — no join, no extra exchange") {
+  test("c13/c14/c28: corpus-prep windows are ONE hash shuffle each — no join, no extra exchange") {
     Seq(CorpusOps.c13_stratifiedSample(spark, sf0001) -> "c13",
-        CorpusOps.c14_packSequences(spark, sf0001) -> "c14").foreach { case (df, n) =>
+        CorpusOps.c14_packSequences(spark, sf0001) -> "c14",
+        // c28 carries c14's plan contract: the regex piece count fuses
+        // into the sizing projection, adding NO stage of its own
+        CorpusOps.c28_packBpe(spark, sf0001) -> "c28").foreach { case (df, n) =>
       val p = plan(df)
       // the stratum/shard window shuffle is the only hashpartitioning
       // exchange (the cosmetic output orderBy is rangepartitioning)

@@ -181,6 +181,9 @@ class ScanCensusSpec extends SparkSpec {
     // read); the corpus scan and the digest-keeps scan are the two.
     "c16_corpus_pipeline" -> ((2, 0)),
     "c14_pack_sequences" -> ((1, 0)),
+    // c28: same one-scan shape as c14 — the piece count is fused into
+    // the sizing projection, not a second pass
+    "c28_pack_bpe" -> ((1, 0)),
     "s1_stream_pipeline" -> ((1, 0)),
     "s2_stream_window" -> ((1, 0)),
     "s3_stream_sessionize" -> ((1, 0)),
