@@ -133,6 +133,11 @@ object Tables {
         }
       } finally s.close()
     }
+    // the chosen generation dir itself may survive from a PREVIOUS JVM
+    // (counters are per-process) — it is dead there, and no live reader
+    // in THIS JVM can hold it (g is fresh here), so clearing it is
+    // race-free
+    rmrf(s"$scratch/$prefix$g")
     s"$scratch/$prefix$g"
   }
 

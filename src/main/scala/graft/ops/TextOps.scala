@@ -598,8 +598,16 @@ object TextOps {
     * [[WinnowDfCap]]² pairs, so worst-case work is posting-list
     * linear. Same shape as c2 — shuffle on fp, reduce on the pair.
     */
-  def c25_winnowNeardup(spark: SparkSession, d: String): DataFrame = {
-    val fps = winnowFps(Tables.documents(spark, d))
+  def c25_winnowNeardup(spark: SparkSession, d: String): DataFrame =
+    neardupFromFps(winnowFps(Tables.documents(spark, d)))
+
+  /** The c25 pair tail over ANY (doc_id, fp) posting relation — shared
+    * by the inline form (c25), the bucketed-index form
+    * (x_neardup_bucketed), and reused in spirit by the incremental
+    * form: df-band the fingerprints, self-equi-join on fp, count
+    * shared fps per ordered pair, threshold.
+    */
+  private[graft] def neardupFromFps(fps: DataFrame): DataFrame = {
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
       .select(col("fp"))
@@ -610,6 +618,45 @@ object TextOps {
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowShared)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Bucket count for the materialized posting-list index — the b19
+    * machinery applied to the near-dup index. At the lake this is
+    * sized to fingerprint volume (buckets ≈ index size / target task
+    * input); 8 matches the fixture-scale b19/x_asof layouts.
+    */
+  val PostingsBuckets = 8
+
+  /** x_neardup_bucketed: c25 over a posting list MATERIALIZED
+    * `bucketBy(fp)` — the index LAYOUT that makes every downstream
+    * pair join exchange-free. c25's inline form pays one fp hash
+    * exchange to co-locate fingerprints (mitigated by ReusedExchange,
+    * but still a full shuffle of the posting list per run); writing
+    * the standing index bucketed on fp moves that cost to
+    * index-build time, after which the df census, the band semi-join
+    * and the pair self-join ALL consume the scan's bucket
+    * partitioning directly — zero hash Exchange anywhere in the
+    * consumer plan (PlanSpec pins it, with auto-broadcast disabled so
+    * the property is the layout's, not the fixture's size). The
+    * tradeoff is b19's: N pair scans of the slim 16-byte-row index
+    * instead of one exchange of it — exactly right when the index is
+    * reused daily (see x_neardup_incremental, which consumes this
+    * same layout).
+    *
+    * Byte-equal to c25 (same rows through the same tail), so it
+    * carries c25's oracle verbatim and is driver-hash-checked.
+    */
+  def x_neardupBucketed(spark: SparkSession, d: String): DataFrame = {
+    val dir = Tables.scratchDir("postings_bkt", d)
+    // catalog table names must be unique per invocation too (the same
+    // race as scratch paths, in the metastore): derive from the
+    // generation-suffixed dir; dots (sf0.001) are not legal in names
+    val tbl = dir.substring(dir.lastIndexOf('/') + 1).replace('.', '_')
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    winnowFps(Tables.documents(spark, d))
+      .write.bucketBy(PostingsBuckets, "fp").sortBy("fp")
+      .option("path", s"$dir/postings_b").saveAsTable(tbl)
+    neardupFromFps(spark.table(tbl))
   }
 
   /** BPE-ish pre-tokenizer regex (c26) — the GPT-2-family shape:
@@ -753,6 +800,17 @@ object TextOps {
        |      FROM g),
        |fps AS (SELECT doc_id, source, unnest(fps) AS fp FROM f)""".stripMargin
 
+  /** c25's oracle — one instance shared with x_neardup_bucketed
+    * (byte-equal twin, the ContractSpec `eq` contract). */
+  private val C25Oracle: String =
+    s"""WITH $WinnowFpsSql,
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
+       |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= $WinnowShared
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** c27's oracle — one instance shared with x_contain_from_postings
     * (byte-equal twin, the ContractSpec `eq` contract). */
   private val ContainOracle: String =
@@ -813,14 +871,8 @@ object TextOps {
          |  CAST(CASE WHEN n_ws = 0 THEN 0 ELSE n_bpe * 1000000 // n_ws END AS BIGINT) AS blowup_e6
          |FROM s ORDER BY doc_id""".stripMargin,
     "c27_contamination" -> ContainOracle,
-    "c25_winnow_neardup" ->
-      s"""WITH $WinnowFpsSql,
-         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
-         |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= $WinnowShared
-         |ORDER BY a_id, b_id""".stripMargin,
+    "c25_winnow_neardup" -> C25Oracle,
+    "x_neardup_bucketed" -> C25Oracle,
     "c1_dedup_exact" ->
       """SELECT sha256(lower(text)) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY sha256(lower(text)) ORDER BY keep_id""".stripMargin,
@@ -931,6 +983,7 @@ object TextOps {
     "c23_lang_id"      -> c23_langId _,
     "c24_winnow_fingerprint" -> c24_winnowFingerprint _,
     "c25_winnow_neardup" -> c25_winnowNeardup _,
+    "x_neardup_bucketed" -> x_neardupBucketed _,
     "c26_bpe_token_stats" -> c26_bpeTokenStats _,
     "c27_contamination" -> c27_contamination _,
     "x_contain_from_postings" -> x_containFromPostings _,

@@ -62,15 +62,17 @@ class ContractSpec extends AnyFunSuite {
       // streaming twin, like s1/a14 — same rows, same order)
       "s9_stream_lang_id" -> "c23_lang_id",
       // the materialized-posting-list consumer is byte-equal to c27
-      "x_contain_from_postings" -> "c27_contamination")
+      "x_contain_from_postings" -> "c27_contamination",
+      // the bucketed-index consumer is byte-equal to c25
+      "x_neardup_bucketed" -> "c25_winnow_neardup")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 102 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 102)
-    assert(SparkEntry.oracleSql.size === 91)
+  test("the inventory holds all 103 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 103)
+    assert(SparkEntry.oracleSql.size === 92)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -559,6 +559,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"expected the fps exchange to be reused:\n$p")
   }
 
+  test("x_neardup_bucketed: the pair join consumes the bucketed layout — no fp hash exchange") {
+    // disable auto-broadcast so the df-band semi-join must rely on the
+    // bucketing too: the zero-exchange property belongs to the LAYOUT,
+    // not to the census being broadcast-small at fixture scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TextOps.x_neardupBucketed(spark, sf0001)
+      df.collect() // bucket-aware reuse only shows in the FINAL adaptive plan
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("SelectedBucketsCount"), s"scan should be bucket-aware:\n$p")
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"pair generation must stay the fp equi-join:\n$p")
+      // the ONLY hash exchange is the final (a_id, b_id) pair reduce:
+      // the df census, the band semi-join and the pair self-join all
+      // ride the scan's fp bucket partitioning
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"expected only the pair-reduce exchange, saw $hashEx:\n$p")
+      // …while inline c25 DOES pay the fp exchange for the same tail —
+      // the contrast is what makes the vanished shuffle a property
+      val c = TextOps.c25_winnowNeardup(spark, sf0001)
+      c.collect()
+      val pc = c.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning\\(fp".r.findAllIn(pc).nonEmpty,
+        "c25's plan lost its fp exchange — update this contrast pin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("c21: the per-dim census broadcasts — the exploded stream never shuffles") {
     val p = plan(VectorOps.c21_embeddingQuantize(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast census join:\n$p")

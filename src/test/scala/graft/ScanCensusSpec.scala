@@ -146,6 +146,12 @@ class ScanCensusSpec extends SparkSpec {
     "c23_lang_id" -> ((1, 0)),
     "c24_winnow_fingerprint" -> ((1, 0)),
     "c25_winnow_neardup" -> ((2, 2)),
+    // x_neardup_bucketed: the consumer reads ONLY the bucketed posting
+    // index (3 slim scans — df census + both join sides; one folds
+    // into a reused exchange) and never re-fingerprints documents —
+    // the b19 tradeoff: rescans of a 16-byte-row index instead of a
+    // full fp shuffle per run
+    "x_neardup_bucketed" -> ((3, 1)),
     "c26_bpe_token_stats" -> ((1, 0)),
     // c27: eval side ×2 (broadcast fp probe + cardinality census, both
     // source-filter-pruned at the scan) and train side ×2 (df-cap

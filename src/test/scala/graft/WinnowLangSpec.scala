@@ -192,6 +192,18 @@ class WinnowLangSpec extends SparkSpec {
     }
   }
 
+  test("x_neardup_bucketed is byte-equal to c25 on both fixture scales") {
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val direct = TextOps.c25_winnowNeardup(spark, d).collect().map(_.toSeq).toSeq
+      val viaIndex = TextOps.x_neardupBucketed(spark, d).collect().map(_.toSeq).toSeq
+      assert(viaIndex === direct, s"bucketed-index path must equal c25 on $d")
+    }
+    // the consumer plan is index-only: no documents rescan anywhere
+    val c = graft.tools.ScanAudit.census(TextOps.x_neardupBucketed(spark, sf0001))
+    assert(!c.tables.contains("documents"),
+      s"consumer must read the bucketed index, not the corpus: ${c.tablesStr}")
+  }
+
   // ---- c26 ------------------------------------------------------------
 
   /** Scala model of c26 via java.util.regex over the same pattern —
