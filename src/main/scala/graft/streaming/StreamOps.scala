@@ -621,6 +621,81 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s10: the contamination audit ON ARRIVAL — c27's streaming twin,
+    * and the reference's whole program shape (classify each record as
+    * it is consumed, ConsumerMultiThread.java:101-155) applied to the
+    * north-star decontamination operator: training documents stream
+    * in, every micro-batch is fingerprinted by the SAME winnow kernel
+    * as the batch audit and probed against the BROADCAST eval posting
+    * list, flagged containments are sunk replay-idempotently
+    * (batchId-keyed overwrite, the s1 convention).
+    *
+    * The eval probe set, the per-eval-doc cardinality census, and the
+    * train-df keep census all come from the MATERIALIZED posting
+    * index (x_contain_from_postings' machinery) built before the
+    * stream starts — in production that is the standing index the
+    * daily ingest maintains anyway (x_neardup_incremental), so the
+    * stream holds NO state of its own: per-row fingerprinting plus a
+    * per-batch broadcast join, and since a document's fingerprints
+    * all live in its one row, each (eval, train) pair is complete
+    * within the batch that carries the train doc. Stream ≡ batch
+    * exactly — s10 carries c27's DuckDB oracle VERBATIM and is
+    * driver-hash-checked (the s9 stream/batch-parity contract, row
+    * for row in StreamingSpec).
+    *
+    * Scale (100 TB): the arrival path pays per-document map work plus
+    * a broadcast probe — no shuffle of train fingerprints at all
+    * (c27's broadcast argument, per micro-batch); state is zero, so
+    * an unbounded source needs no watermark for this audit.
+    */
+  def s10_streamContamination(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextOps
+    val (out, chk) = sinkDirs("s10", d)
+    // the standing index: built once, consumed by every audit
+    val dir = Tables.scratchDir("s10_postings", d)
+    TextOps.winnowFps(Tables.documents(spark, d), keep = Seq("source"))
+      .write.mode("overwrite").parquet(s"$dir/postings.parquet")
+    val fps = spark.read.parquet(s"$dir/postings.parquet")
+    val ev = fps.filter(col("source") === TextOps.EvalSource)
+      .select(col("doc_id").as("eval_id"), col("fp"))
+    val card = ev.groupBy(col("eval_id").as("c_id"))
+      .agg(count(lit(1)).as("n_eval_fp"))
+    val keepFp = fps
+      .filter(col("source").isNotNull && col("source") =!= TextOps.EvalSource)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= TextOps.WinnowDfCap).select(col("fp"))
+    // classify-on-arrival: the winnow kernel runs IN the streaming
+    // plan, per arriving train document (pure per-row work)
+    val trainFps = TextOps.winnowFps(
+      stagedFileStream(spark, d, "documents")
+        .filter(col("source").isNotNull && col("source") =!= TextOps.EvalSource))
+      .select(col("doc_id").as("train_id"), col("fp"))
+    val q = trainFps.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch
+          .join(keepFp, "fp")
+          .join(broadcast(ev), Seq("fp"))
+          .groupBy(col("eval_id"), col("train_id")).agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(card), col("c_id") === col("eval_id"))
+          .withColumn("frac_e6", expr("n_shared * 1000000 DIV n_eval_fp"))
+          .filter(col("frac_e6") >= TextOps.ContainFracE6)
+          .select(col("eval_id"), col("train_id"), col("n_shared"),
+            col("n_eval_fp"), col("frac_e6"))
+          .write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "eval_id BIGINT, train_id BIGINT, n_shared BIGINT, " +
+        "n_eval_fp BIGINT, frac_e6 BIGINT")
+    readSink(spark, out, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output.
     */
@@ -644,6 +719,8 @@ object StreamOps {
     "s1_stream_pipeline" -> (Ingest.oracles("a14_pipeline_e2e")),
     // stream ≡ batch for the stateless classifier: c23's oracle verbatim
     "s9_stream_lang_id" -> graft.ops.TextOps.oracles("c23_lang_id"),
+    // stream ≡ batch for the stateless audit: c27's oracle verbatim
+    "s10_stream_contamination" -> graft.ops.TextOps.oracles("c27_contamination"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -703,5 +780,6 @@ object StreamOps {
     "s7_stream_quarantine" -> s7_streamQuarantine _,
     "s8_stream_hll_rollup" -> s8_streamHllRollup _,
     "s9_stream_lang_id"  -> s9_streamLangId _,
+    "s10_stream_contamination" -> s10_streamContamination _,
   )
 }

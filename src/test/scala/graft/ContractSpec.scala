@@ -64,15 +64,18 @@ class ContractSpec extends AnyFunSuite {
       // the materialized-posting-list consumer is byte-equal to c27
       "x_contain_from_postings" -> "c27_contamination",
       // the bucketed-index consumer is byte-equal to c25
-      "x_neardup_bucketed" -> "c25_winnow_neardup")
+      "x_neardup_bucketed" -> "c25_winnow_neardup",
+      // stream ≡ batch for the stateless audit (s10 is c27's streaming
+      // twin, like s9/c23 — same rows, same order)
+      "s10_stream_contamination" -> "c27_contamination")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 103 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 103)
-    assert(SparkEntry.oracleSql.size === 92)
+  test("the inventory holds all 105 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 105)
+    assert(SparkEntry.oracleSql.size === 94)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -72,10 +72,11 @@ class EdgeCaseSpec extends SparkSpec {
     "c22_vocab_coverage", "x_ann_pq", "x_ann_ivfpq",
     "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup",
     "c26_bpe_token_stats", "c27_contamination", "x_contain_from_postings",
-    // s9 reads documents, not events — the one streaming query that
-    // belongs in the corpus sweep (dirty text through the classifier
-    // stream; empty corpus must drain to an empty, schema-correct sink)
-    "s9_stream_lang_id")
+    "c28_pack_bpe", "x_neardup_bucketed", "x_neardup_incremental",
+    // s9/s10 read documents, not events — the streaming queries that
+    // belong in the corpus sweep (dirty text through the classifier /
+    // audit stream; empty corpus must drain to an empty sink)
+    "s9_stream_lang_id", "s10_stream_contamination")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

@@ -587,6 +587,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x_neardup_incremental: the consumer plan reads posting tables — no kernel, no corpus") {
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "2048")
+    try {
+      val df = TextOps.x_neardupIncremental(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // the incremental contract: fingerprinting ran at ingest time
+      // (delta only) — the PAIR plan itself re-hashes nothing and
+      // never rescans document text, old epoch or new
+      assert(!p.contains("winnow_fps"), s"consumer must read postings, not fingerprint:\n$p")
+      assert(!p.contains("md5"), s"no hashing in the consumer plan:\n$p")
+      assert(!p.contains("documents.parquet"), s"no corpus scan in the consumer plan:\n$p")
+      assert(p.contains("delta.parquet") && p.contains("postings.parquet"),
+        s"expected delta + standing-index scans:\n$p")
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"pairing must stay the fp equi-join:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("c21: the per-dim census broadcasts — the exploded stream never shuffles") {
     val p = plan(VectorOps.c21_embeddingQuantize(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast census join:\n$p")

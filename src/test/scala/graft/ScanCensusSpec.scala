@@ -146,6 +146,12 @@ class ScanCensusSpec extends SparkSpec {
     "c23_lang_id" -> ((1, 0)),
     "c24_winnow_fingerprint" -> ((1, 0)),
     "c25_winnow_neardup" -> ((2, 2)),
+    // x_neardup_incremental: the consumer reads the three materialized
+    // posting tables (standing index + its df census + the delta);
+    // AQE unifies the repeated delta/index consumers into 4 scans with
+    // 4 reused exchanges — and NO documents scan (PlanSpec pins the
+    // kernel-free property)
+    "x_neardup_incremental" -> ((4, 4)),
     // x_neardup_bucketed: the consumer reads ONLY the bucketed posting
     // index (3 slim scans — df census + both join sides; one folds
     // into a reused exchange) and never re-fingerprints documents —
@@ -201,6 +207,9 @@ class ScanCensusSpec extends SparkSpec {
     // has its own per-micro-batch plans): one scan of the sink, ever
     "s8_stream_hll_rollup" -> ((1, 0)),
     "s9_stream_lang_id" -> ((1, 0)),
+    // s10 censuses the flagged-containment sink read-back (the streamed
+    // audit has its own per-micro-batch plans): one scan of the sink
+    "s10_stream_contamination" -> ((1, 0)),
     "x_approx_distinct" -> ((1, 0)),
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),

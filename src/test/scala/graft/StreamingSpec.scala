@@ -340,6 +340,21 @@ class StreamingSpec extends SparkSpec {
       "streamed classification must equal the batch query exactly")
   }
 
+  test("s10 semantics: streamed contamination audit ≡ the batch c27, row-for-row") {
+    // per-row fingerprinting + a per-batch broadcast probe against the
+    // standing index: every (eval, train) pair is complete within the
+    // micro-batch carrying the train doc, and the eval/keep censuses
+    // come from the full-corpus index — so however the file source
+    // cuts the corpus, the union of sunk batches IS the batch audit
+    // (the s9 parity contract for the stateful-looking operator)
+    val streamed = graft.streaming.StreamOps
+      .s10_streamContamination(spark, sf0001).collect()
+    val batch = graft.ops.TextOps.c27_contamination(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed audit must equal the batch query exactly")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -192,6 +192,50 @@ class WinnowLangSpec extends SparkSpec {
     }
   }
 
+  test("x_neardup_incremental equals c25 restricted to pairs touching the delta") {
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val r = graft.ops.Tables.documents(spark, d)
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+          org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+      val exp = TextOps.c25_winnowNeardup(spark, d)
+        .filter(col("b_id") > mid).collect().map(_.toSeq).toSeq
+      val got = TextOps.x_neardupIncremental(spark, d).collect().map(_.toSeq).toSeq
+      assert(got === exp, s"incremental dedup diverged from restricted c25 at $d")
+      assert(got.nonEmpty, s"fixture $d should have cross-epoch or delta pairs")
+    }
+  }
+
+  test("x_neardup_incremental: null-id docs weigh in the df census but never pair (c25's posture)") {
+    // two delta docs share a 6-token run (pair expected); a third COPY
+    // of that run lives in a null-id doc — under c25's census it still
+    // counts toward the shared fingerprints' df, and under c25's
+    // comparison residual it can never appear in a pair itself
+    // long enough that the winnowing density bound (~1 fp per W/2
+    // grams) clears the ≥ WinnowShared pair threshold with margin
+    val run = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val docs: Seq[(java.lang.Long, String, String, String, java.lang.Long)] = Seq(
+      (1L: java.lang.Long, s"$run old filler words here", "en", "web", 0L: java.lang.Long),
+      (null, s"$run anonymous copy", "en", "web", 0L: java.lang.Long),
+      (10L: java.lang.Long, s"$run fresh shard one", "en", "web", 0L: java.lang.Long),
+      (11L: java.lang.Long, s"$run fresh shard two", "en", "web", 0L: java.lang.Long))
+    val d = s"${graft.ops.Tables.scratch}/winnowlang_incnull"
+    graft.ops.Tables.rmrf(d)
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.neardupIncrementalAt(spark, d, 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // pairs touch the delta only; the null-id doc appears in none
+    assert(got.sorted === Seq((1L, 10L), (1L, 11L), (10L, 11L)))
+    // …and its census weight is real: the shared run's fps have df 4,
+    // inside the [2, cap] band — dropping the null-id doc from the
+    // census would only show at the cap edge, so pin the band is
+    // computed over ALL four copies via the cap itself
+    val fps = TextOps.winnowFps(graft.ops.Tables.documents(spark, d)).collect()
+    assert(fps.count(_.isNullAt(0)) > 0, "the null-id doc must fingerprint")
+  }
+
   test("x_neardup_bucketed is byte-equal to c25 on both fixture scales") {
     Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
       val direct = TextOps.c25_winnowNeardup(spark, d).collect().map(_.toSeq).toSeq
