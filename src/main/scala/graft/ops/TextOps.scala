@@ -734,14 +734,20 @@ object TextOps {
 
   /** The PER-INGEST phase — the cost a daily run actually pays:
     * fingerprint ONLY the delta (the one winnow-kernel pass; the
-    * doc_id bound pushes to the parquet scan), append it to the
+    * doc_id bound pushes to the parquet scan), write it in the
     * index's layout, then pair over slim posting tables only — no
-    * text, no kernel (see the plan pins).
+    * text, no kernel (see the plan pins). `until` bounds the delta's
+    * upper edge for multi-epoch lifecycles (day k ingests
+    * (mid_k, mid_{k+1}]); the registered one-shot query leaves it
+    * open.
     */
   private[graft] def neardupIngest(spark: SparkSession, d: String,
-      dir: String, mid: Long): DataFrame = {
+      dir: String, mid: Long, until: Option[Long] = None): DataFrame = {
     val docs = Tables.documents(spark, d)
-    winnowFps(docs.filter(col("doc_id") > mid))
+    val deltaDocs = until.foldLeft(docs.filter(col("doc_id") > mid)) {
+      (df, u) => df.filter(col("doc_id") <= u)
+    }
+    winnowFps(deltaDocs)
       .write.mode("overwrite").parquet(s"$dir/delta.parquet")
     val old = spark.read.parquet(s"$dir/postings.parquet")
     val dfOld = spark.read.parquet(s"$dir/df.parquet")
@@ -768,6 +774,45 @@ object TextOps {
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowShared)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** INDEX APPEND — the step that completes the daily-ingest
+    * lifecycle: fold the just-audited delta into the standing index
+    * so the NEXT ingest dedups against it. The delta's postings
+    * (already written in the index layout by [[neardupIngest]]) are
+    * file-appended to the posting table, and the df census is merged
+    * incrementally (old census ⊕ delta census, a full-outer sum) —
+    * no document text is touched, no corpus-wide recount, cost is
+    * O(delta + census), never O(corpus text).
+    *
+    * Lifecycle correctness (pinned in scalatest): as long as no
+    * fingerprint's df crosses [[WinnowDfCap]] between ingests (df
+    * only grows, and the lower ≥2 bound self-corrects — a pair
+    * visible at day k has both docs and hence df ≥ 2 at day k), the
+    * union of every day's ingest output plus the base epoch's
+    * internal pairs tiles the full-corpus c25 EXACTLY. When a fp
+    * does cross the cap later, the as-of-ingest-time semantics is
+    * the operationally correct one: each day dedups against what
+    * existed that day.
+    *
+    * The census swap is write-new → rm-old → rename — atomic enough
+    * for the single-writer scratch layout here; a production lake
+    * does the same swap transactionally (table format / manifest).
+    */
+  private[graft] def neardupIndexAppend(spark: SparkSession, dir: String): Unit = {
+    val delta = spark.read.parquet(s"$dir/delta.parquet")
+    val dfDelta = delta.groupBy(col("fp")).agg(count(lit(1)).as("df_delta"))
+    spark.read.parquet(s"$dir/df.parquet")
+      .join(dfDelta, Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_delta"), lit(0L)))
+          .as("df_old"))
+      .write.mode("overwrite").parquet(s"$dir/df_next.parquet")
+    delta.write.mode("append").parquet(s"$dir/postings.parquet")
+    Tables.rmrf(s"$dir/df.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/df_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/df.parquet"))
   }
 
   /** BPE-ish pre-tokenizer regex (c26) — the GPT-2-family shape:

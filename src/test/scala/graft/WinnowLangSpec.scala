@@ -236,6 +236,44 @@ class WinnowLangSpec extends SparkSpec {
     assert(fps.count(_.isNullAt(0)) > 0, "the null-id doc must fingerprint")
   }
 
+  test("incremental lifecycle: successive ingest+append days tile the batch c25 exactly") {
+    import graft.ops.Tables
+    val d = sf0001
+    // tiling precondition: no fp may cross the df cap between a day's
+    // view and the full corpus (df only grows; the ≥2 lower bound
+    // self-corrects — see neardupIndexAppend's scaladoc)
+    val maxDf = TextOps.winnowFps(Tables.documents(spark, d))
+      .groupBy(col("fp")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDf <= TextOps.WinnowDfCap,
+      s"fixture breaks the tiling precondition (max df $maxDf > cap) — pick another split")
+    val r = Tables.documents(spark, d)
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val m1 = lo + (hi - lo) / 3
+    val m2 = lo + 2 * (hi - lo) / 3
+    val dir = Tables.scratchDir("inc_lifecycle", d)
+    // day 0: the standing corpus is everything ≤ m1
+    TextOps.neardupIndexBuild(spark, d, dir, m1)
+    // day 1: (m1, m2] arrives — audit, then fold into the index
+    val p1 = TextOps.neardupIngest(spark, d, dir, m1, Some(m2))
+      .collect().map(_.toSeq).toSet
+    TextOps.neardupIndexAppend(spark, dir)
+    // day 2: (m2, hi] arrives against the GROWN index
+    val p2 = TextOps.neardupIngest(spark, d, dir, m2)
+      .collect().map(_.toSeq).toSet
+    // base pairs internal to day 0's corpus + the two days' outputs
+    // must tile the batch c25 exactly — disjointly
+    val full = TextOps.c25_winnowNeardup(spark, d).collect().map(_.toSeq).toSet
+    val p0 = full.filter(r => r(1).asInstanceOf[Long] <= m1)
+    assert(p0.intersect(p1).isEmpty && p0.intersect(p2).isEmpty &&
+      p1.intersect(p2).isEmpty, "day outputs must be disjoint")
+    assert((p0 ++ p1 ++ p2) === full,
+      "incremental days must tile the batch near-dup pairs exactly")
+    assert(p1.nonEmpty && p2.nonEmpty, "both days should contribute pairs")
+  }
+
   test("x_neardup_bucketed is byte-equal to c25 on both fixture scales") {
     Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
       val direct = TextOps.c25_winnowNeardup(spark, d).collect().map(_.toSeq).toSeq
