@@ -749,9 +749,28 @@ object TextOps {
     }
     winnowFps(deltaDocs)
       .write.mode("overwrite").parquet(s"$dir/delta.parquet")
-    val old = spark.read.parquet(s"$dir/postings.parquet")
+    val old0 = spark.read.parquet(s"$dir/postings.parquet")
     val dfOld = spark.read.parquet(s"$dir/df.parquet")
     val delta = spark.read.parquet(s"$dir/delta.parquet")
+    // Adaptive index-side runtime filter: the daily-ingest norm is a
+    // delta ORDERS OF MAGNITUDE smaller than the standing index, where
+    // the pair join's index-side exchange — index-sized every day — is
+    // the dominant per-ingest cost (BENCH_NOTES (aq): a ~10 s floor at
+    // 5M docs). A Bloom sketch of the delta's fingerprints (b27's
+    // machinery — sized to the DELTA, the side that is small by
+    // construction) pruned into the index scan makes that exchange
+    // carry matched rows only, i.e. delta-proportional; the real fp
+    // equi-join absorbs false positives, so results are bit-identical.
+    // When the delta is comparable to the index (a backfill), most
+    // index rows match anyway and the sketch is pure overhead — the
+    // gate skips it. Both row counts are parquet-footer reads, and the
+    // sketch build is two delta-proportional passes (b27's accounting).
+    val nDelta = delta.count()
+    val old =
+      if (nDelta > 0 && nDelta * NeardupBloomGate < old0.count()) {
+        val (bits, k) = BloomJoin.sketchOf(delta, "fp")
+        old0.filter(BloomJoin.probe("fp", bits, k))
+      } else old0
     val dfNew = delta.groupBy(col("fp")).agg(count(lit(1)).as("df_new"))
     val keep = dfNew.join(dfOld, Seq("fp"), "full_outer")
       .select(col("fp"),
@@ -775,6 +794,13 @@ object TextOps {
       .filter(col("n_shared") >= WinnowShared)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Gate for [[neardupIngest]]'s index-side Bloom prune: sketch only
+    * when the delta's posting count is under 1/this of the index's —
+    * below that the pruned exchange wins; above it the index mostly
+    * matches the sketch anyway.
+    */
+  val NeardupBloomGate = 4L
 
   /** INDEX APPEND — the step that completes the daily-ingest
     * lifecycle: fold the just-audited delta into the standing index

@@ -236,6 +236,24 @@ class WinnowLangSpec extends SparkSpec {
     assert(fps.count(_.isNullAt(0)) > 0, "the null-id doc must fingerprint")
   }
 
+  test("incremental small-delta path: the Bloom-pruned index side is bit-identical") {
+    import graft.ops.Tables
+    val d = sf0001
+    val r = Tables.documents(spark, d)
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // delta = the top ~8% of ids — far under the 1/NeardupBloomGate
+    // threshold, so the sketch-pruned branch is the one under test
+    val mid = lo + ((hi - lo) * 23) / 25
+    val got = TextOps.neardupIncrementalAt(spark, d, mid)
+      .collect().map(_.toSeq).toSeq
+    val exp = TextOps.c25_winnowNeardup(spark, d)
+      .filter(col("b_id") > mid).collect().map(_.toSeq).toSeq
+    assert(got === exp, "Bloom-pruned incremental diverged from restricted c25")
+    assert(got.nonEmpty, "the small delta should still find pairs")
+  }
+
   test("incremental lifecycle: successive ingest+append days tile the batch c25 exactly") {
     import graft.ops.Tables
     val d = sf0001
