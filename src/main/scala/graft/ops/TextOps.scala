@@ -620,10 +620,15 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Bucket count for the materialized posting-list index — the b19
-    * machinery applied to the near-dup index. At the lake this is
-    * sized to fingerprint volume (buckets ≈ index size / target task
-    * input); 8 matches the fixture-scale b19/x_asof layouts.
+  /** Minimum bucket count for the materialized posting-list index —
+    * the b19 machinery applied to the near-dup index. The bucket
+    * count is the PARALLELISM CAP of every downstream zero-exchange
+    * join (each bucket is one task), so the build sizes it to
+    * max(this, session default parallelism); a lake deployment sizes
+    * it to fingerprint volume (buckets ≈ index size / target task
+    * input) — measured the hard way in BENCH_NOTES (as): 8 buckets
+    * at 5M docs serialized a 32-core box to 8 tasks and LOST to the
+    * inline exchange.
     */
   val PostingsBuckets = 8
 
@@ -646,17 +651,28 @@ object TextOps {
     * Byte-equal to c25 (same rows through the same tail), so it
     * carries c25's oracle verbatim and is driver-hash-checked.
     */
-  def x_neardupBucketed(spark: SparkSession, d: String): DataFrame = {
+  def x_neardupBucketed(spark: SparkSession, d: String): DataFrame =
+    neardupFromFps(spark.table(buildBucketedPostings(spark, d)))
+
+  /** The index-build half of [[x_neardupBucketed]]: fingerprint the
+    * corpus and materialize the posting list `bucketBy(fp)`; returns
+    * the catalog table name. Split out so the decade profile can time
+    * build and consumer separately.
+    */
+  private[graft] def buildBucketedPostings(spark: SparkSession, d: String): String = {
     val dir = Tables.scratchDir("postings_bkt", d)
     // catalog table names must be unique per invocation too (the same
     // race as scratch paths, in the metastore): derive from the
     // generation-suffixed dir; dots (sf0.001) are not legal in names
     val tbl = dir.substring(dir.lastIndexOf('/') + 1).replace('.', '_')
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // bucket count ≥ the session's parallelism: buckets bound every
+    // downstream zero-exchange join's task count (see PostingsBuckets)
+    val nb = math.max(PostingsBuckets, spark.sparkContext.defaultParallelism)
     winnowFps(Tables.documents(spark, d))
-      .write.bucketBy(PostingsBuckets, "fp").sortBy("fp")
+      .write.bucketBy(nb, "fp").sortBy("fp")
       .option("path", s"$dir/postings_b").saveAsTable(tbl)
-    neardupFromFps(spark.table(tbl))
+    tbl
   }
 
   /** x_neardup_incremental: near-dup detection for the DAILY-INGEST
