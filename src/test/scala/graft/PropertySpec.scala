@@ -229,6 +229,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("c28 equals the java.util.regex cumulative model on generated punctuated corpora") {
+    // tokens that exercise every BpePattern branch: contractions,
+    // digit runs, decimals, punctuation runs, unicode (falls into the
+    // punct class), plus plain words — the piece/token divergence the
+    // all-lowercase fixtures cannot show
+    val tokGen: Gen[String] = Gen.oneOf(
+      Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(6)),
+      Gen.choose(0, 99999).map(_.toString),
+      Gen.oneOf("it's", "don't", "a.b", "x,y;z", "(p)", "12.50", "q—r", "末字"))
+    val docGen: Gen[Option[String]] = Gen.frequency(
+      1 -> Gen.const(Option.empty[String]),
+      9 -> (for {
+        n <- Gen.choose(1, 40)
+        ts <- Gen.listOfN(n, tokGen)
+      } yield Some(ts.mkString(" "))))
+    val pat = java.util.regex.Pattern.compile(graft.ops.TextOps.BpePattern)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def pieces(t: String): Long =
+      if (t == null) 0L
+      else { val m = pat.matcher(t); var c = 0L; while (m.find()) c += 1; c }
+    val b = graft.ops.CorpusOps.SeqBudget
+    val dir = s"${graft.ops.Tables.scratch}/prop_c28"
+    samples(Gen.listOfN(60, docGen), 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.orNull, "en", s"src${i % 4}",
+          Option(t.orNull).map(_.length.toLong).getOrElse(0L))
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val want = docs.groupBy(_._4).toSeq.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy { case (id, _, _, _, _) => (md5hex(id.toString), id) }
+          .map { case (id, t, _, src, _) =>
+            val n = pieces(t)
+            val start = cum; cum += n
+            (id, src, n, start / b, start % b)
+          }
+      }.toSet
+      val got = graft.ops.CorpusOps.c28_packBpe(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("n_bpe"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset")))
+        .toSet
+      assert(got === want, "c28 diverged from the regex cumulative model")
+    }
+  }
+
   /** Random sparse graphs on 16 nodes: multi-component, bridges, and
     * isolated pairs — shapes the clique-ish fixture clusters never
     * produce. 16 nodes bound the diameter under the sweep valve.
