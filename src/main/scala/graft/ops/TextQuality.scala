@@ -56,7 +56,74 @@ object TextQuality {
         col("mean_tok_len"), col("quality"), col("fp_min"), col("fp_xor"))
       .orderBy(col("doc_id"))
 
+  /** c29 repetition flags — count-fraction adaptations of the Gopher
+    * duplicate-n-gram quality rules (Rae et al. 2021 §A1.1 use
+    * character fractions; the count form keeps the whole query in
+    * exact integers). A document whose duplicate 2/3/4-gram fraction
+    * exceeds its bound is boilerplate/looping text a pretraining
+    * pipeline drops.
+    */
+  val Dup2MaxE6 = 200000L
+  val Dup3MaxE6 = 180000L
+  val Dup4MaxE6 = 160000L
+
+  /** c29: repetition statistics — the duplicate-n-gram quality gate
+    * (Gopher-style) next to c8's length/stopword signals: per
+    * document, the fraction of duplicate 2-, 3- and 4-grams as exact
+    * e6 rationals (BIGINT arithmetic end to end — no float division,
+    * engines agree bit-for-bit) and the repetitive flag against
+    * [[Dup2MaxE6]]/[[Dup3MaxE6]]/[[Dup4MaxE6]]. Null/short text
+    * yields zero fractions and a false flag (c23's null posture —
+    * totality, not abortion).
+    *
+    * Scale (100 TB): pure per-row work, c23's shape — the n-gram
+    * arrays live and die inside the projection (size +
+    * array_distinct are linear in document length; no per-doc
+    * explode, no shuffle, no join; the only exchange is the
+    * presentation orderBy a lake job drops).
+    */
+  def c29_repetitionStats(spark: SparkSession, d: String): DataFrame = {
+    val tk = when(col("text").isNull, array().cast("array<string>"))
+      .otherwise(split(col("text"), " "))
+    def grams(n: Int) = {
+      val parts = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(", ")
+      expr(s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
+        s"i -> concat_ws(' ', $parts)) ELSE array() END")
+    }
+    // BIGINT before the ×1e6: an int count would overflow past ~2k grams
+    def dupE6(n: Int) = expr(
+      s"CASE WHEN size(g$n) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        s"CAST(size(g$n) - size(array_distinct(g$n)) AS BIGINT) * 1000000 " +
+        s"DIV CAST(size(g$n) AS BIGINT) END").as(s"dup${n}_e6")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), tk.as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("g2", grams(2)).withColumn("g3", grams(3)).withColumn("g4", grams(4))
+      .select(col("doc_id"), col("n_tok"), dupE6(2), dupE6(3), dupE6(4))
+      .withColumn("is_repetitive",
+        col("dup2_e6") > Dup2MaxE6 || col("dup3_e6") > Dup3MaxE6 ||
+          col("dup4_e6") > Dup4MaxE6)
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c29_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3,
+         |  CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) ELSE [] END AS g4
+         |  FROM t),
+         |s AS (SELECT doc_id, n_tok,
+         |  CAST(CASE WHEN len(g2) = 0 THEN 0 ELSE (len(g2) - len(list_distinct(g2))) * 1000000 // len(g2) END AS BIGINT) AS dup2_e6,
+         |  CAST(CASE WHEN len(g3) = 0 THEN 0 ELSE (len(g3) - len(list_distinct(g3))) * 1000000 // len(g3) END AS BIGINT) AS dup3_e6,
+         |  CAST(CASE WHEN len(g4) = 0 THEN 0 ELSE (len(g4) - len(list_distinct(g4))) * 1000000 // len(g4) END AS BIGINT) AS dup4_e6
+         |  FROM g)
+         |SELECT doc_id, n_tok, dup2_e6, dup3_e6, dup4_e6,
+         |  (dup2_e6 > $Dup2MaxE6 OR dup3_e6 > $Dup3MaxE6 OR dup4_e6 > $Dup4MaxE6) AS is_repetitive
+         |FROM s ORDER BY doc_id""".stripMargin,
     "c8_text_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang,
@@ -90,5 +157,6 @@ object TextQuality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_text_quality" -> c8_textQuality _,
+    "c29_repetition_stats" -> c29_repetitionStats _,
   )
 }

@@ -73,9 +73,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 105 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 105)
-    assert(SparkEntry.oracleSql.size === 94)
+  test("the inventory holds all 106 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 106)
+    assert(SparkEntry.oracleSql.size === 95)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -498,6 +498,13 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"classification must not shuffle (only the presentation sort), saw $hashEx:\n$p")
   }
 
+  test("c29: repetition stats are pure per-row work — no join, no hash shuffle") {
+    val p = plan(TextQuality.c29_repetitionStats(spark, sf0001))
+    assert(!p.contains("Join"), s"repetition stats must not join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"repetition stats must not shuffle, saw $hashEx:\n$p")
+  }
+
   test("c26: token counting is pure per-row work — no join, no hash shuffle") {
     val p = plan(TextOps.c26_bpeTokenStats(spark, sf0001))
     assert(!p.contains("Join"), s"piece counting must not join:\n$p")

@@ -123,6 +123,9 @@ class ScanCensusSpec extends SparkSpec {
     "c6_simhash" -> ((1, 1)),
     "c7_cosine_neardup" -> ((2, 0)),
     "c8_text_quality" -> ((1, 0)),
+    // c29: pure per-row map like c8/c23 — the n-gram arrays never
+    // leave the projection
+    "c29_repetition_stats" -> ((1, 0)),
     "c9_multimodal_decode" -> ((1, 0)),
     "c10_stopword_filter" -> ((1, 0)),
     "c17_multimodal_resize" -> ((1, 0)),

@@ -304,6 +304,32 @@ class WinnowLangSpec extends SparkSpec {
       s"consumer must read the bucketed index, not the corpus: ${c.tablesStr}")
   }
 
+  test("c29 ≡ the duplicate-n-gram model — looping, clean, short and null docs") {
+    val looping = Seq.fill(30)("spam eggs").mkString(" ") // 60 toks, 2 distinct bigrams
+    val clean = (1 to 40).map(i => s"w$i").mkString(" ")  // all n-grams distinct
+    val d = writeDocs("c29", Seq(
+      (0L, null, null, null, null),
+      (1L, "one two three", "en", "web", 13L: java.lang.Long),
+      (2L, looping, "en", "web", looping.length.toLong: java.lang.Long),
+      (3L, clean, "en", "web", clean.length.toLong: java.lang.Long)))
+    val got = graft.ops.TextQuality.c29_repetitionStats(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // null text: zero everything, flag false — totality
+    assert(got(0L).getAs[Long]("n_tok") === 0L)
+    assert(!got(0L).getAs[Boolean]("is_repetitive"))
+    // 3 tokens: no 4-grams exist → dup4 is 0, not an error
+    assert(got(1L).getAs[Long]("dup4_e6") === 0L)
+    assert(!got(1L).getAs[Boolean]("is_repetitive"))
+    // the looping doc: 59 bigrams, 2 distinct — exact e6 rational
+    assert(got(2L).getAs[Long]("dup2_e6") === (59L - 2L) * 1000000L / 59L)
+    assert(got(2L).getAs[Boolean]("is_repetitive"))
+    // the all-distinct doc: zero duplicate fraction at every n
+    assert(got(3L).getAs[Long]("dup2_e6") === 0L)
+    assert(got(3L).getAs[Long]("dup3_e6") === 0L)
+    assert(got(3L).getAs[Long]("dup4_e6") === 0L)
+    assert(!got(3L).getAs[Boolean]("is_repetitive"))
+  }
+
   // ---- c26 ------------------------------------------------------------
 
   /** Scala model of c26 via java.util.regex over the same pattern —
