@@ -82,27 +82,88 @@ object TextQuality {
     * explode, no shuffle, no join; the only exchange is the
     * presentation orderBy a lake job drops).
     */
+  /** null-total whitespace tokenization (shared by c29/c30) */
+  private def tokCol = when(col("text").isNull, array().cast("array<string>"))
+    .otherwise(split(col("text"), " "))
+
+  /** the n-gram array over `t`, empty (not null) when too short */
+  private def grams(n: Int) = {
+    val parts = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(", ")
+    expr(s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
+      s"i -> concat_ws(' ', $parts)) ELSE array() END")
+  }
+
+  // BIGINT before the ×1e6: an int count would overflow past ~2k grams
+  private def dupE6(n: Int) = expr(
+    s"CASE WHEN size(g$n) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"CAST(size(g$n) - size(array_distinct(g$n)) AS BIGINT) * 1000000 " +
+      s"DIV CAST(size(g$n) AS BIGINT) END").as(s"dup${n}_e6")
+
   def c29_repetitionStats(spark: SparkSession, d: String): DataFrame = {
-    val tk = when(col("text").isNull, array().cast("array<string>"))
-      .otherwise(split(col("text"), " "))
-    def grams(n: Int) = {
-      val parts = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(", ")
-      expr(s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
-        s"i -> concat_ws(' ', $parts)) ELSE array() END")
-    }
-    // BIGINT before the ×1e6: an int count would overflow past ~2k grams
-    def dupE6(n: Int) = expr(
-      s"CASE WHEN size(g$n) = 0 THEN CAST(0 AS BIGINT) ELSE " +
-        s"CAST(size(g$n) - size(array_distinct(g$n)) AS BIGINT) * 1000000 " +
-        s"DIV CAST(size(g$n) AS BIGINT) END").as(s"dup${n}_e6")
     Tables.documents(spark, d)
-      .select(col("doc_id"), tk.as("t"))
+      .select(col("doc_id"), tokCol.as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
       .withColumn("g2", grams(2)).withColumn("g3", grams(3)).withColumn("g4", grams(4))
       .select(col("doc_id"), col("n_tok"), dupE6(2), dupE6(3), dupE6(4))
       .withColumn("is_repetitive",
         col("dup2_e6") > Dup2MaxE6 || col("dup3_e6") > Dup3MaxE6 ||
           col("dup4_e6") > Dup4MaxE6)
+      .orderBy(col("doc_id"))
+  }
+
+  /** c30 keep/drop thresholds — the gate ladder's named constants.
+    * Length band and token-length band are c8's quality bands; the
+    * stop-ratio floor is c8's lang-guess threshold (2%); the
+    * repetition bounds are c29's. All comparisons run in the exact
+    * cross-multiplied integer form (`50·stop_hits ≥ n_tok` ⇔
+    * `stop_ratio ≥ 0.02`), so the verdict is a pure BIGINT decision —
+    * no float rounding can flip a boundary document between engines.
+    */
+  val MinTok = 5L
+  val MaxTok = 1000L
+  val MinMeanTokLenX = 2L  // mean_tok_len ≥ 2  ⇔  n_char−n_tok+1 ≥ 2·n_tok
+  val MaxMeanTokLenX = 12L // mean_tok_len ≤ 12 ⇔  n_char−n_tok+1 ≤ 12·n_tok
+  val StopDenom = 50L      // stop_ratio ≥ 1/50
+
+  /** c30: the composed quality gate — the single keep/drop decision a
+    * curation pipeline derives from the per-doc signals (the
+    * FineWeb/Gopher pattern: individual filters c8/c29 compute scores;
+    * THIS row-level verdict with a reason code is what the corpus
+    * writer consumes and what the curation report audits). The ladder
+    * is ordered — the FIRST failing gate names the reason — so
+    * per-reason drop counts partition the corpus exactly:
+    * `too_short` → `too_long` → `bad_tok_len` → `low_stop` →
+    * `repetitive` → `keep`.
+    *
+    * Scale (100 TB): every signal and every comparison is per-row
+    * integer work in ONE projection over ONE corpus scan — no join
+    * against c8/c29 outputs (recomputing a column is cheaper than
+    * shuffling 100 TB twice), no hash exchange (PlanSpec-pinned), and
+    * the verdict column is exactly what a writer's partition-by-reason
+    * sink consumes. Null/short text falls out of the ladder at
+    * `too_short` (c23's totality posture).
+    */
+  def c30_qualityGate(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .select(col("doc_id"), tokCol.as("t"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("n_char"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("stop_hits",
+        size(expr(s"filter(t, x -> x IN ($stopsSql))")).cast("long"))
+      .withColumn("g2", grams(2)).withColumn("g3", grams(3)).withColumn("g4", grams(4))
+      .select(col("doc_id"), col("n_tok"), col("n_char"), col("stop_hits"),
+        dupE6(2), dupE6(3), dupE6(4))
+      .withColumn("reason",
+        when(col("n_tok") < MinTok, "too_short")
+          .when(col("n_tok") > MaxTok, "too_long")
+          .when(col("n_char") - col("n_tok") + 1 < lit(MinMeanTokLenX) * col("n_tok") ||
+            col("n_char") - col("n_tok") + 1 > lit(MaxMeanTokLenX) * col("n_tok"),
+            "bad_tok_len")
+          .when(col("stop_hits") * StopDenom < col("n_tok"), "low_stop")
+          .when(col("dup2_e6") > Dup2MaxE6 || col("dup3_e6") > Dup3MaxE6 ||
+            col("dup4_e6") > Dup4MaxE6, "repetitive")
+          .otherwise("keep"))
+      .withColumn("kept", col("reason") === "keep")
       .orderBy(col("doc_id"))
   }
 
@@ -124,6 +185,35 @@ object TextQuality {
          |SELECT doc_id, n_tok, dup2_e6, dup3_e6, dup4_e6,
          |  (dup2_e6 > $Dup2MaxE6 OR dup3_e6 > $Dup3MaxE6 OR dup4_e6 > $Dup4MaxE6) AS is_repetitive
          |FROM s ORDER BY doc_id""".stripMargin,
+    "c30_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t,
+         |  CAST(COALESCE(length(text), 0) AS BIGINT) AS n_char
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_char, CAST(len(t) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(t, x -> x IN ($stopsSql))) AS BIGINT) AS stop_hits,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3,
+         |  CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) ELSE [] END AS g4
+         |  FROM t),
+         |s AS (SELECT doc_id, n_tok, n_char, stop_hits,
+         |  CAST(CASE WHEN len(g2) = 0 THEN 0 ELSE (len(g2) - len(list_distinct(g2))) * 1000000 // len(g2) END AS BIGINT) AS dup2_e6,
+         |  CAST(CASE WHEN len(g3) = 0 THEN 0 ELSE (len(g3) - len(list_distinct(g3))) * 1000000 // len(g3) END AS BIGINT) AS dup3_e6,
+         |  CAST(CASE WHEN len(g4) = 0 THEN 0 ELSE (len(g4) - len(list_distinct(g4))) * 1000000 // len(g4) END AS BIGINT) AS dup4_e6
+         |  FROM g),
+         |v AS (SELECT *,
+         |  CASE WHEN n_tok < $MinTok THEN 'too_short'
+         |       WHEN n_tok > $MaxTok THEN 'too_long'
+         |       WHEN n_char - n_tok + 1 < $MinMeanTokLenX * n_tok
+         |         OR n_char - n_tok + 1 > $MaxMeanTokLenX * n_tok THEN 'bad_tok_len'
+         |       WHEN stop_hits * $StopDenom < n_tok THEN 'low_stop'
+         |       WHEN dup2_e6 > $Dup2MaxE6 OR dup3_e6 > $Dup3MaxE6
+         |         OR dup4_e6 > $Dup4MaxE6 THEN 'repetitive'
+         |       ELSE 'keep' END AS reason
+         |  FROM s)
+         |SELECT doc_id, n_tok, n_char, stop_hits, dup2_e6, dup3_e6, dup4_e6,
+         |  reason, reason = 'keep' AS kept
+         |FROM v ORDER BY doc_id""".stripMargin,
     "c8_text_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang,
@@ -158,5 +248,6 @@ object TextQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_text_quality" -> c8_textQuality _,
     "c29_repetition_stats" -> c29_repetitionStats _,
+    "c30_quality_gate" -> c30_qualityGate _,
   )
 }

@@ -505,6 +505,13 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"repetition stats must not shuffle, saw $hashEx:\n$p")
   }
 
+  test("c30: the quality verdict is one per-row projection — no join against c8/c29") {
+    val p = plan(TextQuality.c30_qualityGate(spark, sf0001))
+    assert(!p.contains("Join"), s"the gate must recompute signals in-row, not join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"the verdict must not shuffle, saw $hashEx:\n$p")
+  }
+
   test("c26: token counting is pure per-row work — no join, no hash shuffle") {
     val p = plan(TextOps.c26_bpeTokenStats(spark, sf0001))
     assert(!p.contains("Join"), s"piece counting must not join:\n$p")

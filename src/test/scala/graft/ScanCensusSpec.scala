@@ -126,6 +126,9 @@ class ScanCensusSpec extends SparkSpec {
     // c29: pure per-row map like c8/c23 — the n-gram arrays never
     // leave the projection
     "c29_repetition_stats" -> ((1, 0)),
+    // c30: the composed verdict recomputes every signal inside the one
+    // projection — no join-back against c8/c29 outputs
+    "c30_quality_gate" -> ((1, 0)),
     "c9_multimodal_decode" -> ((1, 0)),
     "c10_stopword_filter" -> ((1, 0)),
     "c17_multimodal_resize" -> ((1, 0)),

@@ -330,6 +330,40 @@ class WinnowLangSpec extends SparkSpec {
     assert(!got(3L).getAs[Boolean]("is_repetitive"))
   }
 
+  test("c30 ladder — one crafted doc per rung, first failing gate names the reason") {
+    // each doc is built to PASS every gate above its target rung
+    val keepDoc = "the cat sat on a mat and the dog ran to the " +
+      (1 to 20).map(i => s"word$i").mkString(" ") // stops 5/32 ≥ 1/50, all bigrams distinct
+    val looping = ("the of " * 30).trim            // stop-rich but 59 bigrams / 2 distinct
+    val longTok = Seq.fill(10)("extraordinarily").mkString(" ") // mean len 15 > 12
+    val noStops = (1 to 100).map(i => s"w$i").mkString(" ")     // 0 stop hits
+    val tooLong = Seq.fill(1001)("the").mkString(" ")
+    val d = writeDocs("c30", Seq(
+      (0L, null, null, null, null),
+      (1L, "one two three", "en", "web", 13L: java.lang.Long),
+      (2L, tooLong, "en", "web", tooLong.length.toLong: java.lang.Long),
+      (3L, longTok, "en", "web", longTok.length.toLong: java.lang.Long),
+      (4L, noStops, "en", "web", noStops.length.toLong: java.lang.Long),
+      (5L, looping, "en", "web", looping.length.toLong: java.lang.Long),
+      (6L, keepDoc, "en", "web", keepDoc.length.toLong: java.lang.Long)))
+    val got = graft.ops.TextQuality.c30_qualityGate(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val want = Map(0L -> "too_short", 1L -> "too_short", 2L -> "too_long",
+      3L -> "bad_tok_len", 4L -> "low_stop", 5L -> "repetitive", 6L -> "keep")
+    for ((id, reason) <- want) {
+      assert(got(id).getAs[String]("reason") === reason, s"doc $id")
+      assert(got(id).getAs[Boolean]("kept") === (reason == "keep"), s"doc $id kept")
+    }
+    // the ladder is ordered: the looping doc would ALSO fail low_stop?
+    // no — it is stop-rich by construction, so repetitive is the first
+    // failing rung; the no-stop doc has distinct unigram text so
+    // low_stop is its first failure. Signals agree with c29's model:
+    assert(got(5L).getAs[Long]("dup2_e6") === (59L - 2L) * 1000000L / 59L)
+    // exact integer boundary: stop_hits·50 ≥ n_tok keeps doc 6 (5·50=250 ≥ 32)
+    assert(got(6L).getAs[Long]("stop_hits") === 5L)
+    assert(got(6L).getAs[Long]("n_tok") === 32L)
+  }
+
   // ---- c26 ------------------------------------------------------------
 
   /** Scala model of c26 via java.util.regex over the same pattern —
