@@ -167,6 +167,55 @@ object TextQuality {
       .orderBy(col("doc_id"))
   }
 
+  /** c31 PII patterns — deliberately restricted to the Java-regex ∩ RE2
+    * common subset (no lookaround, no backrefs, ASCII `\d`/`\b`), so
+    * Spark's codegen'd regexp kernels and the DuckDB oracle match
+    * byte-for-byte. Redaction applies the four replaces in this fixed
+    * order (each global), which makes the output deterministic even
+    * where patterns could overlap.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** c31: PII detection + redaction — the scrub stage a pretraining
+    * pipeline runs before the corpus writer (emails / SSNs / phone
+    * numbers / IPv4 addresses → typed placeholder tokens, the
+    * CCNet/RefinedWeb/Dolma pattern). Counts are measured per pattern
+    * on the ORIGINAL text (so the census is order-independent);
+    * redaction applies the four global replaces in the fixed
+    * email → ssn → phone → ip order. Null text stays null with zero
+    * counts (totality).
+    *
+    * Scale (100 TB): pure per-row regexp work in one projection over
+    * one corpus scan — the patterns compile once per task and run in
+    * Spark's codegen'd regexp kernels; no shuffle, no join
+    * (PlanSpec-pinned). The corpus's synthetic text carries no PII, so
+    * the fixture oracle exercises the zero-hit passthrough; the
+    * semantics are pinned on crafted PII fixtures in scalatest.
+    */
+  def c31_piiRedact(spark: SparkSession, d: String): DataFrame = {
+    def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        coalesce(cnt(EmailPat), lit(0L)).as("n_email"),
+        coalesce(cnt(SsnPat), lit(0L)).as("n_ssn"),
+        coalesce(cnt(PhonePat), lit(0L)).as("n_phone"),
+        coalesce(cnt(Ipv4Pat), lit(0L)).as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+              lit(SsnPat), lit("<SSN>")),
+            lit(PhonePat), lit("<PHONE>")),
+          lit(Ipv4Pat), lit("<IP>")).as("text_redacted"))
+      .withColumn("n_pii",
+        col("n_email") + col("n_ssn") + col("n_phone") + col("n_ip"))
+      .withColumn("has_pii", col("n_pii") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "c29_repetition_stats" ->
       s"""WITH t AS (SELECT doc_id,
@@ -185,6 +234,24 @@ object TextQuality {
          |SELECT doc_id, n_tok, dup2_e6, dup3_e6, dup4_e6,
          |  (dup2_e6 > $Dup2MaxE6 OR dup3_e6 > $Dup3MaxE6 OR dup4_e6 > $Dup4MaxE6) AS is_repetitive
          |FROM s ORDER BY doc_id""".stripMargin,
+    "c31_pii_redact" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(COALESCE(len(regexp_extract_all(text, '$EmailPat')), 0) AS BIGINT) AS n_email,
+         |  CAST(COALESCE(len(regexp_extract_all(text, '$SsnPat')), 0) AS BIGINT) AS n_ssn,
+         |  CAST(COALESCE(len(regexp_extract_all(text, '$PhonePat')), 0) AS BIGINT) AS n_phone,
+         |  CAST(COALESCE(len(regexp_extract_all(text, '$Ipv4Pat')), 0) AS BIGINT) AS n_ip,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+         |        '$SsnPat', '<SSN>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g'),
+         |    '$Ipv4Pat', '<IP>', 'g') AS text_redacted
+         |  FROM documents)
+         |SELECT doc_id, n_email, n_ssn, n_phone, n_ip, text_redacted,
+         |  n_email + n_ssn + n_phone + n_ip AS n_pii,
+         |  n_email + n_ssn + n_phone + n_ip > 0 AS has_pii
+         |FROM c ORDER BY doc_id""".stripMargin,
     "c30_quality_gate" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t,
@@ -249,5 +316,6 @@ object TextQuality {
     "c8_text_quality" -> c8_textQuality _,
     "c29_repetition_stats" -> c29_repetitionStats _,
     "c30_quality_gate" -> c30_qualityGate _,
+    "c31_pii_redact" -> c31_piiRedact _,
   )
 }

@@ -73,9 +73,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 107 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 107)
-    assert(SparkEntry.oracleSql.size === 96)
+  test("the inventory holds all 108 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 108)
+    assert(SparkEntry.oracleSql.size === 97)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

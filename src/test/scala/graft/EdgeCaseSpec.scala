@@ -73,7 +73,7 @@ class EdgeCaseSpec extends SparkSpec {
     "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup",
     "c26_bpe_token_stats", "c27_contamination", "x_contain_from_postings",
     "c28_pack_bpe", "x_neardup_bucketed", "x_neardup_incremental",
-    "c29_repetition_stats", "c30_quality_gate",
+    "c29_repetition_stats", "c30_quality_gate", "c31_pii_redact",
     // s9/s10 read documents, not events — the streaming queries that
     // belong in the corpus sweep (dirty text through the classifier /
     // audit stream; empty corpus must drain to an empty sink)

@@ -512,6 +512,13 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"the verdict must not shuffle, saw $hashEx:\n$p")
   }
 
+  test("c31: PII scrub is one per-row regexp projection — no join, no hash shuffle") {
+    val p = plan(TextQuality.c31_piiRedact(spark, sf0001))
+    assert(!p.contains("Join"), s"the scrub must not join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"the scrub must not shuffle, saw $hashEx:\n$p")
+  }
+
   test("c26: token counting is pure per-row work — no join, no hash shuffle") {
     val p = plan(TextOps.c26_bpeTokenStats(spark, sf0001))
     assert(!p.contains("Join"), s"piece counting must not join:\n$p")

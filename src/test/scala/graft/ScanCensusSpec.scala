@@ -129,6 +129,9 @@ class ScanCensusSpec extends SparkSpec {
     // c30: the composed verdict recomputes every signal inside the one
     // projection — no join-back against c8/c29 outputs
     "c30_quality_gate" -> ((1, 0)),
+    // c31: four pattern counts + the chained redaction, all in one
+    // per-row regexp projection
+    "c31_pii_redact" -> ((1, 0)),
     "c9_multimodal_decode" -> ((1, 0)),
     "c10_stopword_filter" -> ((1, 0)),
     "c17_multimodal_resize" -> ((1, 0)),

@@ -364,6 +364,35 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(6L).getAs[Long]("n_tok") === 32L)
   }
 
+  test("c31 scrubs all four PII families; counts measure the original text") {
+    val pii = "mail bob.smith+x@ex-ample.co.uk now, ssn 123-45-6789, " +
+      "call 555.123.4567 or 555-123-4567, host 10.0.255.1 end"
+    val clean = "no pii here just words and 12.3 numbers 1234-5678"
+    val d = writeDocs("c31", Seq(
+      (0L, null, null, null, null),
+      (1L, pii, "en", "web", pii.length.toLong: java.lang.Long),
+      (2L, clean, "en", "web", clean.length.toLong: java.lang.Long)))
+    val got = graft.ops.TextQuality.c31_piiRedact(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // null text: zero counts, null passthrough — totality
+    assert(got(0L).getAs[Long]("n_pii") === 0L)
+    assert(got(0L).getAs[String]("text_redacted") === null)
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_email") === 1L)   // multi-label domain backtracks to .uk
+    assert(r1.getAs[Long]("n_ssn") === 1L)
+    assert(r1.getAs[Long]("n_phone") === 2L)   // dot- and dash-separated forms
+    assert(r1.getAs[Long]("n_ip") === 1L)
+    assert(r1.getAs[Long]("n_pii") === 5L && r1.getAs[Boolean]("has_pii"))
+    // the SSN pattern must NOT fire inside a phone number (3-3-4 vs 3-2-4),
+    // so the ordered replace chain leaves exactly this:
+    assert(r1.getAs[String]("text_redacted") ===
+      "mail <EMAIL> now, ssn <SSN>, call <PHONE> or <PHONE>, host <IP> end")
+    // near-miss shapes (2-octet version string, 4-4 digit code) stay put
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_pii") === 0L && !r2.getAs[Boolean]("has_pii"))
+    assert(r2.getAs[String]("text_redacted") === clean)
+  }
+
   // ---- c26 ------------------------------------------------------------
 
   /** Scala model of c26 via java.util.regex over the same pattern —
