@@ -143,16 +143,19 @@ object TextQuality {
     * sink consumes. Null/short text falls out of the ladder at
     * `too_short` (c23's totality posture).
     */
-  def c30_qualityGate(spark: SparkSession, d: String): DataFrame = {
+  /** the per-doc signal+verdict frame shared by c30 (row grain) and
+    * c32 (per-source census grain) — carries `source` through
+    */
+  private def gateVerdict(spark: SparkSession, d: String): DataFrame = {
     Tables.documents(spark, d)
-      .select(col("doc_id"), tokCol.as("t"),
+      .select(col("doc_id"), col("source"), tokCol.as("t"),
         coalesce(length(col("text")).cast("long"), lit(0L)).as("n_char"))
       .withColumn("n_tok", size(col("t")).cast("long"))
       .withColumn("stop_hits",
         size(expr(s"filter(t, x -> x IN ($stopsSql))")).cast("long"))
       .withColumn("g2", grams(2)).withColumn("g3", grams(3)).withColumn("g4", grams(4))
-      .select(col("doc_id"), col("n_tok"), col("n_char"), col("stop_hits"),
-        dupE6(2), dupE6(3), dupE6(4))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("n_char"),
+        col("stop_hits"), dupE6(2), dupE6(3), dupE6(4))
       .withColumn("reason",
         when(col("n_tok") < MinTok, "too_short")
           .when(col("n_tok") > MaxTok, "too_long")
@@ -164,8 +167,34 @@ object TextQuality {
             col("dup4_e6") > Dup4MaxE6, "repetitive")
           .otherwise("keep"))
       .withColumn("kept", col("reason") === "keep")
-      .orderBy(col("doc_id"))
   }
+
+  def c30_qualityGate(spark: SparkSession, d: String): DataFrame =
+    gateVerdict(spark, d)
+      .select(col("doc_id"), col("n_tok"), col("n_char"), col("stop_hits"),
+        col("dup2_e6"), col("dup3_e6"), col("dup4_e6"), col("reason"), col("kept"))
+      .orderBy(col("doc_id"))
+
+  /** c32: the per-source curation funnel — c30's verdict rolled up to
+    * (source, reason) grain: document counts and token/char mass per
+    * rung, per corpus slice. This is the census a curation report
+    * publishes (RefinedWeb/FineWeb-style per-domain funnels) and what
+    * an operator watches to see WHICH feed is losing documents to
+    * WHICH gate.
+    *
+    * Scale (100 TB): the per-doc verdict is the same single-scan
+    * projection as c30; the rollup is ONE map-side-combined groupBy
+    * whose key space is |sources| × 6 reasons — KB-sized partials, one
+    * hash exchange total (PlanSpec-pinned). The n-gram arrays reduce
+    * to three BIGINTs before the shuffle, so no document bytes move.
+    */
+  def c32_domainStats(spark: SparkSession, d: String): DataFrame =
+    gateVerdict(spark, d)
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_sum"),
+        sum(col("n_char")).as("char_sum"))
+      .orderBy(col("source"), col("reason"))
 
   /** c31 PII patterns — deliberately restricted to the Java-regex ∩ RE2
     * common subset (no lookaround, no backrefs, ASCII `\d`/`\b`), so
@@ -252,6 +281,37 @@ object TextQuality {
          |  n_email + n_ssn + n_phone + n_ip AS n_pii,
          |  n_email + n_ssn + n_phone + n_ip > 0 AS has_pii
          |FROM c ORDER BY doc_id""".stripMargin,
+    "c32_domain_stats" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t,
+         |  CAST(COALESCE(length(text), 0) AS BIGINT) AS n_char
+         |  FROM documents),
+         |g AS (SELECT doc_id, source, n_char, CAST(len(t) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(t, x -> x IN ($stopsSql))) AS BIGINT) AS stop_hits,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3,
+         |  CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) ELSE [] END AS g4
+         |  FROM t),
+         |s AS (SELECT doc_id, source, n_tok, n_char, stop_hits,
+         |  CAST(CASE WHEN len(g2) = 0 THEN 0 ELSE (len(g2) - len(list_distinct(g2))) * 1000000 // len(g2) END AS BIGINT) AS dup2_e6,
+         |  CAST(CASE WHEN len(g3) = 0 THEN 0 ELSE (len(g3) - len(list_distinct(g3))) * 1000000 // len(g3) END AS BIGINT) AS dup3_e6,
+         |  CAST(CASE WHEN len(g4) = 0 THEN 0 ELSE (len(g4) - len(list_distinct(g4))) * 1000000 // len(g4) END AS BIGINT) AS dup4_e6
+         |  FROM g),
+         |v AS (SELECT *,
+         |  CASE WHEN n_tok < $MinTok THEN 'too_short'
+         |       WHEN n_tok > $MaxTok THEN 'too_long'
+         |       WHEN n_char - n_tok + 1 < $MinMeanTokLenX * n_tok
+         |         OR n_char - n_tok + 1 > $MaxMeanTokLenX * n_tok THEN 'bad_tok_len'
+         |       WHEN stop_hits * $StopDenom < n_tok THEN 'low_stop'
+         |       WHEN dup2_e6 > $Dup2MaxE6 OR dup3_e6 > $Dup3MaxE6
+         |         OR dup4_e6 > $Dup4MaxE6 THEN 'repetitive'
+         |       ELSE 'keep' END AS reason
+         |  FROM s)
+         |SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+         |  CAST(sum(n_char) AS BIGINT) AS char_sum
+         |FROM v GROUP BY source, reason
+         |ORDER BY source NULLS FIRST, reason""".stripMargin,
     "c30_quality_gate" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t,
@@ -317,5 +377,6 @@ object TextQuality {
     "c29_repetition_stats" -> c29_repetitionStats _,
     "c30_quality_gate" -> c30_qualityGate _,
     "c31_pii_redact" -> c31_piiRedact _,
+    "c32_domain_stats" -> c32_domainStats _,
   )
 }

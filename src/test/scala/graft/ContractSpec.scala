@@ -73,9 +73,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 108 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 108)
-    assert(SparkEntry.oracleSql.size === 97)
+  test("the inventory holds all 109 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 109)
+    assert(SparkEntry.oracleSql.size === 98)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -519,6 +519,17 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"the scrub must not shuffle, saw $hashEx:\n$p")
   }
 
+  test("c32: the funnel census pays ONE rollup exchange over slim partials") {
+    val p = plan(TextQuality.c32_domainStats(spark, sf0001))
+    assert(!p.contains("Join"), s"the census must not join:\n$p")
+    // partial HashAggregate before the exchange: document bytes and the
+    // n-gram arrays must reduce map-side, leaving a KB-sized shuffle
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"exactly the rollup exchange, saw $hashEx:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"rollup must be partial+final (map-side combine):\n$p")
+  }
+
   test("c26: token counting is pure per-row work — no join, no hash shuffle") {
     val p = plan(TextOps.c26_bpeTokenStats(spark, sf0001))
     assert(!p.contains("Join"), s"piece counting must not join:\n$p")

@@ -132,6 +132,9 @@ class ScanCensusSpec extends SparkSpec {
     // c31: four pattern counts + the chained redaction, all in one
     // per-row regexp projection
     "c31_pii_redact" -> ((1, 0)),
+    // c32: c30's verdict reduced to (source, reason) — the n-gram
+    // arrays collapse to three BIGINTs before the one rollup exchange
+    "c32_domain_stats" -> ((1, 1)),
     "c9_multimodal_decode" -> ((1, 0)),
     "c10_stopword_filter" -> ((1, 0)),
     "c17_multimodal_resize" -> ((1, 0)),

@@ -364,6 +364,33 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(6L).getAs[Long]("n_tok") === 32L)
   }
 
+  test("c32 census tiles c30's per-doc verdicts exactly — two sources, all rungs") {
+    val looping = ("the of " * 30).trim
+    val longDoc = "the cat sat on a mat and the dog ran to the " +
+      (1 to 20).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, null: String, null: String, "feedA", null: java.lang.Long),
+      (1L, "one two three", "en", "feedA", 13L: java.lang.Long),
+      (2L, looping, "en", "feedB", looping.length.toLong: java.lang.Long),
+      (3L, longDoc, "en", "feedB", longDoc.length.toLong: java.lang.Long),
+      (4L, longDoc, "en", "feedA", longDoc.length.toLong: java.lang.Long))
+    val d = writeDocs("c32", docs)
+    val srcOf = docs.map(x => x._1 -> x._4).toMap
+    val verdicts = graft.ops.TextQuality.c30_qualityGate(spark, d).collect()
+      .map(r => (srcOf(r.getAs[Long]("doc_id")), r.getAs[String]("reason"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("n_char")))
+    val want = verdicts.groupBy(v => (v._1, v._2)).map { case ((s, r), vs) =>
+      (s, r) -> ((vs.length.toLong, vs.map(_._3).sum, vs.map(_._4).sum))
+    }
+    val got = graft.ops.TextQuality.c32_domainStats(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("reason")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tok_sum"), r.getAs[Long]("char_sum"))))
+      .toMap
+    assert(got === want)
+    // the census partitions the corpus: totals add back to 5 docs
+    assert(got.values.map(_._1).sum === 5L)
+  }
+
   test("c31 scrubs all four PII families; counts measure the original text") {
     val pii = "mail bob.smith+x@ex-ample.co.uk now, ssn 123-45-6789, " +
       "call 555.123.4567 or 555-123-4567, host 10.0.255.1 end"
