@@ -143,11 +143,13 @@ object TextQuality {
     * sink consumes. Null/short text falls out of the ladder at
     * `too_short` (c23's totality posture).
     */
-  /** the per-doc signal+verdict frame shared by c30 (row grain) and
-    * c32 (per-source census grain) — carries `source` through
+  /** the per-doc signal+verdict frame shared by c30 (row grain), c32
+    * (per-source census grain) and s11 (the same transform over a
+    * STREAMING documents frame — stateless pure maps, so append mode
+    * needs no watermark) — carries `source` through
     */
-  private def gateVerdict(spark: SparkSession, d: String): DataFrame = {
-    Tables.documents(spark, d)
+  def gateVerdictOf(docs: DataFrame): DataFrame = {
+    docs
       .select(col("doc_id"), col("source"), tokCol.as("t"),
         coalesce(length(col("text")).cast("long"), lit(0L)).as("n_char"))
       .withColumn("n_tok", size(col("t")).cast("long"))
@@ -169,11 +171,14 @@ object TextQuality {
       .withColumn("kept", col("reason") === "keep")
   }
 
-  def c30_qualityGate(spark: SparkSession, d: String): DataFrame =
-    gateVerdict(spark, d)
+  /** c30's output projection over the verdict frame (shared with s11) */
+  def gateRows(docs: DataFrame): DataFrame =
+    gateVerdictOf(docs)
       .select(col("doc_id"), col("n_tok"), col("n_char"), col("stop_hits"),
         col("dup2_e6"), col("dup3_e6"), col("dup4_e6"), col("reason"), col("kept"))
-      .orderBy(col("doc_id"))
+
+  def c30_qualityGate(spark: SparkSession, d: String): DataFrame =
+    gateRows(Tables.documents(spark, d)).orderBy(col("doc_id"))
 
   /** c32: the per-source curation funnel — c30's verdict rolled up to
     * (source, reason) grain: document counts and token/char mass per
@@ -189,7 +194,7 @@ object TextQuality {
     * to three BIGINTs before the shuffle, so no document bytes move.
     */
   def c32_domainStats(spark: SparkSession, d: String): DataFrame =
-    gateVerdict(spark, d)
+    gateVerdictOf(Tables.documents(spark, d))
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tok_sum"),

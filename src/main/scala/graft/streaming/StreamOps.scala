@@ -621,6 +621,37 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s11: the quality gate ON ARRIVAL — c30's streaming twin, the
+    * gate-on-ingest shape of corpus curation: documents stream in from
+    * the file source, every micro-batch walks the SAME verdict ladder
+    * as the batch query ([[graft.ops.TextQuality.gateRows]] — stateless
+    * pure per-row maps, so append mode needs no watermark and holds no
+    * state), is sunk replay-idempotently (batchId-keyed overwrite, see
+    * s1), and read back ordered. Stream ≡ batch exactly — shared
+    * transform, deterministic per-row work, no aggregation to re-order
+    * — so s11 carries c30's DuckDB oracle VERBATIM and is
+    * driver-hash-checked (the s9/s10 stream/batch-parity contract): a
+    * lake runs ONE gate implementation in both its backfill and its
+    * arrival paths, and a doc's verdict cannot depend on which path
+    * scored it.
+    */
+  def s11_streamQualityGate(spark: SparkSession, d: String): DataFrame = {
+    val (out, chk) = sinkDirs("s11", d)
+    val gated = graft.ops.TextQuality.gateRows(stagedFileStream(spark, d, "documents"))
+    val q = gated.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    readSink(spark, out, gated.schema)
+      .select(gated.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** s10: the contamination audit ON ARRIVAL — c27's streaming twin,
     * and the reference's whole program shape (classify each record as
     * it is consumed, ConsumerMultiThread.java:101-155) applied to the
@@ -721,6 +752,8 @@ object StreamOps {
     "s9_stream_lang_id" -> graft.ops.TextOps.oracles("c23_lang_id"),
     // stream ≡ batch for the stateless audit: c27's oracle verbatim
     "s10_stream_contamination" -> graft.ops.TextOps.oracles("c27_contamination"),
+    // stream ≡ batch for the stateless gate: c30's oracle verbatim
+    "s11_stream_quality_gate" -> graft.ops.TextQuality.oracles("c30_quality_gate"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -781,5 +814,6 @@ object StreamOps {
     "s8_stream_hll_rollup" -> s8_streamHllRollup _,
     "s9_stream_lang_id"  -> s9_streamLangId _,
     "s10_stream_contamination" -> s10_streamContamination _,
+    "s11_stream_quality_gate" -> s11_streamQualityGate _,
   )
 }

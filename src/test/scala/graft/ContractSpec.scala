@@ -67,15 +67,18 @@ class ContractSpec extends AnyFunSuite {
       "x_neardup_bucketed" -> "c25_winnow_neardup",
       // stream ≡ batch for the stateless audit (s10 is c27's streaming
       // twin, like s9/c23 — same rows, same order)
-      "s10_stream_contamination" -> "c27_contamination")
+      "s10_stream_contamination" -> "c27_contamination",
+      // stream ≡ batch for the stateless quality gate (s11 is c30's
+      // streaming twin — same rows, same order)
+      "s11_stream_quality_gate" -> "c30_quality_gate")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 109 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 109)
-    assert(SparkEntry.oracleSql.size === 98)
+  test("the inventory holds all 110 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 110)
+    assert(SparkEntry.oracleSql.size === 99)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

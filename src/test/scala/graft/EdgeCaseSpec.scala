@@ -78,7 +78,8 @@ class EdgeCaseSpec extends SparkSpec {
     // s9/s10 read documents, not events — the streaming queries that
     // belong in the corpus sweep (dirty text through the classifier /
     // audit stream; empty corpus must drain to an empty sink)
-    "s9_stream_lang_id", "s10_stream_contamination")
+    "s9_stream_lang_id", "s10_stream_contamination",
+    "s11_stream_quality_gate")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

@@ -340,6 +340,18 @@ class StreamingSpec extends SparkSpec {
       "streamed classification must equal the batch query exactly")
   }
 
+  test("s11 semantics: streamed quality gate ≡ the batch c30, row-for-row") {
+    // stateless pure per-row ladder: every verdict is complete within
+    // its own micro-batch, so the union of sunk batches IS the batch
+    // gate however the file source cuts the corpus (the s9 contract)
+    val streamed = graft.streaming.StreamOps
+      .s11_streamQualityGate(spark, sf0001).collect()
+    val batch = graft.ops.TextQuality.c30_qualityGate(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed gate must equal the batch query exactly")
+  }
+
   test("s10 semantics: streamed contamination audit ≡ the batch c27, row-for-row") {
     // per-row fingerprinting + a per-batch broadcast probe against the
     // standing index: every (eval, train) pair is complete within the
