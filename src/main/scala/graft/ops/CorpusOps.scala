@@ -483,7 +483,83 @@ object CorpusOps {
       .orderBy(col("rnk"))
   }
 
+  /** c33 vocab size — the rarity model's driver state is exactly this
+    * many (term, bits) pairs, collected once (the IVF-codebook
+    * pattern: model size is a CONSTANT, decoupled from corpus size)
+    */
+  val RarityV = 256L
+
+  /** c33: per-document rarity score — the quality-based data-SELECTION
+    * signal (the exact-integer stand-in for CCNet/DSIR-style LM
+    * scoring): train a document-frequency model over the corpus, then
+    * score each document by the summed rarity of its tokens. The
+    * rarity unit is `length(bin(N / df))` = floor(log2(N/df)) + 1 —
+    * an IDF in whole bits computed by BINARY-STRING LENGTH, never a
+    * float log, so Spark and DuckDB agree exactly. Tokens outside the
+    * top-[[RarityV]] vocabulary score the out-of-vocabulary maximum
+    * `length(bin(N))`. Null text scores zero (totality).
+    *
+    * Scale (100 TB): training is one map-side-combined df reduce (the
+    * per-doc array_distinct collapses inside the scan; only
+    * (term, count) longs shuffle) of which just the top-V rows — KB of
+    * driver state, size-pinned like the IVF/PQ codebooks — are
+    * collected and compiled into a single map literal. The scoring
+    * pass is then pure per-row work over ONE corpus scan: the lookup
+    * map rides the plan as one broadcast literal, the token fold runs
+    * inside the projection, and the only exchange left is the
+    * presentation sort (PlanSpec pins no-Join / zero hash exchanges).
+    */
+  def c33_rarityScore(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val nDocs = math.max(docs.count(), 1L)
+    val vocab = docs
+      .select(explode(expr(
+        "array_distinct(CASE WHEN text IS NULL THEN array() ELSE split(text, ' ') END)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(RarityV.toInt)
+      .collect()
+    val bits: Map[String, Long] = vocab.map { r =>
+      r.getString(0) -> java.lang.Long.toBinaryString(nDocs / r.getLong(1)).length.toLong
+    }.toMap
+    val oovBits = java.lang.Long.toBinaryString(nDocs).length.toLong
+    val bmap = typedLit(bits)
+    docs
+      .select(col("doc_id"), expr(
+        "CASE WHEN text IS NULL THEN array() ELSE split(text, ' ') END").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("rarity_sum", aggregate(col("t"), lit(0L),
+        (acc, x) => acc + coalesce(element_at(bmap, x), lit(oovBits))))
+      .withColumn("rarity_mean_e6",
+        when(col("n_tok") === 0L, 0L)
+          .otherwise(expr("rarity_sum * 1000000L DIV n_tok")))
+      .select(col("doc_id"), col("n_tok"), col("rarity_sum"), col("rarity_mean_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c33_rarity_score" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t
+         |  FROM documents),
+         |n AS (SELECT CAST(GREATEST(count(*), 1) AS BIGINT) AS n FROM documents),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM t)
+         |  GROUP BY term),
+         |vocab AS (SELECT term,
+         |  CAST(length(bin((SELECT n FROM n) // df)) AS BIGINT) AS bits
+         |  FROM dfc ORDER BY df DESC, term LIMIT $RarityV),
+         |oov AS (SELECT CAST(length(bin(n)) AS BIGINT) AS bits FROM n),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM t),
+         |sc AS (SELECT tok.doc_id,
+         |  CAST(SUM(COALESCE(v.bits, (SELECT bits FROM oov))) AS BIGINT) AS rarity_sum
+         |  FROM tok LEFT JOIN vocab v USING (term) GROUP BY tok.doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok,
+         |  COALESCE(sc.rarity_sum, 0) AS rarity_sum,
+         |  CAST(CASE WHEN len(t.t) = 0 THEN 0
+         |       ELSE COALESCE(sc.rarity_sum, 0) * 1000000 // len(t.t) END AS BIGINT)
+         |    AS rarity_mean_e6
+         |FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "c22_vocab_coverage" ->
       s"""WITH counts AS (
          |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
@@ -648,5 +724,6 @@ object CorpusOps {
     "x_pack_twophase"     -> x_packTwophase _,
     "c20_bigram_stats"    -> c20_bigramStats _,
     "c22_vocab_coverage"  -> c22_vocabCoverage _,
+    "c33_rarity_score"    -> c33_rarityScore _,
   )
 }

@@ -530,6 +530,13 @@ class PlanSpec extends SparkSpec {
       s"rollup must be partial+final (map-side combine):\n$p")
   }
 
+  test("c33: scoring is one per-row projection — the df model rides as a literal") {
+    val p = plan(CorpusOps.c33_rarityScore(spark, sf0001))
+    assert(!p.contains("Join"), s"the lookup must be a map literal, not a join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"scoring must not shuffle, saw $hashEx:\n$p")
+  }
+
   test("c26: token counting is pure per-row work — no join, no hash shuffle") {
     val p = plan(TextOps.c26_bpeTokenStats(spark, sf0001))
     assert(!p.contains("Join"), s"piece counting must not join:\n$p")

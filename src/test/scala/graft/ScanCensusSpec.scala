@@ -134,7 +134,11 @@ class ScanCensusSpec extends SparkSpec {
     "c31_pii_redact" -> ((1, 0)),
     // c32: c30's verdict reduced to (source, reason) — the n-gram
     // arrays collapse to three BIGINTs before the one rollup exchange
-    "c32_domain_stats" -> ((1, 1)),
+    // (PlanSpec pins hashEx==1; no exchange is re-read, so reused=0)
+    "c32_domain_stats" -> ((1, 0)),
+    // c33: the df model trains in its own eager job; the SCORING plan
+    // is one scan + the broadcast map literal — no join, no exchange
+    "c33_rarity_score" -> ((1, 0)),
     "c9_multimodal_decode" -> ((1, 0)),
     "c10_stopword_filter" -> ((1, 0)),
     "c17_multimodal_resize" -> ((1, 0)),
@@ -222,6 +226,7 @@ class ScanCensusSpec extends SparkSpec {
     // s10 censuses the flagged-containment sink read-back (the streamed
     // audit has its own per-micro-batch plans): one scan of the sink
     "s10_stream_contamination" -> ((1, 0)),
+    "s11_stream_quality_gate" -> ((1, 0)),
     "x_approx_distinct" -> ((1, 0)),
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),

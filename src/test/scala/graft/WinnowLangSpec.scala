@@ -364,6 +364,48 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(6L).getAs[Long]("n_tok") === 32L)
   }
 
+  /** Scala model of c33: top-V df vocab, rarity = length of the binary
+    * form of N/df, OOV = length of bin(N); ASCII terms so Scala string
+    * order ≡ Spark's binary sort.
+    */
+  private def rarityModel(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val n = math.max(docs.size.toLong, 1L)
+    val toks = docs.map { case (id, t) =>
+      id -> (if (t == null) Array[String]() else t.split(" ", -1))
+    }
+    val df = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = df.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(graft.ops.CorpusOps.RarityV.toInt)
+      .map { case (t, c) => t -> java.lang.Long.toBinaryString(n / c).length.toLong }
+      .toMap
+    val oov = java.lang.Long.toBinaryString(n).length.toLong
+    toks.map { case (id, ts) =>
+      val s = ts.map(t => vocab.getOrElse(t, oov)).sum
+      id -> ((ts.length.toLong, s, if (ts.isEmpty) 0L else s * 1000000L / ts.length))
+    }.toMap
+  }
+
+  test("c33 ≡ the top-V df model — hand corpus, null doc, and an OOV tail") {
+    // 300 distinct singleton terms force a tail past V=256: the 44
+    // lexicographically-last df=1 terms are OOV and score bin(N) bits
+    val wide = (1 to 300).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, null: String), (1L, "a a b"), (2L, "a c"), (3L, "b d"), (4L, wide))
+    val d = writeDocs("c33", docs.map { case (id, t) =>
+      (id, t, "en", "web", if (t == null) null
+      else (t.length.toLong: java.lang.Long)) })
+    val want = rarityModel(docs)
+    val got = graft.ops.CorpusOps.c33_rarityScore(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("rarity_sum"),
+          r.getAs[Long]("rarity_mean_e6")))).toMap
+    assert(got === want)
+    // spot-check the hand math: N=5, df(a)=2 → bin(2)='10' → 2 bits
+    assert(got(1L)._2 === 2L + 2L + 2L) // a + a + b, df(b)=2 as well
+    assert(got(0L) === ((0L, 0L, 0L)))  // null text: zero, totality
+  }
+
   test("c32 census tiles c30's per-doc verdicts exactly — two sources, all rungs") {
     val looping = ("the of " * 30).trim
     val longDoc = "the cat sat on a mat and the dog ran to the " +
