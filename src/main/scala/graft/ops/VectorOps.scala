@@ -431,6 +431,30 @@ object VectorOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** x_semantic_dedup: SEMANTIC deduplication (the SemDeDup shape,
+    * Abbas et al. 2023: drop documents whose EMBEDDINGS nearly
+    * coincide even when their text differs — paraphrases, templated
+    * rewrites, boilerplate variants that every lexical family c2/c6/
+    * c24 misses): c7's exact blocked cosine pairs at the same e6
+    * threshold, resolved by [[graft.ops.TextOps.clustersOf]] into
+    * connected components with the component-minimum vec_id as the
+    * canonical survivor — the 5th near-dup family, closing the dedup
+    * ladder at the semantic level.
+    *
+    * Scale (100 TB): pair generation is c7's block-partitioned exact
+    * join (every (i<j) pair in exactly one task, no all-pairs
+    * materialization); cluster state is 16 B/node with checkpointed
+    * sweeps (c15's argument) and the label graph holds only the pairs
+    * that crossed the threshold — embeddings never shuffle past the
+    * pair stage. Output matches c15's contract: (vec_id, cluster_id =
+    * component min, is_canonical); singletons — vectors with no
+    * neighbor ≥ the threshold — are not near-duplicates and do not
+    * appear, exactly like c15.
+    */
+  def x_semanticDedup(spark: SparkSession, d: String): DataFrame =
+    graft.ops.TextOps.clustersOf(c7_cosineNeardup(spark, d))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+
   /** Per-label embedding centroids via the typed [[graft.functions.VectorCentroid]]
     * Aggregator (map-side combinable; no oracle — double-sum order is
     * partition-dependent, so equality is asserted in scalatest with a
@@ -529,6 +553,28 @@ object VectorOps {
         |FROM sims
         |QUALIFY rnk <= 10
         |ORDER BY probe_id, rnk""".stripMargin,
+    // c7's pair query + c15's recursive min-label closure: the proven
+    // oracle patterns composed, like the operator itself
+    "x_semantic_dedup" ->
+      """WITH RECURSIVE un AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS dot,
+        |    SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(a.embedding, i) AS DOUBLE)) AS na,
+        |    SUM(CAST(list_extract(b.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |       unnest(range(1, 65)) AS r(i)
+        |  GROUP BY 1, 2),
+        |verified AS (SELECT a_id, b_id FROM un
+        |  WHERE FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6) >= 400000),
+        |e AS (SELECT a_id, b_id FROM verified
+        |      UNION SELECT b_id AS a_id, a_id AS b_id FROM verified),
+        |reach(id, r) AS (
+        |  SELECT a_id, b_id FROM e
+        |  UNION
+        |  SELECT reach.id, e.b_id FROM reach JOIN e ON reach.r = e.a_id)
+        |SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+        |  id = MIN(r) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY cluster_id, vec_id""".stripMargin,
     "c7_cosine_neardup" ->
       """WITH un AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -563,5 +609,6 @@ object VectorOps {
     "x_ann_quantized"    -> x_annQuantized _,
     "x_ann_pq"           -> x_annPq _,
     "x_ann_ivfpq"        -> x_annIvfPq _,
+    "x_semantic_dedup"   -> x_semanticDedup _,
   )
 }

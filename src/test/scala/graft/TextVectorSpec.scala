@@ -24,6 +24,33 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("x_semantic_dedup: cosine components resolve with min-id canonicals") {
+    import spark.implicits._
+    // {1,2,4} coincide up to small perturbations (pairwise cos ≈ 0.99),
+    // 3 is orthogonal to everything (singleton → absent, like c15),
+    // {5,6} form a second component
+    val vecs: Seq[(Long, Seq[Float], String)] = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), "a"),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), "a"),
+      (3L, Seq(0f, 1f, 0f, 0f), "b"),
+      (4L, Seq(1f, 0.05f, 0f, 0f), "a"),
+      (5L, Seq(0f, 0f, 1f, 0f), "b"),
+      (6L, Seq(0f, 0f, 0.99f, 0.14f), "b"))
+    val d = s"${graft.ops.Tables.scratch}/semdedup"
+    graft.ops.Tables.rmrf(d)
+    vecs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = VectorOps.x_semanticDedup(spark, d).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_canonical"))).toSeq
+    assert(got === Seq((1L, 1L, true), (2L, 1L, false), (4L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false)))
+    // dedup rate: keep one canonical per component + untouched singletons
+    val kept = got.count(_._3) + (vecs.size - got.size)
+    assert(kept === 3) // 1, 5, and the singleton 3
+  }
+
   test("x_minhash_lsh: perfect precision, bounded recall vs exact c2") {
     val exact = TextOps.c2_dedupJaccard(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
