@@ -509,7 +509,15 @@ object CorpusOps {
     * inside the projection, and the only exchange left is the
     * presentation sort (PlanSpec pins no-Join / zero hash exchanges).
     */
-  def c33_rarityScore(spark: SparkSession, d: String): DataFrame = {
+  def c33_rarityScore(spark: SparkSession, d: String): DataFrame =
+    rarityScored(spark, d)
+      .select(col("doc_id"), col("n_tok"), col("rarity_sum"), col("rarity_mean_e6"))
+      .orderBy(col("doc_id"))
+
+  /** c33's scoring frame with `source` carried through (shared by c33
+    * and x_select_by_rarity), unordered
+    */
+  private def rarityScored(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val nDocs = math.max(docs.count(), 1L)
     val vocab = docs
@@ -524,7 +532,7 @@ object CorpusOps {
     val oovBits = java.lang.Long.toBinaryString(nDocs).length.toLong
     val bmap = typedLit(bits)
     docs
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), col("source"), expr(
         "CASE WHEN text IS NULL THEN array() ELSE split(text, ' ') END").as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
       .withColumn("rarity_sum", aggregate(col("t"), lit(0L),
@@ -532,11 +540,66 @@ object CorpusOps {
       .withColumn("rarity_mean_e6",
         when(col("n_tok") === 0L, 0L)
           .otherwise(expr("rarity_sum * 1000000L DIV n_tok")))
-      .select(col("doc_id"), col("n_tok"), col("rarity_sum"), col("rarity_mean_e6"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("rarity_sum"), col("rarity_mean_e6"))
+  }
+
+  /** x_select_by_rarity keeps this many docs per source slice */
+  val RaritySelectK = 32L
+
+  /** x_select_by_rarity: the data-SELECTION action c33's score exists
+    * for — keep the top-[[RaritySelectK]] most-informative documents
+    * per source slice (the per-domain quota form of rarity/importance
+    * sampling a mixing recipe applies): rank within source by
+    * (rarity_mean_e6 desc, doc_id) — a total order, so the cut is
+    * deterministic — and keep rank ≤ K.
+    *
+    * Scale (100 TB): scoring is c33's zero-exchange projection; the
+    * rank is ONE window shuffle on source where the rank≤K filter
+    * pushes INTO the sort as WindowGroupLimit (b17's pattern,
+    * PlanSpec-pinned) — each partition retains a K-row heap instead of
+    * sorting its slice, so a skewed source costs O(K) state, not a
+    * full sort spill.
+    */
+  def x_selectByRarity(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rarity_mean_e6").desc, col("doc_id"))
+    rarityScored(spark, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= RaritySelectK)
+      .select(col("source"), col("rnk"), col("doc_id"),
+        col("n_tok"), col("rarity_mean_e6"))
+      .orderBy(col("source"), col("rnk"))
   }
 
   val oracles: Map[String, String] = Map(
+    "x_select_by_rarity" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t
+         |  FROM documents),
+         |n AS (SELECT CAST(GREATEST(count(*), 1) AS BIGINT) AS n FROM documents),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM t)
+         |  GROUP BY term),
+         |vocab AS (SELECT term,
+         |  CAST(length(bin((SELECT n FROM n) // df)) AS BIGINT) AS bits
+         |  FROM dfc ORDER BY df DESC, term LIMIT $RarityV),
+         |oov AS (SELECT CAST(length(bin(n)) AS BIGINT) AS bits FROM n),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM t),
+         |sc AS (SELECT tok.doc_id,
+         |  CAST(SUM(COALESCE(v.bits, (SELECT bits FROM oov))) AS BIGINT) AS rarity_sum
+         |  FROM tok LEFT JOIN vocab v USING (term) GROUP BY tok.doc_id),
+         |scored AS (SELECT t.doc_id, t.source, CAST(len(t.t) AS BIGINT) AS n_tok,
+         |  CAST(CASE WHEN len(t.t) = 0 THEN 0
+         |       ELSE COALESCE(sc.rarity_sum, 0) * 1000000 // len(t.t) END AS BIGINT)
+         |    AS rarity_mean_e6
+         |  FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY rarity_mean_e6 DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT source, rnk, doc_id, n_tok, rarity_mean_e6
+         |FROM ranked WHERE rnk <= $RaritySelectK
+         |ORDER BY source NULLS FIRST, rnk""".stripMargin,
     "c33_rarity_score" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t
@@ -725,5 +788,6 @@ object CorpusOps {
     "c20_bigram_stats"    -> c20_bigramStats _,
     "c22_vocab_coverage"  -> c22_vocabCoverage _,
     "c33_rarity_score"    -> c33_rarityScore _,
+    "x_select_by_rarity"  -> x_selectByRarity _,
   )
 }

@@ -76,9 +76,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 112 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 112)
-    assert(SparkEntry.oracleSql.size === 101)
+  test("the inventory holds all 113 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 113)
+    assert(SparkEntry.oracleSql.size === 102)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -537,6 +537,15 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 0, s"scoring must not shuffle, saw $hashEx:\n$p")
   }
 
+  test("x_select_by_rarity: the per-source cut is a WindowGroupLimit, not a full sort") {
+    val p = plan(CorpusOps.x_selectByRarity(spark, sf0001))
+    assert(!p.contains("Join"), s"selection must not join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank<=K filter must push into the window sort (O(K) state per source):\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"exactly the source window exchange, saw $hashEx:\n$p")
+  }
+
   test("c26: token counting is pure per-row work — no join, no hash shuffle") {
     val p = plan(TextOps.c26_bpeTokenStats(spark, sf0001))
     assert(!p.contains("Join"), s"piece counting must not join:\n$p")

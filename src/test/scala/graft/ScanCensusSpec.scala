@@ -139,6 +139,7 @@ class ScanCensusSpec extends SparkSpec {
     // c33: the df model trains in its own eager job; the SCORING plan
     // is one scan + the broadcast map literal — no join, no exchange
     "c33_rarity_score" -> ((1, 0)),
+    "x_select_by_rarity" -> ((1, 0)),
     "c9_multimodal_decode" -> ((1, 0)),
     "c10_stopword_filter" -> ((1, 0)),
     "c17_multimodal_resize" -> ((1, 0)),

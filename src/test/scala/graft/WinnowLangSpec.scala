@@ -406,6 +406,32 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(0L) === ((0L, 0L, 0L)))  // null text: zero, totality
   }
 
+  test("x_select_by_rarity keeps exactly the per-source top-K in model order") {
+    // 40 docs in s0 whose rarity climbs with their singleton count
+    // (forces a real cut at K=32), 2 docs in s1 (kept whole)
+    val s0docs: Seq[(Long, String, String)] = (1 to 40).map { i =>
+      (i.toLong, ("common " * 5).trim + " " +
+        (1 to i).map(j => s"u${i}_$j").mkString(" "), "s0")
+    }
+    val docs = s0docs ++ Seq((100L, "common common common", "s1"),
+      (101L, "common zebra", "s1"))
+    val d = writeDocs("xsel", docs.map { case (id, t, src) =>
+      (id, t, "en", src, t.length.toLong: java.lang.Long) })
+    val model = rarityModel(docs.map { case (id, t, _) => (id, t) })
+    val srcOf = docs.map { case (id, _, src) => id -> src }.toMap
+    val want = docs.groupBy(_._3).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (-model(id)._3, id))
+        .take(graft.ops.CorpusOps.RaritySelectK.toInt)
+        .zipWithIndex.map { case (id, i) => (src, i + 1L, id) }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.ops.CorpusOps.x_selectByRarity(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"))).toSeq
+    assert(got === want)
+    assert(got.count(_._1 == "s0") === 32) // the cut is real
+    assert(got.count(_._1 == "s1") === 2)
+  }
+
   test("c32 census tiles c30's per-doc verdicts exactly — two sources, all rungs") {
     val looping = ("the of " * 30).trim
     val longDoc = "the cat sat on a mat and the dog ran to the " +
