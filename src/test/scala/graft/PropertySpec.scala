@@ -768,6 +768,102 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Scala reference model of c30's ladder (same integer forms) */
+  private def gateModel(text: String): String = {
+    val t = if (text == null) Array[String]() else text.split(" ", -1)
+    val nTok = t.length.toLong
+    val nChar = if (text == null) 0L else text.length.toLong
+    val stops = Set("the", "a", "of", "and", "is")
+    val stopHits = t.count(stops).toLong
+    def dupE6(n: Int): Long =
+      if (t.length < n) 0L
+      else {
+        val grams = t.sliding(n).map(_.mkString(" ")).toVector
+        (grams.length - grams.distinct.length).toLong * 1000000L / grams.length
+      }
+    import graft.ops.TextQuality._
+    if (nTok < MinTok) "too_short"
+    else if (nTok > MaxTok) "too_long"
+    else if (nChar - nTok + 1 < MinMeanTokLenX * nTok ||
+      nChar - nTok + 1 > MaxMeanTokLenX * nTok) "bad_tok_len"
+    else if (stopHits * StopDenom < nTok) "low_stop"
+    else if (dupE6(2) > Dup2MaxE6 || dupE6(3) > Dup3MaxE6 ||
+      dupE6(4) > Dup4MaxE6) "repetitive"
+    else "keep"
+  }
+
+  /** word-soup docs engineered to reach every rung with real frequency:
+    * stops, short/long words, loops, and degenerate lengths all mix
+    */
+  private val gateDocGen: Gen[String] = Gen.oneOf[Gen[String]](
+    Gen.const(null: String),
+    Gen.choose(0, 4).map(n => Seq.fill(n)("w").mkString(" ")),
+    Gen.choose(2, 30).map(n => (("spam eggs " * n).trim)),
+    Gen.listOfN(30, Gen.oneOf("the", "a", "of", "cat", "dog", "run",
+      "extraordinarily", "w1", "w2", "w3")).map(_.mkString(" ")),
+    Gen.choose(6, 40).map(n =>
+      (1 to n).map(i => s"tok$i").mkString(" "))).flatMap(identity)
+
+  test("c30's verdict equals the ladder model on generated corpora") {
+    samples(Gen.listOfN(40, gateDocGen), 5).foreach { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "s0") }
+        .toDF("doc_id", "text", "source")
+      val got = graft.ops.TextQuality.gateRows(df).orderBy(col("doc_id"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason"))
+      val expected = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> gateModel(t) }
+      assert(got.toSeq === expected)
+    }
+  }
+
+  /** text assembled from inert alpha words + typed PII insertions, so
+    * the exact match count and the redacted string are both known
+    */
+  private val piiPartGen: Gen[(String, String)] = {
+    val word = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+    val email = for {
+      l <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+      d <- Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+      t <- Gen.oneOf("com", "org", "net")
+    } yield s"$l@$d.$t"
+    val ssn = for {
+      a <- Gen.choose(100, 999); b <- Gen.choose(10, 99); c <- Gen.choose(1000, 9999)
+    } yield f"$a%03d-$b%02d-$c%04d"
+    val phone = for {
+      a <- Gen.choose(200, 999); b <- Gen.choose(100, 999)
+      c <- Gen.choose(1000, 9999); sep <- Gen.oneOf("-", ".")
+    } yield s"$a$sep$b$sep$c"
+    val ip = Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
+    Gen.frequency(
+      6 -> word.map(w => (w, w)),
+      1 -> email.map(e => (e, "<EMAIL>")),
+      1 -> ssn.map(s => (s, "<SSN>")),
+      1 -> phone.map(p => (p, "<PHONE>")),
+      1 -> ip.map(i => (i, "<IP>")))
+  }
+
+  test("c31 scrubs generated PII exactly — counts and the redacted string") {
+    samples(Gen.listOfN(25, Gen.listOfN(30, piiPartGen)), 5).foreach { docs =>
+      val rows = docs.zipWithIndex.map { case (parts, i) =>
+        (i.toLong, parts.map(_._1).mkString(" "), "en", "s0",
+          parts.map(_._1).mkString(" ").length.toLong: java.lang.Long)
+      }
+      val d = s"${graft.ops.Tables.scratch}/prop_c31"
+      graft.ops.Tables.rmrf(d)
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val got = graft.ops.TextQuality.c31_piiRedact(spark, d).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_pii"), r.getAs[String]("text_redacted")))).toMap
+      docs.zipWithIndex.foreach { case (parts, i) =>
+        val expN = parts.count(_._2.startsWith("<")).toLong
+        val expText = parts.map(_._2).mkString(" ")
+        assert(got(i.toLong) === ((expN, expText)), s"doc $i")
+      }
+    }
+  }
+
   test("the BPE-ish pre-tokenizer regex equals java.util.regex on generated strings") {
     val pieceGen = Gen.listOfN(12, Gen.oneOf(
       "word", "UPPER", "it's", "42", "3x7", ";;", "--", "\"q\"", "héllo", "🙂", " ", "  "))
