@@ -229,9 +229,16 @@ object TextQuality {
     * the fixture oracle exercises the zero-hit passthrough; the
     * semantics are pinned on crafted PII fixtures in scalatest.
     */
-  def c31_piiRedact(spark: SparkSession, d: String): DataFrame = {
+  def c31_piiRedact(spark: SparkSession, d: String): DataFrame =
+    piiOf(Tables.documents(spark, d)).orderBy(col("doc_id"))
+
+  /** c31's scrub as a frame transform (shared with the s12 stream —
+    * stateless pure per-row regexp maps, so append mode needs no
+    * watermark), unordered
+    */
+  def piiOf(docs: DataFrame): DataFrame = {
     def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
-    Tables.documents(spark, d)
+    docs
       .select(col("doc_id"),
         coalesce(cnt(EmailPat), lit(0L)).as("n_email"),
         coalesce(cnt(SsnPat), lit(0L)).as("n_ssn"),
@@ -247,7 +254,6 @@ object TextQuality {
       .withColumn("n_pii",
         col("n_email") + col("n_ssn") + col("n_phone") + col("n_ip"))
       .withColumn("has_pii", col("n_pii") > 0L)
-      .orderBy(col("doc_id"))
   }
 
   val oracles: Map[String, String] = Map(

@@ -652,6 +652,34 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s12: the PII scrub ON ARRIVAL — c31's streaming twin, completing
+    * the arrival-path ladder (classify s9, audit s10, gate s11, scrub
+    * s12: every per-row curation stage this engine ships now has an
+    * ingest form): documents stream in and every micro-batch runs the
+    * SAME four-pattern count + chained-redact projection as the batch
+    * query ([[graft.ops.TextQuality.piiOf]] — stateless pure regexp
+    * maps, no watermark, no state), sunk replay-idempotently and read
+    * back ordered. Stream ≡ batch exactly, so s12 carries c31's DuckDB
+    * oracle VERBATIM and is driver-hash-checked — a document's
+    * redaction cannot depend on which path scrubbed it.
+    */
+  def s12_streamPii(spark: SparkSession, d: String): DataFrame = {
+    val (out, chk) = sinkDirs("s12", d)
+    val scrubbed = graft.ops.TextQuality.piiOf(stagedFileStream(spark, d, "documents"))
+    val q = scrubbed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    readSink(spark, out, scrubbed.schema)
+      .select(scrubbed.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** s10: the contamination audit ON ARRIVAL — c27's streaming twin,
     * and the reference's whole program shape (classify each record as
     * it is consumed, ConsumerMultiThread.java:101-155) applied to the
@@ -754,6 +782,8 @@ object StreamOps {
     "s10_stream_contamination" -> graft.ops.TextOps.oracles("c27_contamination"),
     // stream ≡ batch for the stateless gate: c30's oracle verbatim
     "s11_stream_quality_gate" -> graft.ops.TextQuality.oracles("c30_quality_gate"),
+    // stream ≡ batch for the stateless scrub: c31's oracle verbatim
+    "s12_stream_pii" -> graft.ops.TextQuality.oracles("c31_pii_redact"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -815,5 +845,6 @@ object StreamOps {
     "s9_stream_lang_id"  -> s9_streamLangId _,
     "s10_stream_contamination" -> s10_streamContamination _,
     "s11_stream_quality_gate" -> s11_streamQualityGate _,
+    "s12_stream_pii" -> s12_streamPii _,
   )
 }

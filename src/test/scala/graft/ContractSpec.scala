@@ -70,15 +70,17 @@ class ContractSpec extends AnyFunSuite {
       "s10_stream_contamination" -> "c27_contamination",
       // stream ≡ batch for the stateless quality gate (s11 is c30's
       // streaming twin — same rows, same order)
-      "s11_stream_quality_gate" -> "c30_quality_gate")
+      "s11_stream_quality_gate" -> "c30_quality_gate",
+      // stream ≡ batch for the stateless scrub (s12 is c31's twin)
+      "s12_stream_pii" -> "c31_pii_redact")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 113 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 113)
-    assert(SparkEntry.oracleSql.size === 102)
+  test("the inventory holds all 114 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 114)
+    assert(SparkEntry.oracleSql.size === 103)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

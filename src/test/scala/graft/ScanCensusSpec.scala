@@ -231,6 +231,7 @@ class ScanCensusSpec extends SparkSpec {
     // audit has its own per-micro-batch plans): one scan of the sink
     "s10_stream_contamination" -> ((1, 0)),
     "s11_stream_quality_gate" -> ((1, 0)),
+    "s12_stream_pii" -> ((1, 0)),
     "x_approx_distinct" -> ((1, 0)),
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),

@@ -352,6 +352,15 @@ class StreamingSpec extends SparkSpec {
       "streamed gate must equal the batch query exactly")
   }
 
+  test("s12 semantics: streamed PII scrub ≡ the batch c31, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s12_streamPii(spark, sf0001).collect()
+    val batch = graft.ops.TextQuality.c31_piiRedact(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed scrub must equal the batch query exactly")
+  }
+
   test("s10 semantics: streamed contamination audit ≡ the batch c27, row-for-row") {
     // per-row fingerprinting + a per-batch broadcast probe against the
     // standing index: every (eval, train) pair is complete within the
