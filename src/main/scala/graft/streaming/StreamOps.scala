@@ -652,6 +652,56 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s13: the curation funnel as a LIVE rollup — c32's streaming twin,
+    * and the exact-counter strengthening of s8's sketch pattern: every
+    * micro-batch reduces its documents to (source, reason) partial
+    * censuses (counts + token/char sums — KB per batch, never
+    * documents), sinks them batchId-keyed, and the read-back re-agg
+    * merges the partials. BIGINT count/sum partials merge EXACTLY and
+    * every document lands in exactly one micro-batch, so
+    * merge-of-partials ≡ the batch census however the file source cuts
+    * the corpus — unlike s8 (whose HLL merge is only
+    * estimator-identical, rows-only), s13 carries c32's DuckDB oracle
+    * VERBATIM and is driver-hash-checked. This is the monitoring shape
+    * of curation: the funnel an operator watches DURING ingest, not
+    * after the backfill.
+    */
+  def s13_streamFunnel(spark: SparkSession, d: String): DataFrame = {
+    val (out, chk) = sinkDirs("s13", d)
+    val verdicts = graft.ops.TextQuality
+      .gateVerdictOf(stagedFileStream(spark, d, "documents"))
+    val partialSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("reason",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tok_sum",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("char_sum",
+        org.apache.spark.sql.types.LongType)))
+    val q = verdicts.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1/s8)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.groupBy(col("source"), col("reason"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tok_sum"),
+            sum(col("n_char")).as("char_sum"))
+          .write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    readSink(spark, out, partialSchema)
+      .groupBy(col("source"), col("reason"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tok_sum")).as("tok_sum"),
+        sum(col("char_sum")).as("char_sum"))
+      .orderBy(col("source"), col("reason"))
+  }
+
   /** s12: the PII scrub ON ARRIVAL — c31's streaming twin, completing
     * the arrival-path ladder (classify s9, audit s10, gate s11, scrub
     * s12: every per-row curation stage this engine ships now has an
@@ -784,6 +834,8 @@ object StreamOps {
     "s11_stream_quality_gate" -> graft.ops.TextQuality.oracles("c30_quality_gate"),
     // stream ≡ batch for the stateless scrub: c31's oracle verbatim
     "s12_stream_pii" -> graft.ops.TextQuality.oracles("c31_pii_redact"),
+    // merge-of-exact-partials ≡ the batch funnel: c32's oracle verbatim
+    "s13_stream_funnel" -> graft.ops.TextQuality.oracles("c32_domain_stats"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -846,5 +898,6 @@ object StreamOps {
     "s10_stream_contamination" -> s10_streamContamination _,
     "s11_stream_quality_gate" -> s11_streamQualityGate _,
     "s12_stream_pii" -> s12_streamPii _,
+    "s13_stream_funnel" -> s13_streamFunnel _,
   )
 }

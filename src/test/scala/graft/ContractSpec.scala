@@ -72,15 +72,18 @@ class ContractSpec extends AnyFunSuite {
       // streaming twin — same rows, same order)
       "s11_stream_quality_gate" -> "c30_quality_gate",
       // stream ≡ batch for the stateless scrub (s12 is c31's twin)
-      "s12_stream_pii" -> "c31_pii_redact")
+      "s12_stream_pii" -> "c31_pii_redact",
+      // merge-of-exact-partials ≡ batch for the funnel rollup (s13 is
+      // c32's twin — BIGINT partials merge exactly, unlike s8's HLL)
+      "s13_stream_funnel" -> "c32_domain_stats")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 114 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 114)
-    assert(SparkEntry.oracleSql.size === 103)
+  test("the inventory holds all 115 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 115)
+    assert(SparkEntry.oracleSql.size === 104)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

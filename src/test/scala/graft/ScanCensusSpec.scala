@@ -232,6 +232,7 @@ class ScanCensusSpec extends SparkSpec {
     "s10_stream_contamination" -> ((1, 0)),
     "s11_stream_quality_gate" -> ((1, 0)),
     "s12_stream_pii" -> ((1, 0)),
+    "s13_stream_funnel" -> ((1, 0)),
     "x_approx_distinct" -> ((1, 0)),
     "x_ann_lsh" -> ((2, 0)),
     "x_ann_ivf" -> ((2, 0)),

@@ -352,6 +352,18 @@ class StreamingSpec extends SparkSpec {
       "streamed gate must equal the batch query exactly")
   }
 
+  test("s13 semantics: merged funnel partials ≡ the batch c32, row-for-row") {
+    // every doc lands in exactly one micro-batch and BIGINT count/sum
+    // partials merge exactly, so the read-back re-agg IS the batch
+    // census however the file source cuts the corpus
+    val streamed = graft.streaming.StreamOps
+      .s13_streamFunnel(spark, sf0001).collect()
+    val batch = graft.ops.TextQuality.c32_domainStats(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "merged partials must equal the batch census exactly")
+  }
+
   test("s12 semantics: streamed PII scrub ≡ the batch c31, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s12_streamPii(spark, sf0001).collect()
