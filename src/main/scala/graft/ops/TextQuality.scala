@@ -256,7 +256,70 @@ object TextQuality {
       .withColumn("has_pii", col("n_pii") > 0L)
   }
 
+  /** c34 patterns — Java-regex ∩ RE2 subset; both engines count CODE
+    * POINTS (Java character classes iterate code points, RE2 decodes
+    * UTF-8), so astral symbols count once everywhere.
+    */
+  val NonAsciiPat = "[^\\x00-\\x7F]"
+  val CtrlPat = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  val ReplacementPat = "�"
+  /** mojibake flag: below this many ASCII chars per million, or ANY
+    * replacement character, the decode step upstream went wrong
+    */
+  val AsciiMinE6 = 650000L
+
+  /** c34: encoding-health statistics — the decode-sanity gate a web
+    * pipeline runs before any text analysis (CCNet/RefinedWeb drop
+    * mojibake and transcode failures at ingest): per document, code
+    * point counts of non-ASCII, C0-control (excluding tab/LF/CR) and
+    * U+FFFD replacement characters, the exact-rational ASCII fraction,
+    * and the mojibake flag (ASCII fraction under [[AsciiMinE6]] per
+    * million OR any replacement char — a U+FFFD is definitionally a
+    * decoder failure). Null/empty text: zero counts, e6 fraction 0,
+    * flag false (totality).
+    *
+    * Scale (100 TB): pure per-row regexp counting in one projection
+    * over one corpus scan — no join, zero hash exchanges
+    * (PlanSpec-pinned); all-BIGINT arithmetic so both engines agree
+    * bit-for-bit. The fixture corpus is pure ASCII, so the driver
+    * oracle pins the clean-pass path; mojibake semantics are pinned on
+    * crafted unicode fixtures in scalatest (and the dirty-corpus sweep
+    * feeds it real unicode).
+    */
+  def c34_encodingStats(spark: SparkSession, d: String): DataFrame = {
+    def cnt(pat: String) = coalesce(
+      regexp_count(col("text"), lit(pat)).cast("long"), lit(0L))
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("n_char"),
+        cnt(NonAsciiPat).as("n_nonascii"),
+        cnt(CtrlPat).as("n_ctrl"),
+        cnt(ReplacementPat).as("n_replacement"))
+      .withColumn("ascii_e6",
+        when(col("n_char") === 0L, 0L)
+          .otherwise(expr("(n_char - n_nonascii) * 1000000L DIV n_char")))
+      .withColumn("is_mojibake",
+        col("n_replacement") > 0L ||
+          (col("n_char") > 0L && col("ascii_e6") < AsciiMinE6))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c34_encoding_stats" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(COALESCE(length(text), 0) AS BIGINT) AS n_char,
+         |  CAST(COALESCE(len(regexp_extract_all(text, '$NonAsciiPat')), 0) AS BIGINT) AS n_nonascii,
+         |  CAST(COALESCE(len(regexp_extract_all(text, '$CtrlPat')), 0) AS BIGINT) AS n_ctrl,
+         |  CAST(COALESCE(len(regexp_extract_all(text, '$ReplacementPat')), 0) AS BIGINT) AS n_replacement
+         |  FROM documents)
+         |SELECT doc_id, n_char, n_nonascii, n_ctrl, n_replacement,
+         |  CAST(CASE WHEN n_char = 0 THEN 0
+         |       ELSE (n_char - n_nonascii) * 1000000 // n_char END AS BIGINT) AS ascii_e6,
+         |  (n_replacement > 0 OR (n_char > 0 AND
+         |    CASE WHEN n_char = 0 THEN 0
+         |         ELSE (n_char - n_nonascii) * 1000000 // n_char END < $AsciiMinE6))
+         |    AS is_mojibake
+         |FROM c ORDER BY doc_id""".stripMargin,
     "c29_repetition_stats" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN text IS NULL THEN [] ELSE str_split(text, ' ') END AS t
@@ -389,5 +452,6 @@ object TextQuality {
     "c30_quality_gate" -> c30_qualityGate _,
     "c31_pii_redact" -> c31_piiRedact _,
     "c32_domain_stats" -> c32_domainStats _,
+    "c34_encoding_stats" -> c34_encodingStats _,
   )
 }

@@ -81,9 +81,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 115 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 115)
-    assert(SparkEntry.oracleSql.size === 104)
+  test("the inventory holds all 116 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 116)
+    assert(SparkEntry.oracleSql.size === 105)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

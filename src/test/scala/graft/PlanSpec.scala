@@ -546,6 +546,13 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"exactly the source window exchange, saw $hashEx:\n$p")
   }
 
+  test("c34: encoding stats are one per-row regexp projection — no join, no shuffle") {
+    val p = plan(TextQuality.c34_encodingStats(spark, sf0001))
+    assert(!p.contains("Join"), s"the encoding census must not join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"the encoding census must not shuffle, saw $hashEx:\n$p")
+  }
+
   test("c26: token counting is pure per-row work — no join, no hash shuffle") {
     val p = plan(TextOps.c26_bpeTokenStats(spark, sf0001))
     assert(!p.contains("Join"), s"piece counting must not join:\n$p")

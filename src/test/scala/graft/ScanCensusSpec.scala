@@ -132,6 +132,7 @@ class ScanCensusSpec extends SparkSpec {
     // c31: four pattern counts + the chained redaction, all in one
     // per-row regexp projection
     "c31_pii_redact" -> ((1, 0)),
+    "c34_encoding_stats" -> ((1, 0)),
     // c32: c30's verdict reduced to (source, reason) — the n-gram
     // arrays collapse to three BIGINTs before the one rollup exchange
     // (PlanSpec pins hashEx==1; no exchange is re-read, so reused=0)

@@ -459,6 +459,36 @@ class WinnowLangSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === 5L)
   }
 
+  test("c34 counts code points — mojibake, control chars, astral symbols") {
+    val mojibake = "�té déjà vu ñoño здравствуйте"    // replacement + heavy non-ASCII
+    val accented = "caf" + "é" + " " + ("x" * 60)      // 1 non-ASCII in 65 chars: clean
+    val ctrl = "ok\u0001\u0002 fine\ttab"              // 2 C0 controls; tab excluded
+    val astral = "hi 🙂 there"               // astral symbol = ONE code point
+    val d = writeDocs("c34", Seq(
+      (0L, null, null, null, null),
+      (1L, mojibake, "ru", "web", mojibake.length.toLong: java.lang.Long),
+      (2L, accented, "fr", "web", accented.length.toLong: java.lang.Long),
+      (3L, ctrl, "en", "web", ctrl.length.toLong: java.lang.Long),
+      (4L, astral, "en", "web", astral.length.toLong: java.lang.Long)))
+    val got = graft.ops.TextQuality.c34_encodingStats(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Long]("n_char") === 0L)
+    assert(!got(0L).getAs[Boolean]("is_mojibake"))
+    // any U+FFFD flags regardless of ratio
+    assert(got(1L).getAs[Long]("n_replacement") === 1L)
+    assert(got(1L).getAs[Boolean]("is_mojibake"))
+    // one accent in 65 chars: ascii_e6 = 64e6/65, comfortably clean
+    assert(got(2L).getAs[Long]("n_nonascii") === 1L)
+    assert(got(2L).getAs[Long]("ascii_e6") === 64L * 1000000L / 65L)
+    assert(!got(2L).getAs[Boolean]("is_mojibake"))
+    // C0 controls counted, tab/LF/CR excluded
+    assert(got(3L).getAs[Long]("n_ctrl") === 2L)
+    assert(!got(3L).getAs[Boolean]("is_mojibake"))
+    // the astral symbol is one code point in n_char AND n_nonascii
+    assert(got(4L).getAs[Long]("n_char") === 10L)
+    assert(got(4L).getAs[Long]("n_nonascii") === 1L)
+  }
+
   test("c31 scrubs all four PII families; counts measure the original text") {
     val pii = "mail bob.smith+x@ex-ample.co.uk now, ssn 123-45-6789, " +
       "call 555.123.4567 or 555-123-4567, host 10.0.255.1 end"
