@@ -116,5 +116,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32", binary("dot_f32", DotF32.apply),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "encoding_census", unary("encoding_census", EncodingCensus.apply),
+      "built-in")
   }
 }

@@ -287,6 +287,31 @@ object TextQuality {
     * feeds it real unicode).
     */
   def c34_encodingStats(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, d)
+      // the fused kernel: ONE UTF-8 byte walk for all four counts
+      // (BENCH_NOTES (ay): the portable form's character-class regexes
+      // pay three full sweeps; bit-identity pinned in WinnowLangSpec)
+      .select(col("doc_id"), expr("encoding_census(text)").as("ec"))
+      .select(col("doc_id"),
+        coalesce(expr("ec[0]"), lit(0L)).as("n_char"),
+        coalesce(expr("ec[1]"), lit(0L)).as("n_nonascii"),
+        coalesce(expr("ec[2]"), lit(0L)).as("n_ctrl"),
+        coalesce(expr("ec[3]"), lit(0L)).as("n_replacement"))
+      .withColumn("ascii_e6",
+        when(col("n_char") === 0L, 0L)
+          .otherwise(expr("(n_char - n_nonascii) * 1000000L DIV n_char")))
+      .withColumn("is_mojibake",
+        col("n_replacement") > 0L ||
+          (col("n_char") > 0L && col("ascii_e6") < AsciiMinE6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** the portable four-pass form of c34's counting — kept as the
+    * cross-check twin for the fused kernel (the WinnowFps pattern:
+    * equality pinned in scalatest; the DuckDB oracle mirrors THIS form)
+    */
+  private[graft] def c34_encodingStatsPortable(spark: SparkSession, d: String): DataFrame = {
     def cnt(pat: String) = coalesce(
       regexp_count(col("text"), lit(pat)).cast("long"), lit(0L))
     Tables.documents(spark, d)

@@ -489,6 +489,28 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(4L).getAs[Long]("n_nonascii") === 1L)
   }
 
+  test("c34 fused kernel ≡ the portable regex form on randomized unicode") {
+    // code-point pieces spanning every branch of the byte walk: ASCII,
+    // C0 controls (and the excluded tab/LF/CR), 2- and 3-byte BMP,
+    // 4-byte astral, and U+FFFD itself
+    val pieces = Vector("a", "Zz", " ", "€", "ñ", "é", "日", "語", "🙂", "𝄞",
+      "�", "\u0001", "\u0008", "\u000B", "\u001F", "\t", "\n", "\r", "0", ".")
+    val rnd = new scala.util.Random(20260814L)
+    val docs: Seq[(Long, String, String, String, java.lang.Long)] =
+      (0 until 120).map { i =>
+        val t = if (i % 17 == 0) null
+        else (0 until rnd.nextInt(40)).map(_ => pieces(rnd.nextInt(pieces.size))).mkString
+        (i.toLong, t, "xx", "w",
+          if (t == null) null else (t.length.toLong: java.lang.Long))
+      }
+    val d = writeDocs("c34k", docs)
+    val fused = graft.ops.TextQuality.c34_encodingStats(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val portable = graft.ops.TextQuality.c34_encodingStatsPortable(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(fused === portable, "one byte walk must equal the four regex passes")
+  }
+
   test("c31 scrubs all four PII families; counts measure the original text") {
     val pii = "mail bob.smith+x@ex-ample.co.uk now, ssn 123-45-6789, " +
       "call 555.123.4567 or 555-123-4567, host 10.0.255.1 end"
