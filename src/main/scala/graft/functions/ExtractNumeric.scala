@@ -119,5 +119,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "encoding_census", unary("encoding_census", EncodingCensus.apply),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_count", unary("bpe_count", BpeCount.apply),
+      "built-in")
   }
 }

@@ -384,9 +384,12 @@ object CorpusOps {
     * `n_bpe` at the surface.
     */
   private[ops] def sizeDocsBpe(docs: DataFrame): DataFrame = {
+    // the fused native counter (one byte walk) replaces the regex
+    // count — bit-identical (BpeCount scaladoc; pinned vs the regex
+    // form in scalatest), and the measured floor of c28's decade cost
+    // (BENCH_NOTES (at)/(ba))
     val npieces = when(col("text").isNull, lit(0L))
-      .otherwise(size(regexp_extract_all(col("text"),
-        lit(TextOps.BpePattern), lit(0))).cast("long"))
+      .otherwise(expr("bpe_count(text)"))
     docs.select(col("doc_id"), col("source"), npieces.as("n_tok"),
       md5(col("doc_id").cast("string")).as("order_key"))
   }
@@ -408,9 +411,11 @@ object CorpusOps {
     * sum (x_pack_twophase) composes here unchanged when source-level
     * parallelism becomes the bottleneck.
     */
-  def c28_packBpe(spark: SparkSession, d: String): DataFrame =
+  def c28_packBpe(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // bpe_count
     packSized(sizeDocsBpe(Tables.documents(spark, d)))
       .withColumnRenamed("n_tok", "n_bpe")
+  }
 
   /** Minimum bigram count for c20's report — keeps the published table
     * to the statistically meaningful rows (the full count table still

@@ -864,6 +864,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpe_count kernel ≡ the regex piece count on generated strings") {
+    graft.functions.GraftFunctions.register(spark)
+    // pieces chosen to hit every alternation branch and bump path:
+    // apostrophe-runs, space fusion, double spaces, stranded quotes,
+    // uppercase/punctuation runs, digits, multi-byte runs, edges
+    val pieceGen = Gen.listOfN(14, Gen.oneOf(
+      "word", "UPPER", "it's", "'", "''", "'a", " '", "42", "3x7", ";;",
+      "--", "\"q\"", "héllo", "日本語", "🙂", " ", "  ", "a1b2", "x'y", "12'"))
+      .map(_.mkString(""))
+    samples(Gen.listOfN(30, pieceGen), 8).foreach { strs =>
+      val rows = (null +: strs).toDF("text")
+        .select(expr("bpe_count(text)").as("k"),
+          size(regexp_extract_all(col("text"),
+            lit(graft.ops.TextOps.BpePattern), lit(0))).cast("long").as("r"))
+        .collect()
+      rows.foreach { r =>
+        val k = Option(r.get(0)).map(_.asInstanceOf[Long])
+        val re = Option(r.get(1)).map(_.asInstanceOf[Long])
+        // regex path maps null text → size(null) = -1 by Spark
+        // convention; the kernel keeps NULL — compare only non-nulls
+        if (k.isDefined) assert(k === re, s"kernel vs regex on ${r}")
+      }
+    }
+  }
+
   test("the BPE-ish pre-tokenizer regex equals java.util.regex on generated strings") {
     val pieceGen = Gen.listOfN(12, Gen.oneOf(
       "word", "UPPER", "it's", "42", "3x7", ";;", "--", "\"q\"", "héllo", "🙂", " ", "  "))
