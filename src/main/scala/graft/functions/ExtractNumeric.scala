@@ -122,5 +122,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_count", unary("bpe_count", BpeCount.apply),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_fold", unary("shingle_fold", e => ShingleFold(e, 3)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_count_simple", unary("bpe_count_simple", BpeCountSimple.apply),
+      "built-in")
   }
 }

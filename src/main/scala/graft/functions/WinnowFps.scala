@@ -135,13 +135,13 @@ object WinnowFps {
     * reset per gram — the allocation the portable form pays per gram,
     * paid once per executor thread instead.
     */
-  private val digest: ThreadLocal[java.security.MessageDigest] =
+  private[functions] val digest: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Per-thread 16-byte output buffer for `digest(buf, 0, 16)` — the
     * companion of [[digest]]; without it every gram allocates a fresh
     * digest array (see the call site).
     */
-  private val digestBuf: ThreadLocal[Array[Byte]] =
+  private[functions] val digestBuf: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](16))
 }

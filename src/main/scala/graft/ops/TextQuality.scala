@@ -20,7 +20,44 @@ object TextQuality {
   /** BPE-ish tokenizer: letter runs, digit runs, single non-space symbols */
   private val BpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  def c8_textQuality(spark: SparkSession, d: String): DataFrame =
+  def c8_textQuality(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, d).select(
+      col("doc_id"), col("lang"),
+      split(col("text"), " ").as("t"),
+      length(col("text")).cast("long").as("n_char"),
+      // fused kernels replace the two allocation-bound HOF pipelines —
+      // bit-identical to the portable twin below (pinned in scalatest;
+      // the DuckDB oracle keeps mirroring the portable form):
+      // bpe_count_simple = size(regexp_extract_all(text, BpePat)),
+      // shingle_fold = [array_min, xor-fold] of the 60-bit md5 hashes
+      // of all 3-token shingles (BENCH_NOTES (bb))
+      expr("bpe_count_simple(text)").as("n_tok_bpe"),
+      expr("shingle_fold(text)").as("sf"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("stop_hits",
+        size(expr(s"filter(t, x -> x IN ($stopsSql))")).cast("long"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tok"))
+      .withColumn("mean_tok_len",
+        (col("n_char") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+      .withColumn("lang_guess",
+        when(col("stop_ratio") >= 0.02, "en").otherwise("unk"))
+      .withColumn("quality",
+        when(col("n_tok").between(5, 1000) && col("mean_tok_len").between(2.0, 12.0), 0.5)
+          .otherwise(0.0) + col("stop_ratio"))
+      .withColumn("fp_min", expr("sf[0]"))
+      .withColumn("fp_xor", expr("sf[1]"))
+      .select(col("doc_id"), col("lang"), col("lang_guess"), col("n_tok"),
+        col("n_tok_bpe"), col("n_char"), col("stop_hits"), col("stop_ratio"),
+        col("mean_tok_len"), col("quality"), col("fp_min"), col("fp_xor"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** the portable HOF/regex form of c8 — the cross-check twin for the
+    * two fused kernels (equality pinned in scalatest; the DuckDB
+    * oracle mirrors THIS form)
+    */
+  private[graft] def c8_textQualityPortable(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d).select(
       col("doc_id"), col("lang"),
       split(col("text"), " ").as("t"),

@@ -489,6 +489,31 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(4L).getAs[Long]("n_nonascii") === 1L)
   }
 
+  test("c8 fused kernels ≡ the portable HOF/regex form on crafted + randomized docs") {
+    val rnd = new scala.util.Random(8L)
+    val pieces = Vector("the", "a", "cat", "UPPER", "42", "it's", "héllo",
+      "日本", "🙂", ";;", "x", "of")
+    val docs: Seq[(Long, String, String, String, java.lang.Long)] =
+      (0 until 80).map { i =>
+        val t =
+          if (i % 13 == 0) null
+          else if (i % 13 == 1) "" // empty string ≠ null: its own branch
+          // every 5th doc joins with DOUBLE spaces: empty tokens enter
+          // the shingles, the byte-scan and split must still agree
+          else (0 until rnd.nextInt(25)).map(_ => pieces(rnd.nextInt(pieces.size)))
+            .mkString(if (i % 5 == 0) "  " else " ")
+        (i.toLong, t, "en", "w",
+          if (t == null) null else (t.length.toLong: java.lang.Long))
+      }
+    val d = writeDocs("c8k", docs)
+    val fused = graft.ops.TextQuality.c8_textQuality(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val portable = graft.ops.TextQuality.c8_textQualityPortable(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(fused === portable,
+      "shingle_fold + bpe_count_simple must equal the HOF/regex pipelines")
+  }
+
   test("c34 fused kernel ≡ the portable regex form on randomized unicode") {
     // code-point pieces spanning every branch of the byte walk: ASCII,
     // C0 controls (and the excluded tab/LF/CR), 2- and 3-byte BMP,
