@@ -128,5 +128,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_count_simple", unary("bpe_count_simple", BpeCountSimple.apply),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_census", unary("gram_census", GramCensus.apply),
+      "built-in")
   }
 }

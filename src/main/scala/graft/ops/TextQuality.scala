@@ -136,7 +136,36 @@ object TextQuality {
       s"CAST(size(g$n) - size(array_distinct(g$n)) AS BIGINT) * 1000000 " +
       s"DIV CAST(size(g$n) AS BIGINT) END").as(s"dup${n}_e6")
 
+  /** dup fraction from the fused [[graft.functions.GramCensus]] array
+    * ([n_tok, g2, d2, g3, d3, g4, d4]) — same exact BIGINT rational as
+    * [[dupE6]] over the portable gram arrays
+    */
+  private def dupE6K(n: Int) = {
+    val tot = s"gc[${1 + (n - 2) * 2}]"
+    val dis = s"gc[${2 + (n - 2) * 2}]"
+    expr(s"CASE WHEN $tot = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"($tot - $dis) * 1000000 DIV $tot END").as(s"dup${n}_e6")
+  }
+
   def c29_repetitionStats(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // the fused census kernel: one byte walk, exact slice-compare
+    // distinct — bit-identical to the portable twin below (pinned in
+    // scalatest; the DuckDB oracle keeps mirroring the portable form)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr("gram_census(text)").as("gc"))
+      .select(col("doc_id"), expr("gc[0]").as("n_tok"),
+        dupE6K(2), dupE6K(3), dupE6K(4))
+      .withColumn("is_repetitive",
+        col("dup2_e6") > Dup2MaxE6 || col("dup3_e6") > Dup3MaxE6 ||
+          col("dup4_e6") > Dup4MaxE6)
+      .orderBy(col("doc_id"))
+  }
+
+  /** the portable HOF form of c29 — the cross-check twin for
+    * [[graft.functions.GramCensus]] (equality pinned in scalatest)
+    */
+  private[graft] def c29_repetitionStatsPortable(spark: SparkSession, d: String): DataFrame = {
     Tables.documents(spark, d)
       .select(col("doc_id"), tokCol.as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
@@ -186,15 +215,18 @@ object TextQuality {
     * needs no watermark) — carries `source` through
     */
   def gateVerdictOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), col("source"), tokCol.as("t"),
-        coalesce(length(col("text")).cast("long"), lit(0L)).as("n_char"))
-      .withColumn("n_tok", size(col("t")).cast("long"))
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("n_char"),
+        // the fused census replaces the three gram+distinct HOF
+        // pipelines (c29's kernel; pinned bit-identical in scalatest)
+        expr("gram_census(text)").as("gc"))
+      .withColumn("n_tok", expr("gc[0]"))
       .withColumn("stop_hits",
         size(expr(s"filter(t, x -> x IN ($stopsSql))")).cast("long"))
-      .withColumn("g2", grams(2)).withColumn("g3", grams(3)).withColumn("g4", grams(4))
       .select(col("doc_id"), col("source"), col("n_tok"), col("n_char"),
-        col("stop_hits"), dupE6(2), dupE6(3), dupE6(4))
+        col("stop_hits"), dupE6K(2), dupE6K(3), dupE6K(4))
       .withColumn("reason",
         when(col("n_tok") < MinTok, "too_short")
           .when(col("n_tok") > MaxTok, "too_long")

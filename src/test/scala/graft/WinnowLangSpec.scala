@@ -489,6 +489,27 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(4L).getAs[Long]("n_nonascii") === 1L)
   }
 
+  test("c29 fused gram census ≡ the portable HOF form on randomized docs") {
+    val rnd = new scala.util.Random(29L)
+    val words = Vector("spam", "eggs", "the", "a", "héllo", "日本", "🙂", "x", "")
+    val docs: Seq[(Long, String, String, String, java.lang.Long)] =
+      (0 until 80).map { i =>
+        val t =
+          if (i % 11 == 0) null
+          else (0 until rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.size)))
+            .mkString(" ") // "" entries yield double spaces → empty tokens
+        (i.toLong, t, "en", "w",
+          if (t == null) null else (t.length.toLong: java.lang.Long))
+      }
+    val d = writeDocs("c29k", docs)
+    val fused = graft.ops.TextQuality.c29_repetitionStats(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val portable = graft.ops.TextQuality.c29_repetitionStatsPortable(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(fused === portable,
+      "gram_census must equal the transform/array_distinct pipelines")
+  }
+
   test("c8 fused kernels ≡ the portable HOF/regex form on crafted + randomized docs") {
     val rnd = new scala.util.Random(8L)
     val pieces = Vector("the", "a", "cat", "UPPER", "42", "it's", "héllo",
