@@ -495,6 +495,42 @@ object TextOps {
     * order for presentation.
     */
   private[graft] def langIdOf(docs: DataFrame): DataFrame = {
+    // the fused marker kernel: one byte walk returns [n_tok, hits…] —
+    // bit-identical to the portable filter/isInCollection form below
+    // (pinned in scalatest; the DuckDB oracle mirrors the portable one)
+    val lh = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LangHits(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
+        LangProfiles.map(_._2)))
+    val base = docs
+      .select(col("doc_id"), lh.as("lh"))
+      .withColumn("n_tok", expr("lh[0]"))
+    val scored = LangProfiles.zipWithIndex.foldLeft(base) {
+      case (df, ((code, _), i)) =>
+        df.withColumn(s"e_$code",
+          when(col("n_tok") === 0, lit(0L))
+            .otherwise(expr(s"lh[${i + 1}] * 1000000 DIV n_tok")))
+    }
+    val codes = LangProfiles.map(_._1)
+    val scoreCols = codes.map(c => col(s"e_$c"))
+    val pred = when(col("best_e6") === 0, lit("und"))
+      .otherwise(codes.init.foldRight(lit(codes.last): org.apache.spark.sql.Column) {
+        case (c, alt) => when(col(s"e_$c") === col("best_e6"), lit(c)).otherwise(alt)
+      })
+    scored
+      .withColumn("best_e6", greatest(scoreCols: _*))
+      .withColumn("margin_e6",
+        col("best_e6") - element_at(array_sort(array(scoreCols: _*)), -2))
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("n_tok"), col("pred_lang"),
+        col("best_e6"), col("margin_e6"))
+  }
+
+  /** the portable HOF form of the classifier — the cross-check twin
+    * for [[graft.functions.LangHits]] (equality pinned in scalatest;
+    * the DuckDB oracle mirrors this form)
+    */
+  private[graft] def langIdOfPortable(docs: DataFrame): DataFrame = {
     val tk = when(col("text").isNull, array().cast("array<string>"))
       .otherwise(split(col("text"), " "))
     val base = docs

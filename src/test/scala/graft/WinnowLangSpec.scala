@@ -489,6 +489,28 @@ class WinnowLangSpec extends SparkSpec {
     assert(got(4L).getAs[Long]("n_nonascii") === 1L)
   }
 
+  test("c23 fused marker kernel ≡ the portable HOF form on randomized docs") {
+    val rnd = new scala.util.Random(23L)
+    val words = Vector("the", "a", "row", "window", "batch", "join", "key",
+      "data", "query", "zzz", "héllo", "🙂", "", "the")
+    val docs: Seq[(Long, String, String, String, java.lang.Long)] =
+      (0 until 80).map { i =>
+        val t =
+          if (i % 11 == 0) null
+          else (0 until rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.size)))
+            .mkString(" ")
+        (i.toLong, t, "en", "w",
+          if (t == null) null else (t.length.toLong: java.lang.Long))
+      }
+    val d = writeDocs("c23k", docs)
+    val fused = TextOps.c23_langId(spark, d).collect().map(_.toSeq).toSeq
+    val portable = TextOps.langIdOfPortable(
+      graft.ops.Tables.documents(spark, d)).orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(fused === portable,
+      "lang_hits must equal the filter/isInCollection pipelines")
+  }
+
   test("c29 fused gram census ≡ the portable HOF form on randomized docs") {
     val rnd = new scala.util.Random(29L)
     val words = Vector("spam", "eggs", "the", "a", "héllo", "日本", "🙂", "x", "")
