@@ -68,7 +68,14 @@ case class GramCensus(child: Expression) extends UnaryExpression {
       val ng = n - g + 1
       if (ng > 0) {
         out(1 + (g - 2) * 2) = ng.toLong
-        // open-addressing table of gram indices; power-of-two ≥ 2·ng
+        // open-addressing table of gram indices; power-of-two ≥ 2·ng.
+        // Guarded: at ng ≥ 2^29 the Int doubling would overflow and
+        // loop forever (round-14 ADVICE) — unreachable for any sane
+        // document (≥ half a billion tokens in ONE row), but an
+        // unguarded infinite loop is the one failure mode worse than
+        // an error, so say it plainly instead.
+        require(ng < (1 << 29),
+          s"gram_census: document has $ng $g-grams (≥ 2^29) — not a sane single document")
         var cap = 4
         while (cap < ng * 2) cap <<= 1
         val mask = cap - 1

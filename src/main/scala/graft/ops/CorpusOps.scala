@@ -567,8 +567,16 @@ object CorpusOps {
     * full sort spill.
     */
   def x_selectByRarity(spark: SparkSession, d: String): DataFrame = {
+    // doc_id rides asc_nulls_LAST: the tie-break is only a total order
+    // when doc_ids are unique, and on a dirty corpus with NULL ids the
+    // engines' default null sort diverges (Spark asc = nulls first,
+    // DuckDB = nulls last) — which would flip WHICH doc survives the
+    // K-cut (round-14 ADVICE). Pinning nulls-last on both sides keeps
+    // the cut engine-agreed; duplicate non-null ids remain the caller's
+    // documented precondition (rank among exact (score, id) ties is
+    // arbitrary in ANY engine).
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("rarity_mean_e6").desc, col("doc_id"))
+      .orderBy(col("rarity_mean_e6").desc, col("doc_id").asc_nulls_last)
     rarityScored(spark, d)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= RaritySelectK)
@@ -600,7 +608,7 @@ object CorpusOps {
          |    AS rarity_mean_e6
          |  FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id),
          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
-         |    ORDER BY rarity_mean_e6 DESC, doc_id) AS BIGINT) AS rnk
+         |    ORDER BY rarity_mean_e6 DESC, doc_id NULLS LAST) AS BIGINT) AS rnk
          |  FROM scored)
          |SELECT source, rnk, doc_id, n_tok, rarity_mean_e6
          |FROM ranked WHERE rnk <= $RaritySelectK

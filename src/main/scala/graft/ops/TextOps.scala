@@ -701,6 +701,24 @@ object TextOps {
     // race as scratch paths, in the metastore): derive from the
     // generation-suffixed dir; dots (sf0.001) are not legal in names
     val tbl = dir.substring(dir.lastIndexOf('/') + 1).replace('.', '_')
+    // catalog sweep (round-14 ADVICE): scratchDir reaps old generation
+    // DIRS, but their catalog entries lingered, pointing at deleted
+    // paths — as do entries left by previous JVMs (whose generation
+    // numbers can even sit ABOVE this process's fresh counter). Any
+    // sibling `postings_bkt_*_g<N>` table whose backing location no
+    // longer exists is dead by construction (a live generation's dir is
+    // protected by ScratchLag), so drop exactly those.
+    val prefix = tbl.substring(0, tbl.lastIndexOf("_g") + 2)
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n != tbl && n.startsWith(prefix) &&
+        n.substring(prefix.length).forall(_.isDigit))
+      .foreach { n =>
+        val loc = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))
+          spark.sql(s"DROP TABLE IF EXISTS $n")
+      }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     // bucket count ≥ the session's parallelism: buckets bound every
     // downstream zero-exchange join's task count (see PostingsBuckets)

@@ -25,20 +25,22 @@ import graft.ops.{Ingest, Tables}
   */
 object StreamOps {
 
-  private def rmrf(dir: String): Unit = Tables.rmrf(dir)
-
-  /** Sink + checkpoint dirs for one streaming query, keyed by DATASET
-    * (round-13 ADVICE: the fixed names meant runs over two fixtures
-    * overwrote each other's sinks and shared a checkpoint — and a
-    * checkpoint pins its source path, so the second dataset would
-    * silently re-drain the first's files). Both dirs are cleared up
-    * front: every call is a fresh bounded AvailableNow drain.
+  /** Sink + checkpoint dirs for one streaming query: one
+    * generation-suffixed parent per INVOCATION via [[Tables.scratchDir]]
+    * (round-14 ADVICE: the previous dataset-keyed-but-fixed names meant
+    * two CONCURRENT invocations of the same query over the same fixture
+    * — the parallel-suite scenario — shared one sink/checkpoint pair
+    * and rmrf'd each other mid-drain; a fresh generation removes the
+    * race, and scratchDir's lagged reaping bounds disk). The parent is
+    * recorded per (tag, dataset) so post-drain inspectors
+    * ([[s7ValidSide]]) can find the run they just completed.
     */
+  private val lastSink =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private def sinkDirs(tag: String, d: String): (String, String) = {
-    val out = s"${Tables.scratch}/${tag}_out_${Tables.sanitize(d)}"
-    val chk = s"${Tables.scratch}/${tag}_chk_${Tables.sanitize(d)}"
-    rmrf(out); rmrf(chk)
-    (out, chk)
+    val base = Tables.scratchDir(s"${tag}_sink", d)
+    lastSink.put((tag, Tables.sanitize(d)), base)
+    (s"$base/out", s"$base/chk")
   }
 
   /** Stateful streaming shuffles are pinned to a lower partition count
@@ -806,14 +808,18 @@ object StreamOps {
   }
 
   /** The valid-side read-back of the s7 split (test hook, not a
-    * registered query): must equal the a7 validation output.
+    * registered query): must equal the a7 validation output. Reads the
+    * LAST completed s7 drain for this dataset in this JVM (the
+    * generation-suffixed sink recorded by [[sinkDirs]]).
     */
   private[graft] def s7ValidSide(spark: SparkSession, d: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       Ingest.EventFields.map(f =>
         org.apache.spark.sql.types.StructField(f,
           org.apache.spark.sql.types.StringType)))
-    readSink(spark, s"${Tables.scratch}/s7_out_${Tables.sanitize(d)}/valid", schema)
+    val base = lastSink.get(("s7", Tables.sanitize(d)))
+    require(base != null, s"s7ValidSide: no s7 drain has run for $d in this JVM")
+    readSink(spark, s"$base/out/valid", schema)
       .select(schema.fieldNames.map(col): _*)
   }
 
