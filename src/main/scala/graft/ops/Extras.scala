@@ -203,7 +203,20 @@ object Extras {
     * [[graft.ops.VectorOps.x_annIvfPq]] (the composed IVF-PQ index)
     * share ONE trainer. Returns empty for an empty/all-null corpus.
     */
-  private[graft] def ivfCentroids(spark: SparkSession, emb: DataFrame): Array[Array[Float]] = {
+  private[graft] def ivfCentroids(spark: SparkSession, emb: DataFrame): Array[Array[Float]] =
+    ivfCentroidsK(spark, emb, IvfCells, seedByLabel = true)
+
+  /** The trainer with a PARAMETERIZED cell count — the search-ladder
+    * queries keep the fixed [[IvfCells]]/label-seeded codebook above
+    * (bit-stable vs their pinned history), while
+    * [[graft.ops.VectorOps.x_semanticAnn]] sizes k to the CORPUS
+    * (k ≈ n/target-cell-size — the SemDeDup regime, where candidate
+    * work per cell is constant and total work is linear). Seeding must
+    * not depend on the label alphabet once k exceeds it, so k ≠
+    * IvfCells seeds cells by vec_id hash (uniform, deterministic).
+    */
+  private[graft] def ivfCentroidsK(spark: SparkSession, emb: DataFrame,
+      cells: Int, seedByLabel: Boolean): Array[Array[Float]] = {
     graft.functions.GraftFunctions.register(spark)
 
     // ---- codebook training: spherical k-means, Lloyd iterations ----
@@ -237,7 +250,7 @@ object Extras {
       // a cell that captured no vectors keeps its previous centroid
       // (positional collect would silently shift every later cell id)
       val dim = got.head._2.length
-      (0 until IvfCells).map(i =>
+      (0 until cells).map(i =>
         got.getOrElse(i, if (prev.isEmpty) new Array[Float](dim) else prev(i))).toArray
     }
 
@@ -282,7 +295,11 @@ object Extras {
       return Array.empty
     }
     val train = trainAll.filter(size(col("embedding")) === modalDim.get)
-    var cents = centroidsOf(train.withColumn("cell", col("label")), Array.empty) // seed: labels
+    // seed: labels for the fixed search-ladder codebook; a vec_id hash
+    // once k outgrows (or just differs from) the label alphabet
+    val seed = if (seedByLabel) col("label")
+      else pmod(xxhash64(col("vec_id")), lit(cells)).cast("int")
+    var cents = centroidsOf(train.withColumn("cell", seed), Array.empty)
     for (_ <- 1 to IvfTrainIters)
       cents = centroidsOf(train.withColumn("cell", assignCol(cents)), cents)
     trainAll.unpersist(blocking = false)

@@ -75,7 +75,7 @@ class EdgeCaseSpec extends SparkSpec {
     "c28_pack_bpe", "x_neardup_bucketed", "x_neardup_incremental",
     "c29_repetition_stats", "c30_quality_gate", "c31_pii_redact",
     "c32_domain_stats", "c33_rarity_score", "c34_encoding_stats",
-    "x_semantic_dedup", "x_select_by_rarity",
+    "x_semantic_dedup", "x_semantic_ann", "x_select_by_rarity",
     // s9/s10 read documents, not events — the streaming queries that
     // belong in the corpus sweep (dirty text through the classifier /
     // audit stream; empty corpus must drain to an empty sink)

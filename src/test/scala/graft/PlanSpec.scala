@@ -52,6 +52,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"c7 must not cartesian-join:\n$p")
   }
 
+  test("x_semantic_ann: pair stage is an equi-join on the cell id — no nested loop") {
+    val p = plan(VectorOps.semanticAnnPairs(spark, sf0001).get)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"semantic-ANN candidates must come from the cell equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not cartesian-join:\n$p")
+    assert(p.contains("top_cells"), s"cell assignment must be the native TopCells map:\n$p")
+  }
+
   test("c2: candidate generation is an equi-join on the shingle hash, no nested loop") {
     val p = plan(TextOps.c2_dedupJaccard(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"c2 must not nested-loop:\n$p")

@@ -210,6 +210,9 @@ class ScanCensusSpec extends SparkSpec {
     // x_semantic_dedup: like c15, the final plan reads checkpointed
     // label RDDs — the embeddings scans live in the sweep jobs
     "x_semantic_dedup" -> ((0, 0)),
+    // x_semantic_ann: same cluster tail — training, assignment and the
+    // pair join all run before the checkpointed label state
+    "x_semantic_ann" -> ((0, 0)),
     // c16's drop list is c15 label state (checkpointed RDD, no file
     // read); the corpus scan and the digest-keeps scan are the two.
     "c16_corpus_pipeline" -> ((2, 0)),

@@ -51,6 +51,32 @@ class TextVectorSpec extends SparkSpec {
     assert(kept === 3) // 1, 5, and the singleton 3
   }
 
+  test("x_semantic_ann: refines the exact components (precision 1) with recall >= 0.9") {
+    // the exact answer: x_semantic_dedup's components over c7's pairs
+    val exact = VectorOps.x_semanticDedup(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(exact.nonEmpty, "fixture must contain semantic near-dups")
+    val ann = VectorOps.x_semanticAnn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    // precision 1: every ANN pair is exact-verified at the same
+    // threshold, so ANN components REFINE the exact ones — every ANN
+    // member is an exact member, and two vecs the ANN groups together
+    // are grouped together exactly
+    ann.keySet.foreach { v =>
+      assert(exact.contains(v), s"ANN clustered $v which the exact op does not")
+    }
+    ann.groupBy(_._2).values.foreach { comp =>
+      val exactLabels = comp.keySet.map(exact)
+      assert(exactLabels.size === 1,
+        s"ANN merged vectors from different exact components: $comp")
+    }
+    // recall: the cell-bucketed candidates must recover >= 0.9 of the
+    // vectors the exact op clusters (the x_ann_ivf pin's contract
+    // applied to dedup membership)
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.9, s"semantic-ANN recall $recall too low (${ann.size}/${exact.size})")
+  }
+
   test("x_minhash_lsh: perfect precision, bounded recall vs exact c2") {
     val exact = TextOps.c2_dedupJaccard(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
