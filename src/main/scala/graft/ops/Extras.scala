@@ -143,9 +143,9 @@ object Extras {
     * the scan with no Aggregate/count pre-action (round 6 removed a
     * full-corpus `count()` here; the pin keeps it out).
     */
-  private[graft] def ivfTrainSample(emb: DataFrame): DataFrame =
+  private[graft] def ivfTrainSample(emb: DataFrame, cap: Int = IvfTrainCap): DataFrame =
     emb.select(col("vec_id"), col("label"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfTrainCap)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
 
   /** Driver-side prep of one codebook row: unit-normalize (cosine
     * ranking then reduces to a plain dot — 1/|c| folds in here, no
@@ -214,9 +214,12 @@ object Extras {
     * work per cell is constant and total work is linear). Seeding must
     * not depend on the label alphabet once k exceeds it, so k ≠
     * IvfCells seeds cells by vec_id hash (uniform, deterministic).
+    * `trainCap` scales the bounded sample with k (k-means needs
+    * several representatives per cell) — still corpus-size-decoupled.
     */
   private[graft] def ivfCentroidsK(spark: SparkSession, emb: DataFrame,
-      cells: Int, seedByLabel: Boolean): Array[Array[Float]] = {
+      cells: Int, seedByLabel: Boolean,
+      trainCap: Int = IvfTrainCap): Array[Array[Float]] = {
     graft.functions.GraftFunctions.register(spark)
 
     // ---- codebook training: spherical k-means, Lloyd iterations ----
@@ -272,7 +275,7 @@ object Extras {
     // The bounded training set fits in memory BY DESIGN (<= IvfTrainCap
     // vectors) — cache it so the 1+IvfTrainIters Lloyd passes reduce a
     // cached relation instead of re-scanning the lake each iteration
-    val trainAll = ivfTrainSample(emb).cache()
+    val trainAll = ivfTrainSample(emb, trainCap).cache()
     // One codebook has ONE dimensionality: train on the sample's modal
     // vector dim so a stray ragged/null vector (corrupt row in a lake
     // table) cannot crash the per-cell mean with a mixed-dim group.

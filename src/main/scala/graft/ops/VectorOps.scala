@@ -311,13 +311,29 @@ object VectorOps {
         col("vec_id").as("neighbor_id"),
         pqCol(cbs, codes = false).as("ce"),
         Extras.topCellsCol(cents, 1).getItem(0).as("cell"))
-      .withColumn("c_norm", sqrt(expr("dot_f32(ce, ce)")))
-      .filter(finiteNorm(col("c_norm")))
-    val probes = emb.filter(col("vec_id") < 20)
+    ivfPqSearch(corpus, probesOf(Tables.embeddings(spark, d), cents))
+  }
+
+  /** The IVF-PQ probe side — probes broadcast with their nprobe probed
+    * cells; shared by [[x_annIvfPq]] and [[annFromIndex]] so the two
+    * paths score identically by construction.
+    */
+  private def probesOf(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         explode(Extras.topCellsCol(cents, Extras.IvfNprobe)).as("cell"),
         sqrt(sumSqOf("embedding")).as("p_norm"))
       .filter(finiteNorm(col("p_norm")))
+
+  /** The IVF-PQ search tail over ANY (neighbor_id, ce, cell) corpus —
+    * the inline query feeds it PqAssign reconstructions, the index
+    * consumer feeds it PqDecode of stored codes; ONE body, so the two
+    * cannot drift.
+    */
+  private def ivfPqSearch(corpusSrc: DataFrame, probes: DataFrame): DataFrame = {
+    val corpus = corpusSrc
+      .withColumn("c_norm", sqrt(expr("dot_f32(ce, ce)")))
+      .filter(finiteNorm(col("c_norm")))
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("sim_e6",
@@ -329,6 +345,85 @@ object VectorOps {
       .filter(col("rnk") <= 10)
       .select(col("probe_id"), col("neighbor_id"), col("sim_e6"), col("rnk"))
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** x_ann_from_index: the MATERIALIZED-index consumer the ANN ladder
+    * was missing — every other registered ANN query retrains its
+    * codebooks per invocation, but a production 100 TB vector index is
+    * built ONCE and searched many times (the x_contain_from_postings
+    * pattern applied to vectors). [[buildAnnIndex]] persists the whole
+    * index: per-vector (cell id, M PQ codes) — 1+8 bytes of payload
+    * instead of 256 B of floats — plus the two codebooks as a one-row
+    * model table. [[annFromIndex]] then searches from THOSE artifacts
+    * alone: the codebooks are read back as KB driver model state, the
+    * corpus side is one pure-map [[graft.functions.PqDecode]] scan of
+    * codes.parquet (NO Lloyd iterations, NO VectorCentroid aggregate,
+    * NO corpus float scan — PlanSpec pins all three), and scoring is
+    * the SAME [[ivfPqSearch]] tail as the inline query.
+    *
+    * Byte-equal to [[x_annIvfPq]] given the same corpus — the trainers
+    * are hash-deterministic and decode∘codes ≡ reconstruct by the
+    * PqDecode contract — pinned row-for-row in scalatest; rows-only in
+    * the driver gate like the rest of the ANN family.
+    *
+    * Scale (100 TB): build cost is the ladder's training (bounded
+    * sample) + one assignment scan, paid once; each subsequent search
+    * reads 32× less corpus than a float scan and does ADC-shaped work
+    * only within probed cells. Search-time driver traffic is the
+    * one-row model read.
+    */
+  def x_annFromIndex(spark: SparkSession, d: String): DataFrame = {
+    val dir = buildAnnIndex(spark, d)
+    if (dir.isEmpty) {
+      graft.functions.GraftFunctions.register(spark)
+      return cosineTopK(Tables.embeddings(spark, d).filter(lit(false)))
+    }
+    annFromIndex(spark, d, dir.get)
+  }
+
+  /** INDEX BUILD — train both quantizers (the ladder's deterministic
+    * bounded-sample trainers), assign every vector its cell + codes in
+    * one scan, persist codes + codebooks. Returns None for an
+    * untrainable/empty corpus. Split from the consumer so the decade
+    * profile can time build and search separately.
+    */
+  private[graft] def buildAnnIndex(spark: SparkSession, d: String): Option[String] = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val cents = Extras.ivfCentroids(spark, emb)
+    val cbs = pqCodebooks(spark, emb)
+    if (cents.isEmpty || cbs.isEmpty) return None
+    val dir = Tables.scratchDir("ann_index", d)
+    emb.select(col("vec_id"),
+        Extras.topCellsCol(cents, 1).getItem(0).as("cell"),
+        pqCol(cbs, codes = true).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    import spark.implicits._
+    // the model table: ONE row of nested float arrays (k×64 + M×256×8
+    // ≈ KB — the codebooks a real index ships in its header/sidecar)
+    Seq((cents.map(_.toSeq).toSeq, cbs.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("cents", "cbs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model.parquet")
+    Some(dir)
+  }
+
+  /** The SEARCH half: codebooks from the model table (one-row driver
+    * read), corpus from codes.parquet through the native PqDecode map,
+    * probes from the query vectors — no training anywhere in the plan.
+    */
+  private[graft] def annFromIndex(spark: SparkSession, d: String, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val model = spark.read.parquet(s"$dir/model.parquet").head()
+    val cents = model.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    val cbs = model.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Float]]]]("cbs")
+      .map(_.map(_.toArray).toArray).toArray
+    val corpus = spark.read.parquet(s"$dir/codes.parquet")
+      .select(col("vec_id").as("neighbor_id"),
+        ColumnBridge.column(graft.functions.PqDecode(
+          UnresolvedAttribute("codes"), cbs)).as("ce"),
+        col("cell"))
+    ivfPqSearch(corpus, probesOf(Tables.embeddings(spark, d), cents))
   }
 
   /** ANN via random-hyperplane LSH bucketing (no oracle — probabilistic;
@@ -455,25 +550,34 @@ object VectorOps {
     graft.ops.TextOps.clustersOf(c7_cosineNeardup(spark, d))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
 
-  /** Target vectors per IVF cell for [[x_semanticAnn]]: k = n/this, so
-    * candidate work per cell is a CONSTANT (nprobe²·target²/2 pairs)
-    * and total pair work is LINEAR in corpus size — the growth rate
-    * that separates a production SemDeDup from c7's exact verifier.
+  /** Cell-count rule for [[x_semanticAnn]]: k = this·√n — the standard
+    * flat-IVF sizing (the FAISS guideline regime, 4√n-16√n). With
+    * k ∝ √n, per-iteration training cost (sample ∝ k, assignment
+    * k-cells each) grows LINEARLY in n while candidate pair work
+    * (nprobe²·n²/2k) grows as n^1.5 — subquadratic end-to-end, vs
+    * c7's O(n²) pairs. k ∝ n would make the pairs linear but Lloyd
+    * itself quadratic; flat k-means cannot beat n^1.5 total, and the
+    * hierarchical coarse quantizers that can are a codebook-SHAPE
+    * change, not a plan change — the join below is theirs too.
     */
-  val SemAnnCellTarget = 128L
+  val SemAnnCellsPerSqrtN = 4
   /** Cell-count clamp for [[x_semanticAnn]]. The lower bound keeps
-    * tiny fixtures from degenerating to one cell; the upper bound is
-    * the training-sample budget ([[Extras]]' 1024-vector cap — k-means
-    * needs several representatives per cell; a lake deployment raises
-    * the cap and this clamp together with its training budget).
+    * tiny fixtures from degenerating to one cell; the upper bound
+    * caps driver model state (k×64 floats ≈ 1 MB at 4096) and the
+    * training-sample budget (16·k vectors) at what a driver holds
+    * comfortably — binding only past ~1M vectors per partition-of-
+    * corpus, where a lake deployment shards the dedup by partition
+    * anyway.
     */
   val SemAnnMinCells = 10
-  val SemAnnMaxCells = 256
+  val SemAnnMaxCells = 4096
   /** Probe fan-out: each vector joins its nprobe nearest cells, so a
     * pair is a candidate when the two cell sets INTERSECT — the recall
-    * dial (pinned ≥ 0.9 vs the exact x_semantic_dedup in scalatest).
+    * dial (pinned ≥ 0.9 vs the exact x_semantic_dedup in scalatest;
+    * the 0.4-0.6-cosine tail of the pair threshold needs a wider net
+    * than top-k search does, hence > the ladder's nprobe=3).
     */
-  val SemAnnNprobe = 4
+  val SemAnnNprobe = 8
 
   /** x_semantic_ann: x_semantic_dedup at the SCALABLE growth rate —
     * the round-14 verdict's one flagged stage was the exact pair scan
@@ -483,7 +587,7 @@ object VectorOps {
     * This operator is that shape on the engine's own IVF machinery:
     *
     *  1. coarse quantizer: [[Extras.ivfCentroidsK]] with k sized to
-    *     the corpus (n / [[SemAnnCellTarget]], clamped) — the SAME
+    *     the corpus ([[SemAnnCellsPerSqrtN]]·√n, clamped) — the SAME
     *     bounded-sample Lloyd trainer as the ANN ladder, hash-seeded;
     *  2. candidates: each vector is assigned its [[SemAnnNprobe]]
     *     nearest cells (one native TopCells map over the corpus, norms
@@ -504,14 +608,15 @@ object VectorOps {
     * emitted pair is exact-verified, so clusters can only be SPLIT
     * relative to the exact answer, never polluted).
     *
-    * Scale (100 TB): training reads ≤ 1024 cached vectors; assignment
-    * is one pure-map scan; the pair join shuffles (cell, id, vec) rows
-    * — nprobe× the corpus, with every join bucket bounded at ~nprobe·
-    * [[SemAnnCellTarget]] rows by the trainer's cell sizing, so pair
-    * work is bounded-constant per cell × k cells ∝ n, not n². The
-    * cluster tail is 16 B/node (c15's argument). k scales as n/128:
-    * at lake scale that is a bigger codebook (TopCells' generated
-    * code is k-independent by design), not a bigger shuffle.
+    * Scale (100 TB): training reads a 16·k-vector cached sample
+    * (∝ √n, never the corpus); assignment is one pure-map scan; the
+    * pair join shuffles (cell, id, vec) rows — nprobe× the corpus,
+    * with every join bucket holding ~nprobe·n/k ∝ √n rows, so pair
+    * work totals nprobe²·n²/2k ∝ n^1.5, not n² (measured in the
+    * decade profile, [[graft.tools.ProfileSemantic]]). The cluster
+    * tail is 16 B/node (c15's argument). A bigger k is a bigger
+    * codebook reference object (TopCells' generated code is
+    * k-independent by design), never a bigger shuffle.
     */
   def x_semanticAnn(spark: SparkSession, d: String): DataFrame =
     semanticAnnPairs(spark, d) match {
@@ -532,9 +637,10 @@ object VectorOps {
     // k from the corpus row count: a parquet-footer count, the b32/
     // x_neardup_incremental census pattern — control state, not data
     val n = emb.count()
-    val k = math.max(SemAnnMinCells,
-      math.min(SemAnnMaxCells, n / SemAnnCellTarget)).toInt
-    val cents = Extras.ivfCentroidsK(spark, emb, k, seedByLabel = false)
+    val k = math.max(SemAnnMinCells, math.min(SemAnnMaxCells,
+      (SemAnnCellsPerSqrtN * math.sqrt(n.toDouble)).toLong)).toInt
+    val cents = Extras.ivfCentroidsK(spark, emb, k, seedByLabel = false,
+      trainCap = math.max(1024, 16 * k))
     if (cents.isEmpty) return None
     def side(p: String): DataFrame = emb.select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}e"),
@@ -707,6 +813,7 @@ object VectorOps {
     "x_ann_quantized"    -> x_annQuantized _,
     "x_ann_pq"           -> x_annPq _,
     "x_ann_ivfpq"        -> x_annIvfPq _,
+    "x_ann_from_index"   -> x_annFromIndex _,
     "x_semantic_dedup"   -> x_semanticDedup _,
     "x_semantic_ann"     -> x_semanticAnn _,
   )

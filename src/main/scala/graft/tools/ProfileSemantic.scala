@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decade-scale profile of the semantic-dedup pair stages: the exact
+  * x_semantic_dedup (c7's blocked all-pairs scan, O(n²) work) against
+  * x_semantic_ann (IVF-cell-bucketed candidates, O(n) work by the
+  * cell-target sizing). Run over [[CorpusDecade]] outputs so the
+  * embeddings table grows by integer factors of sf0.1 while the
+  * near-dup structure stays a shifted replica of the source
+  * (replicateEmbeddings: values unchanged, ids disjoint).
+  *
+  * Per dataset it reports, as one readable line each:
+  *   - n vectors;
+  *   - the ANN candidate census: Σ_cell m_c·(m_c−1)/2 over the probed
+  *     cell assignments (m_c = vectors probing cell c) — the pair
+  *     count the cell equi-join feeds the verifier, to be read against
+  *     c7's n·(n−1)/2;
+  *   - wall seconds + output rows for x_semantic_ann;
+  *   - wall seconds + output rows for x_semantic_dedup (skippable via
+  *     EXACT_MAX_N once the quadratic cost stops being worth the
+  *     measurement).
+  *
+  * Usage: runMain graft.tools.ProfileSemantic <dir> [dir ...]
+  * (do not run concurrently with Bench — two local[32] JVMs
+  * oversubscribe the box and contaminate both measurements)
+  */
+object ProfileSemantic {
+
+  private val ExactMaxN = sys.env.getOrElse("EXACT_MAX_N", "25000").toLong
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileSemantic <dir> [dir ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for (d <- args) {
+      val emb = graft.ops.Tables.embeddings(spark, d)
+      val n = emb.count()
+      // the candidate census x_semantic_ann's sizing promises: same k,
+      // same trainer, same nprobe as the registered query
+      val k = math.max(graft.ops.VectorOps.SemAnnMinCells,
+        math.min(graft.ops.VectorOps.SemAnnMaxCells,
+          (graft.ops.VectorOps.SemAnnCellsPerSqrtN * math.sqrt(n.toDouble)).toLong)).toInt
+      val cents = graft.ops.Extras.ivfCentroidsK(spark, emb, k, seedByLabel = false,
+        trainCap = math.max(1024, 16 * k))
+      val cand = emb
+        .select(explode(graft.ops.Extras.topCellsCol(cents,
+          graft.ops.VectorOps.SemAnnNprobe)).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) / 2")).as("cand"))
+        .head().getAs[Any]("cand")
+      val exactPairs = n * (n - 1) / 2
+      val (annRows, annSec) = timed(graft.ops.VectorOps.x_semanticAnn(spark, d).count())
+      println(f"[semantic] $d n=$n k=$k candidates=$cand exact_pairs=$exactPairs " +
+        f"ann_sec=$annSec%.2f ann_rows=$annRows")
+      if (n <= ExactMaxN) {
+        val (exRows, exSec) = timed(graft.ops.VectorOps.x_semanticDedup(spark, d).count())
+        println(f"[semantic] $d exact_sec=$exSec%.2f exact_rows=$exRows " +
+          f"recall=${if (exRows == 0) 1.0 else annRows.toDouble / exRows}%.4f")
+      }
+    }
+    spark.stop()
+  }
+}

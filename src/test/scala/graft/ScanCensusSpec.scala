@@ -199,6 +199,9 @@ class ScanCensusSpec extends SparkSpec {
     // x_ann_ivfpq: same two branches (cell-assign + decode are pure
     // maps on the corpus scan; both codebooks are reference objects)
     "x_ann_ivfpq" -> ((2, 0)),
+    // x_ann_from_index: the consumer plan reads codes.parquet + the
+    // probe slice of embeddings — training/build ran as earlier jobs
+    "x_ann_from_index" -> ((2, 0)),
     "c11_hash_sample" -> ((1, 0)),
     "c12_tfidf_top_terms" -> ((2, 1)),
     "c13_stratified_sample" -> ((1, 0)),

@@ -229,6 +229,35 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("x_ann_from_index: the materialized-index consumer is byte-equal to the inline IVF-PQ") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("sim_e6"), r.getAs[Long]("rnk"))).toSeq
+    // the trainers are hash-deterministic and decode∘codes ≡
+    // reconstruct (the PqDecode contract), so searching the persisted
+    // codes must reproduce the inline query row for row — including
+    // the sim values, not just the id sets
+    assert(rows(VectorOps.x_annFromIndex(spark, sf0001)) ===
+      rows(VectorOps.x_annIvfPq(spark, sf0001)))
+  }
+
+  test("x_ann_from_index: search reuses the index — no retraining, no float-corpus decode") {
+    val dir = VectorOps.buildAnnIndex(spark, sf0001).get
+    val search = VectorOps.annFromIndex(spark, sf0001, dir)
+    val p = search.queryExecution.executedPlan.toString
+    assert(p.contains("pq_decode"), s"corpus must decode stored codes:\n$p")
+    assert(!p.contains("pq_codes") && !p.contains("pq_reconstruct"),
+      s"search must not re-run assignment over the float corpus:\n$p")
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"search must hold no Lloyd aggregate:\n$p")
+    // the corpus side scans codes.parquet; the only embeddings read is
+    // the vec_id<20 probe scan (pushed filter)
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans === 2, s"expected codes + probe scans only, saw $scans:\n$p")
+    // and searching the same persisted index twice is stable
+    assert(search.collect().toSeq === VectorOps.annFromIndex(spark, sf0001, dir).collect().toSeq)
+  }
+
   test("x_ann_ivfpq: the composed index still finds the neighborhood — recall floor vs c3") {
     val exact = VectorOps.c3_simTopk(spark, sf0001).collect()
     val ivfpq = VectorOps.x_annIvfPq(spark, sf0001).collect()
