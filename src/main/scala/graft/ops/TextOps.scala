@@ -822,6 +822,16 @@ object TextOps {
     val old0 = spark.read.parquet(s"$dir/postings.parquet")
     val dfOld = spark.read.parquet(s"$dir/df.parquet")
     val delta = spark.read.parquet(s"$dir/delta.parquet")
+    neardupPairTail(delta, old0, dfOld)
+  }
+
+  /** The delta-vs-index pair stage shared by [[neardupIngest]] and the
+    * streaming arrival form ([[graft.streaming.StreamOps]] s14): given
+    * the delta's postings, the standing index's postings and its df
+    * census, emit c25's pairs restricted to pairs touching a delta doc.
+    */
+  private[graft] def neardupPairTail(delta: DataFrame, old0: DataFrame,
+      dfOld: DataFrame): DataFrame = {
     // Adaptive index-side runtime filter: the daily-ingest norm is a
     // delta ORDERS OF MAGNITUDE smaller than the standing index, where
     // the pair join's index-side exchange — index-sized every day — is
@@ -849,13 +859,21 @@ object TextOps {
       .select(col("fp"))
     val dk = delta.join(keep, "fp")
     val ok = old.join(keep, "fp")
-    // (index, delta) pairs: every index id is ≤ mid < delta id, so the
-    // c25 residual `a_id < b_id` holds a priori for real ids — kept
-    // anyway because it is what drops null-id index rows from pairing
-    // (c25's own semantics: a null id never wins a comparison)
-    val cross = ok.select(col("fp"), col("doc_id").as("a_id"))
-      .join(dk.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
-      .filter(col("a_id") < col("b_id"))
+    // (index, delta) pairs, emitted in c25's (min, max) orientation.
+    // The one-shot ingest's index ids are all ≤ mid < delta ids, but
+    // the STREAMING arrival form folds previously-arrived delta
+    // epochs into the index side, where ids interleave with the
+    // current batch's — least/greatest keeps the orientation right
+    // either way. Explicit null guards preserve c25's semantics (a
+    // null-id index row never pairs; least/greatest would otherwise
+    // let the non-null side through).
+    val cross = ok.select(col("fp"), col("doc_id").as("x_id"))
+      .join(dk.select(col("fp"), col("doc_id").as("y_id")), Seq("fp"))
+      .filter(col("x_id").isNotNull && col("y_id").isNotNull &&
+        col("x_id") =!= col("y_id"))
+      .select(col("fp"),
+        least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
     val nn = dk.select(col("fp"), col("doc_id").as("a_id"))
       .join(dk.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
       .filter(col("a_id") < col("b_id"))

@@ -140,8 +140,12 @@ object StreamOps {
   /** File-source stream over any single-table fixture — shared by the
     * event tier (s1-s8) and the document tier (s9).
     */
-  private def stagedFileStream(spark: SparkSession, d: String, table: String): DataFrame = {
+  private def stagedFileStream(spark: SparkSession, d: String, table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = Tables.t(spark, d, table).schema
+    def reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(schema)) {
+      (rd, n) => rd.option("maxFilesPerTrigger", n)
+    }
     val src = Paths.get(s"$d/$table.parquet")
     // a DIRECTORY table (Spark-written, e.g. the decade-scale generated
     // logs) is already the layout the file source wants — stream it in
@@ -150,7 +154,7 @@ object StreamOps {
     // equivalent (the stream source's top-level listing skips it and
     // silently streams zero rows — caught by the x3 ladder run).
     if (Files.isDirectory(src))
-      return spark.readStream.schema(schema).parquet(src.toString)
+      return reader.parquet(src.toString)
     // the file source requires a directory: stage a per-sf dir holding a
     // symlink to the fixture file (falls back to a copy if unsupported)
     val stageDir = Paths.get(s"${Tables.scratch}/${table}_src_${Tables.sanitize(d)}")
@@ -172,7 +176,7 @@ object StreamOps {
         Files.copy(src, link, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    spark.readStream.schema(schema).parquet(stageDir.toString)
+    reader.parquet(stageDir.toString)
   }
 
   private def eventStream(spark: SparkSession, d: String): DataFrame =
@@ -807,6 +811,88 @@ object StreamOps {
       .orderBy(col("eval_id"), col("train_id"))
   }
 
+  /** s14: near-dup dedup ON ARRIVAL — x_neardup_incremental's
+    * streaming twin, the last batch lifecycle without an arrival form:
+    * delta documents stream in (the `doc_id > mid` shard, same
+    * epoch-boundary census as the batch op), every micro-batch is
+    * fingerprinted by the SAME winnow kernel in the streaming plan
+    * (s10's shape — pure per-row work, no state held by the stream
+    * itself), paired against the standing index AS OF its arrival
+    * (base postings ∪ previously-arrived epochs, censuses merged —
+    * [[graft.ops.TextOps.neardupPairTail]], the batch op's own tail),
+    * and sunk batchId-keyed.
+    *
+    * The index fold is REPLAY-IDEMPOTENT by construction: each batch's
+    * postings land in their own `epochs/bid=N` partition (overwrite),
+    * and the standing-index view a batch pairs against is `base ∪
+    * epochs[bid < N]` — a replayed batch rewrites its own partition
+    * and recomputes against exactly the same prior state, unlike a
+    * mutable append (the production analog: table-format transactional
+    * appends keyed by epoch). `maxFilesPerTrigger = 1` makes a
+    * multi-file corpus arrive file-by-file, so the per-batch fold is
+    * exercised for real — and the union of per-batch outputs TILES the
+    * one-shot ingest exactly (neardupIndexAppend's tiling lemma: every
+    * pair lands in the batch of its later-arriving doc, df censuses
+    * only grow), so s14 carries x_neardup_incremental's restricted-c25
+    * oracle VERBATIM and is driver-hash-checked; StreamingSpec pins
+    * the multi-batch tiling against the one-shot output row for row.
+    *
+    * Scale (100 TB): the arrival path pays delta fingerprinting (pure
+    * map) + the delta-proportional pair join (Bloom-gated index scan,
+    * the batch op's economics) per batch; epoch state is slim posting
+    * rows, never text. A day's worth of micro-batches leaves exactly
+    * the posting layout the next day's batch ingest consumes.
+    */
+  def s14_streamNeardup(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextOps
+    val docs = Tables.documents(spark, d)
+    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    if (r.isNullAt(0))
+      // empty corpus: no boundary, no pairs — first-run totality
+      return spark.range(0).select(col("id").as("a_id"), col("id").as("b_id"),
+        col("id").as("n_shared"))
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val (out, chk) = sinkDirs("s14", d)
+    // the standing index: in production it exists from past ingests
+    val dir = Tables.scratchDir("s14_postings", d)
+    TextOps.neardupIndexBuild(spark, d, dir, mid)
+    val epochs = s"$dir/epochs"
+    val deltaFps = TextOps.winnowFps(
+      stagedFileStream(spark, d, "documents", maxFilesPerTrigger = Some(1))
+        .filter(col("doc_id") > mid))
+    val q = deltaFps.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val sp = batch.sparkSession
+        // 1. epoch-keyed postings write (overwrite ⇒ replay-idempotent)
+        batch.write.mode("overwrite").parquet(s"$epochs/bid=$bid")
+        val batchFps = sp.read.parquet(s"$epochs/bid=$bid")
+        // 2. the standing index as of this batch: base ∪ prior epochs
+        //    (partition discovery yields the bid column; a replayed
+        //    batch's own partition is excluded by the strict <)
+        val prior = sp.read.parquet(epochs).filter(col("bid") < bid)
+          .select(col("doc_id"), col("fp"))
+        val old = sp.read.parquet(s"$dir/postings.parquet").unionByName(prior)
+        val dfOld = sp.read.parquet(s"$dir/df.parquet")
+          .join(prior.groupBy(col("fp")).agg(count(lit(1)).as("df_prior")),
+            Seq("fp"), "full_outer")
+          .select(col("fp"),
+            (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_prior"), lit(0L)))
+              .as("df_old"))
+        // 3. the batch op's own pair tail, batchId-keyed sink (see s1)
+        TextOps.neardupPairTail(batchFps, old, dfOld)
+          .write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "a_id BIGINT, b_id BIGINT, n_shared BIGINT")
+    readSink(spark, out, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
@@ -842,6 +928,9 @@ object StreamOps {
     "s12_stream_pii" -> graft.ops.TextQuality.oracles("c31_pii_redact"),
     // merge-of-exact-partials ≡ the batch funnel: c32's oracle verbatim
     "s13_stream_funnel" -> graft.ops.TextQuality.oracles("c32_domain_stats"),
+    // per-batch ingests tile the one-shot ingest (the tiling lemma):
+    // x_neardup_incremental's restricted-c25 oracle verbatim
+    "s14_stream_neardup" -> graft.ops.TextOps.oracles("x_neardup_incremental"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -905,5 +994,6 @@ object StreamOps {
     "s11_stream_quality_gate" -> s11_streamQualityGate _,
     "s12_stream_pii" -> s12_streamPii _,
     "s13_stream_funnel" -> s13_streamFunnel _,
+    "s14_stream_neardup" -> s14_streamNeardup _,
   )
 }

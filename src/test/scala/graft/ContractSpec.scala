@@ -75,15 +75,18 @@ class ContractSpec extends AnyFunSuite {
       "s12_stream_pii" -> "c31_pii_redact",
       // merge-of-exact-partials ≡ batch for the funnel rollup (s13 is
       // c32's twin — BIGINT partials merge exactly, unlike s8's HLL)
-      "s13_stream_funnel" -> "c32_domain_stats")
+      "s13_stream_funnel" -> "c32_domain_stats",
+      // per-batch ingests tile the one-shot ingest (s14 is
+      // x_neardup_incremental's streaming twin — the tiling lemma)
+      "s14_stream_neardup" -> "x_neardup_incremental")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 118 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 118)
-    assert(SparkEntry.oracleSql.size === 105)
+  test("the inventory holds all 119 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 119)
+    assert(SparkEntry.oracleSql.size === 106)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

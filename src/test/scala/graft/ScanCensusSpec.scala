@@ -234,6 +234,9 @@ class ScanCensusSpec extends SparkSpec {
     // has its own per-micro-batch plans): one scan of the sink, ever
     "s8_stream_hll_rollup" -> ((1, 0)),
     "s9_stream_lang_id" -> ((1, 0)),
+    // s14: the read-back plan scans the batchId-keyed pair sink; the
+    // index build and per-batch folds ran as earlier jobs
+    "s14_stream_neardup" -> ((1, 0)),
     // s10 censuses the flagged-containment sink read-back (the streamed
     // audit has its own per-micro-batch plans): one scan of the sink
     "s10_stream_contamination" -> ((1, 0)),

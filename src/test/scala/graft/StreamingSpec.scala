@@ -388,6 +388,34 @@ class StreamingSpec extends SparkSpec {
       "streamed audit must equal the batch query exactly")
   }
 
+  test("s14 semantics: streamed near-dup ingest ≡ the one-shot x_neardup_incremental") {
+    val streamed = graft.streaming.StreamOps
+      .s14_streamNeardup(spark, sf0001).collect()
+    val batch = graft.ops.TextOps.x_neardupIncremental(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed ingest must equal the one-shot batch ingest exactly")
+  }
+
+  test("s14 tiling: a multi-file delta arriving batch-by-batch still tiles the one-shot ingest") {
+    // a directory-layout corpus split over several part files: with
+    // maxFilesPerTrigger=1 the delta arrives in SEVERAL micro-batches,
+    // so this exercises the per-batch index fold (base ∪ prior epochs)
+    // — the property the single-file fixture cannot reach. The union
+    // of per-batch outputs must equal the one-shot ingest (the tiling
+    // lemma: every pair lands in the batch of its later-arriving doc).
+    val dir = s"${graft.ops.Tables.scratch}/s14_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.documents(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamOps.s14_streamNeardup(spark, dir).collect()
+    val oneShot = graft.ops.TextOps.x_neardupIncremental(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === oneShot.toSeq,
+      "multi-batch arrival must tile the one-shot ingest exactly")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
