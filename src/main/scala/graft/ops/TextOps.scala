@@ -929,6 +929,62 @@ object TextOps {
       java.nio.file.Paths.get(s"$dir/df.parquet"))
   }
 
+  /** Ingest-day count for [[x_neardupLifecycle]]. */
+  val LifecycleDays = 3
+
+  /** x_neardup_lifecycle: the MULTI-EPOCH ingest lifecycle as one
+    * registered, hash-checked query — the machinery
+    * ([[neardupIngest]] + [[neardupIndexAppend]]) and its tiling proof
+    * existed in scalatest; this promotes the lifecycle itself under
+    * the driver's oracle gate. The doc_id domain splits into a base
+    * epoch plus [[LifecycleDays]] ingest days at quarter boundaries
+    * (the b32 floor-consistent census); each day fingerprints ONLY its
+    * shard, audits it against the index AS OF that day, materializes
+    * its audit, then folds its postings + df census into the index for
+    * the next day — exactly the production cadence.
+    *
+    * The union of the days' audits is, by the tiling lemma
+    * ([[neardupIndexAppend]]'s scaladoc: every pair lands in the day
+    * of its later-arriving doc; df censuses only grow), EXACTLY c25
+    * restricted to pairs touching any post-base doc — `b_id > q1`,
+    * the restriction IS the oracle, hash-checked by the driver.
+    *
+    * Scale (100 TB): each day's cost is delta-proportional (the
+    * x_neardup_incremental economics, paid [[LifecycleDays]] times);
+    * the append is O(day's postings + census merge), never O(corpus
+    * text). What the driver gate buys over the scalatest pin: the
+    * END-TO-END lifecycle — build, N×(ingest, audit, append) — is now
+    * hash-verified against an independent engine every round.
+    */
+  def x_neardupLifecycle(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    if (r.isNullAt(0))
+      // empty corpus: no boundaries, no pairs — first-run totality
+      return spark.range(0).select(col("id").as("a_id"), col("id").as("b_id"),
+        col("id").as("n_shared"))
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val bounds = (0 to LifecycleDays)
+      .map(i => lo + (hi - lo) * i / (LifecycleDays + 1))
+    val dir = Tables.scratchDir("lifecycle", d)
+    // day 0: the standing corpus is everything ≤ q1 (or null-id)
+    neardupIndexBuild(spark, d, dir, bounds(1))
+    (1 to LifecycleDays).foreach { day =>
+      val upper = if (day == LifecycleDays) None else Some(bounds(day + 1))
+      // materialize the day's audit BEFORE the index folds forward:
+      // the ingest plan reads the index tables lazily and the append
+      // MUTATES them (production consumes a day's audit before the
+      // next ingest for the same reason)
+      neardupIngest(spark, d, dir, bounds(day), upper)
+        .write.mode("overwrite").parquet(s"$dir/audit_day$day.parquet")
+      if (day < LifecycleDays) neardupIndexAppend(spark, dir)
+    }
+    (1 to LifecycleDays)
+      .map(day => spark.read.parquet(s"$dir/audit_day$day.parquet"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** BPE-ish pre-tokenizer regex (c26) — the GPT-2-family shape:
     * contractions, space-prefixed letter runs, space-prefixed digit
     * runs, space-prefixed punctuation runs. Deliberately restricted to
@@ -1157,6 +1213,19 @@ object TextOps {
          |SELECT a_id, b_id, n_shared FROM pairs, bound
          |WHERE n_shared >= $WinnowShared AND b_id > bound.mid
          |ORDER BY a_id, b_id""".stripMargin,
+    // the lifecycle's tiling union = c25 restricted to pairs touching
+    // any post-base doc (b_id past the FIRST ingest boundary — the
+    // later id of a qualifying pair is always the newer doc)
+    "x_neardup_lifecycle" ->
+      s"""WITH $WinnowFpsSql,
+         |bound AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // ${LifecycleDays + 1} AS q1 FROM documents),
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
+         |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_shared FROM pairs, bound
+         |WHERE n_shared >= $WinnowShared AND b_id > bound.q1
+         |ORDER BY a_id, b_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT sha256(lower(text)) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY sha256(lower(text)) ORDER BY keep_id""".stripMargin,
@@ -1269,6 +1338,7 @@ object TextOps {
     "c25_winnow_neardup" -> c25_winnowNeardup _,
     "x_neardup_bucketed" -> x_neardupBucketed _,
     "x_neardup_incremental" -> x_neardupIncremental _,
+    "x_neardup_lifecycle" -> x_neardupLifecycle _,
     "c26_bpe_token_stats" -> c26_bpeTokenStats _,
     "c27_contamination" -> c27_contamination _,
     "x_contain_from_postings" -> x_containFromPostings _,

@@ -84,9 +84,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 119 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 119)
-    assert(SparkEntry.oracleSql.size === 106)
+  test("the inventory holds all 120 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 120)
+    assert(SparkEntry.oracleSql.size === 107)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

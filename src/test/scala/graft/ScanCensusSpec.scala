@@ -237,6 +237,9 @@ class ScanCensusSpec extends SparkSpec {
     // s14: the read-back plan scans the batchId-keyed pair sink; the
     // index build and per-batch folds ran as earlier jobs
     "s14_stream_neardup" -> ((1, 0)),
+    // x_neardup_lifecycle: the final plan unions the three days'
+    // materialized audits — one scan each; ingest/append ran earlier
+    "x_neardup_lifecycle" -> ((3, 0)),
     // s10 censuses the flagged-containment sink read-back (the streamed
     // audit has its own per-micro-batch plans): one scan of the sink
     "s10_stream_contamination" -> ((1, 0)),
