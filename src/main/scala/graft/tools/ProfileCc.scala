@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off timing breakdown of the iterative-CC consumers: pair
+  * generation vs the cluster sweep tail, per query, at a given
+  * fixture. Usage: runMain graft.tools.ProfileCc [dir]
+  */
+object ProfileCc {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    def timed(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[cc] $tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    // warm the JIT/scan path once
+    graft.ops.Tables.documents(spark, d).count()
+    timed("c2_pairs")(graft.ops.TextOps.c2_dedupJaccard(spark, d).count())
+    timed("c15_full")(graft.ops.TextOps.c15_dedupClusters(spark, d).count())
+    timed("clustersOf(c2)") {
+      graft.ops.TextOps.clustersOf(graft.ops.TextOps.c2_dedupJaccard(spark, d)).count()
+    }
+    timed("c7_pairs")(graft.ops.VectorOps.c7_cosineNeardup(spark, d).count())
+    timed("x_semantic_dedup")(graft.ops.VectorOps.x_semanticDedup(spark, d).count())
+    timed("c16_full")(graft.ops.CorpusOps.c16_corpusPipeline(spark, d).count())
+    spark.stop()
+  }
+}

@@ -290,11 +290,13 @@ class NewOpsSpec extends SparkSpec {
     assert(CorpusOps.guardStrata(ok).count() === 2)
   }
 
-  test("clustersOf converges past the sweep valve via the alternating-star fallback") {
-    // a 25-link chain has diameter > MaxCcIters: per-sweep propagation
-    // cannot finish inside the valve, so this exercises the
-    // large-star/small-star strategy switch end-to-end — correct
-    // labels, not an abort and not silently-partial propagation
+  test("clustersOf converges on a high-diameter chain — correct labels, no partial propagation") {
+    // a 25-link chain needed the alternating-star fallback when sweeps
+    // propagated one hop each; the round-15 hop+hop+jump rounds cover
+    // depth exponentially (d → 2(d+2)), so the chain now converges on
+    // the optimistic path in ~4 rounds. The star fallback stays as the
+    // valve tripwire and is exercised directly by the
+    // clustersOfBigStar tests below.
     val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val rows = TextOps.clustersOf(chain).collect()
     assert(rows.length === 26 && rows.forall(_.getAs[Long]("cluster_id") == 0L))
