@@ -219,7 +219,8 @@ object Extras {
     */
   private[graft] def ivfCentroidsK(spark: SparkSession, emb: DataFrame,
       cells: Int, seedByLabel: Boolean,
-      trainCap: Int = IvfTrainCap): Array[Array[Float]] = {
+      trainCap: Int = IvfTrainCap,
+      lloydIters: Int = IvfTrainIters): Array[Array[Float]] = {
     graft.functions.GraftFunctions.register(spark)
 
     // ---- codebook training: spherical k-means, Lloyd iterations ----
@@ -303,7 +304,7 @@ object Extras {
     val seed = if (seedByLabel) col("label")
       else pmod(xxhash64(col("vec_id")), lit(cells)).cast("int")
     var cents = centroidsOf(train.withColumn("cell", seed), Array.empty)
-    for (_ <- 1 to IvfTrainIters)
+    for (_ <- 1 to lloydIters)
       cents = centroidsOf(train.withColumn("cell", assignCol(cents)), cents)
     trainAll.unpersist(blocking = false)
     cents

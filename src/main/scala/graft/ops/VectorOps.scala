@@ -571,6 +571,14 @@ object VectorOps {
     */
   val SemAnnMinCells = 10
   val SemAnnMaxCells = 4096
+  /** Lloyd rounds for the dedup quantizer. Dedup candidates only need
+    * near-identical vectors CO-located, not a search-grade Voronoi
+    * partition, so fewer refinement rounds than the ANN ladder's 4
+    * suffice (recall unchanged at both fixture scales, measured in
+    * ProfileSemantic) — each round is a full training-sample pass +
+    * a driver collect, so this halves the trainer's action count.
+    */
+  val SemAnnLloydIters = 2
   /** Probe fan-out: each vector joins its nprobe nearest cells, so a
     * pair is a candidate when the two cell sets INTERSECT — the recall
     * dial (pinned ≥ 0.9 vs the exact x_semantic_dedup in scalatest;
@@ -640,7 +648,7 @@ object VectorOps {
     val k = math.max(SemAnnMinCells, math.min(SemAnnMaxCells,
       (SemAnnCellsPerSqrtN * math.sqrt(n.toDouble)).toLong)).toInt
     val cents = Extras.ivfCentroidsK(spark, emb, k, seedByLabel = false,
-      trainCap = math.max(1024, 16 * k))
+      trainCap = math.max(1024, 16 * k), lloydIters = SemAnnLloydIters)
     if (cents.isEmpty) return None
     def side(p: String): DataFrame = emb.select(
         col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}e"),

@@ -58,7 +58,8 @@ object ProfileSemantic {
         math.min(graft.ops.VectorOps.SemAnnMaxCells,
           (graft.ops.VectorOps.SemAnnCellsPerSqrtN * math.sqrt(n.toDouble)).toLong)).toInt
       val cents = graft.ops.Extras.ivfCentroidsK(spark, emb, k, seedByLabel = false,
-        trainCap = math.max(1024, 16 * k))
+        trainCap = math.max(1024, 16 * k),
+        lloydIters = graft.ops.VectorOps.SemAnnLloydIters)
       val cand = emb
         .select(explode(graft.ops.Extras.topCellsCol(cents,
           graft.ops.VectorOps.SemAnnNprobe)).as("cell"))
