@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Ingest.queries ++ Sources.queries ++ Features.queries ++ Relational.queries ++
       Extras.queries ++ RangeJoin.queries ++ BloomJoin.queries ++
-      CorpusOps.queries ++ TextOps.queries ++
+      CorpusOps.queries ++ TextOps.queries ++ BpeTrain.queries ++
       VectorOps.queries ++ Simhash.queries ++ TextQuality.queries ++
       Multimodal.queries ++ graft.streaming.StreamOps.queries
 
@@ -27,7 +27,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Ingest.oracles ++ Sources.oracles ++ Features.oracles ++ Relational.oracles ++
       Extras.oracles ++ RangeJoin.oracles ++ BloomJoin.oracles ++
-      CorpusOps.oracles ++ TextOps.oracles ++
+      CorpusOps.oracles ++ TextOps.oracles ++ BpeTrain.oracles ++
       VectorOps.oracles ++ Simhash.oracles ++ TextQuality.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamOps.oracles
 }

@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer INDUCTION — the step every LLM data pipeline runs before
+  * any token-budget decision is meaningful: train a BPE merge table on
+  * the corpus itself (Sennrich et al. 2016, the word-frequency
+  * formulation every production trainer uses), then measure what the
+  * learned vocabulary costs per document. c26 counts pieces under a
+  * FIXED pre-tokenizer regex; this family learns the merges.
+  *
+  * Spark-first decomposition:
+  *
+  *  1. `wordCensus` (distributed): one groupBy-count over the corpus's
+  *     whitespace words, capped to the [[WordCap]] most frequent via
+  *     TakeOrderedAndProject — the classic trick that makes BPE
+  *     training corpus-size-independent: merges depend on the WORD
+  *     FREQUENCY table, not on raw text, and the capped table is
+  *     bounded MODEL STATE (the IVF-codebook / c33-vocab pattern, at
+  *     most WordCap (word, freq) rows to the driver).
+  *  2. `trainMerges` (driver, pure deterministic Scala): greedy pair
+  *     merging over the census — per round, count adjacent symbol
+  *     pairs weighted by word frequency, merge the (count desc, pair
+  *     lexicographic) argmax everywhere, emit the rule. Ties break
+  *     lexicographically so the table is bit-stable across reruns,
+  *     partitionings, and engines.
+  *  3. coverage (distributed): the trained pieces-per-word table
+  *     (≤ WordCap rows) broadcast-joins the corpus's exploded words —
+  *     census-resident words cost their trained piece count, OOV words
+  *     degrade to their character count (the untrained-tokenizer
+  *     fallback) — and one per-doc aggregate yields the
+  *     tokens/pieces/OOV budget numbers packing (c14/c28) consumes.
+  *
+  * Both queries are rows-only in the driver gate (the merge table is
+  * the output of an iterative trainer no SQL engine reproduces); the
+  * trainer is pinned in scalatest against the hand-computable classic
+  * low/lower/newest example plus structural invariants (monotone
+  * non-increasing merge counts within a frequency-stable corpus are
+  * NOT guaranteed by BPE, so the pins are exactness, determinism, and
+  * piece-count reconstruction).
+  *
+  * Scale (100 TB): the corpus is touched by exactly two one-shuffle
+  * passes (census + coverage); training cost depends on WordCap and
+  * [[BpeMerges]] only. Nothing data-sized meets the driver.
+  */
+object BpeTrain {
+
+  /** Word-census cap: the trainer sees the WordCap most frequent
+    * words. Zipf mass makes this near-lossless for merge selection
+    * (the tail's pair counts are noise next to the head's), and it is
+    * what bounds driver model state.
+    */
+  val WordCap = 65536
+  /** Number of merge rules to learn. 256 keeps the fixture trainer
+    * sub-second; a production run sets vocab-size-minus-bytes.
+    */
+  val BpeMerges = 256
+
+  /** The bounded word-frequency census — distributed, one shuffle, the
+    * cut deterministic under ties via the word tie-break.
+    */
+  private[graft] def wordCensus(spark: SparkSession, d: String): Array[(String, Long)] =
+    Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(WordCap)
+      .collect() // model state: ≤ WordCap (word, freq) rows
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** One learned rule: merge (left, right) → left+right, with the
+    * weighted pair count at selection time.
+    */
+  private[graft] final case class MergeRule(rank: Int, left: String,
+      right: String, count: Long)
+
+  /** Greedy BPE over the census — pure deterministic driver Scala.
+    * Symbols start as single characters (code points kept as Java
+    * chars — surrogate pairs merge like any adjacent pair, which is
+    * the byte-level-BPE posture transplanted to UTF-16). Stops early
+    * when no pair occurs twice (weighted).
+    */
+  private[graft] def trainMerges(census: Array[(String, Long)]): Seq[MergeRule] = {
+    if (census.isEmpty) return Nil
+    // word → current symbol sequence; frequencies never change
+    val freqs = census.map(_._2)
+    val seqs = census.map { case (w, _) => w.map(_.toString).toArray }
+    val rules = Vector.newBuilder[MergeRule]
+    var rank = 0
+    var continue = true
+    while (rank < BpeMerges && continue) {
+      // weighted adjacent-pair census over the current sequences
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < seqs.length) {
+        val s = seqs(i)
+        var j = 0
+        while (j + 1 < s.length) {
+          val k = (s(j), s(j + 1))
+          counts.put(k, counts.getOrDefault(k, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      // argmax with a total deterministic order: count desc, then the
+      // pair lexicographically — the table is bit-stable by design
+      var best: (String, String) = null
+      var bestC = 1L // a pair must occur at least twice (weighted)
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        val k = e.getKey
+        if (c > bestC || (c == bestC && best != null &&
+            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+          best = k; bestC = c
+        }
+      }
+      if (best == null) continue = false
+      else {
+        rules += MergeRule(rank, best._1, best._2, bestC)
+        val merged = best._1 + best._2
+        i = 0
+        while (i < seqs.length) {
+          val s = seqs(i)
+          // in-place single pass: standard leftmost, non-overlapping
+          // application order (a b a b with best (a,b) → ab ab)
+          var r = 0; var w = 0
+          while (r < s.length) {
+            if (r + 1 < s.length && s(r) == best._1 && s(r + 1) == best._2) {
+              s(w) = merged; r += 2
+            } else { s(w) = s(r); r += 1 }
+            w += 1
+          }
+          if (w < s.length) seqs(i) = java.util.Arrays.copyOf(s, w)
+          i += 1
+        }
+        rank += 1
+      }
+    }
+    rules.result()
+  }
+
+  /** Pieces-per-word under the trained merges, for every census word —
+    * computed as a by-product of training (the final sequences) so the
+    * coverage join cannot drift from the trainer.
+    */
+  private[graft] def pieceTable(census: Array[(String, Long)]): Array[(String, Int)] = {
+    if (census.isEmpty) return Array.empty
+    val seqs = census.map { case (w, _) => w.map(_.toString).toArray }
+    trainMerges(census).foreach { rule =>
+      val merged = rule.left + rule.right
+      var i = 0
+      while (i < seqs.length) {
+        val s = seqs(i)
+        var r = 0; var w = 0
+        while (r < s.length) {
+          if (r + 1 < s.length && s(r) == rule.left && s(r + 1) == rule.right) {
+            s(w) = merged; r += 2
+          } else { s(w) = s(r); r += 1 }
+          w += 1
+        }
+        if (w < s.length) seqs(i) = java.util.Arrays.copyOf(s, w)
+        i += 1
+      }
+    }
+    census.map(_._1).zip(seqs.map(_.length))
+  }
+
+  /** x_bpe_train: the learned merge table — (rank, left, right,
+    * merged, pair_count), rank-ordered. Deterministic bit-for-bit
+    * across reruns; rows-only in the driver gate (no SQL engine
+    * reproduces an iterative trainer), exactness pinned in scalatest
+    * on hand-computable corpora.
+    */
+  def x_bpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    trainMerges(wordCensus(spark, d))
+      .map(r => (r.rank.toLong, r.left, r.right, r.left + r.right, r.count))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** x_bpe_coverage: per-document budget under the TRAINED vocabulary —
+    * n_tok whitespace words, n_pieces after the learned merges
+    * (census-resident words cost their trained piece count; OOV words
+    * their char count — the untrained fallback), n_oov. The numbers
+    * token-budget packing actually needs, under the corpus's own
+    * tokenizer rather than c26's fixed regex.
+    *
+    * Scale: the piece table is ≤ WordCap slim rows, broadcast; the
+    * corpus streams once through explode + broadcast-join + one
+    * map-side-combined per-doc aggregate.
+    */
+  def x_bpeCoverage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pieces = pieceTable(wordCensus(spark, d))
+      .toSeq.toDF("w", "n_pieces_w")
+    val words = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    words.join(broadcast(pieces), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(coalesce(col("n_pieces_w").cast("long"), length(col("w")).cast("long")))
+          .as("n_pieces"),
+        sum(when(col("n_pieces_w").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracles: Map[String, String] = Map.empty
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bpe_train"    -> x_bpeTrain _,
+    "x_bpe_coverage" -> x_bpeCoverage _,
+  )
+}

@@ -73,7 +73,7 @@ class EdgeCaseSpec extends SparkSpec {
     "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup",
     "c26_bpe_token_stats", "c27_contamination", "x_contain_from_postings",
     "c28_pack_bpe", "x_neardup_bucketed", "x_neardup_incremental",
-    "x_neardup_lifecycle",
+    "x_neardup_lifecycle", "x_bpe_train", "x_bpe_coverage",
     "c29_repetition_stats", "c30_quality_gate", "c31_pii_redact",
     "c32_domain_stats", "c33_rarity_score", "c34_encoding_stats",
     "x_semantic_dedup", "x_semantic_ann", "x_select_by_rarity",

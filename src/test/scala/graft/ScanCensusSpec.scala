@@ -240,6 +240,12 @@ class ScanCensusSpec extends SparkSpec {
     // x_neardup_lifecycle: the final plan unions the three days'
     // materialized audits — one scan each; ingest/append ran earlier
     "x_neardup_lifecycle" -> ((3, 0)),
+    // x_bpe_train: the merge table is driver model state parallelized
+    // back out — the census scan ran as an earlier job
+    "x_bpe_train" -> ((0, 0)),
+    // x_bpe_coverage: one corpus scan through explode + the broadcast
+    // piece-table join (the piece table is parallelized model state)
+    "x_bpe_coverage" -> ((1, 0)),
     // s10 censuses the flagged-containment sink read-back (the streamed
     // audit has its own per-micro-batch plans): one scan of the sink
     "s10_stream_contamination" -> ((1, 0)),
