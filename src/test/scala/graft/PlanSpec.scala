@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"c7 must not cartesian-join:\n$p")
   }
 
+  test("x_bpe_coverage: the piece table broadcasts — the corpus never shuffles for the join") {
+    val df = graft.ops.BpeTrain.x_bpeCoverage(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤65536-row piece table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the model join:\n$p")
+  }
+
   test("x_semantic_ann: pair stage is an equi-join on the cell id — no nested loop") {
     val p = plan(VectorOps.semanticAnnPairs(spark, sf0001).get)
     assert(!p.contains("BroadcastNestedLoopJoin"),
