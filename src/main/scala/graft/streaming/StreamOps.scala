@@ -893,6 +893,38 @@ object StreamOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** s15: the posting-index BUILD on arrival — c24's streaming twin,
+    * and s14's other half: s14 audits an arriving shard against the
+    * standing index; s15 is how the standing index comes to exist in
+    * an arrival-only deployment (fingerprint every document as it
+    * lands, sink the posting rows). Pure per-row work — the winnow
+    * kernel in the streaming plan, no state, no watermark — so stream
+    * ≡ batch exactly and s15 carries c24's DuckDB oracle VERBATIM
+    * (the s9 parity contract); batchId-keyed overwrite sink, the s1
+    * replay-idempotence convention. At 100 TB the sink IS the posting
+    * index: slim (doc_id, fp) rows, appendable by epoch, consumed by
+    * x_neardup_bucketed / x_contain_from_postings / s14 without ever
+    * re-reading text.
+    */
+  def s15_streamFingerprint(spark: SparkSession, d: String): DataFrame = {
+    val (out, chk) = sinkDirs("s15", d)
+    val fps = graft.ops.TextOps.winnowFps(stagedFileStream(spark, d, "documents"))
+    val q = fps.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, fp BIGINT")
+    readSink(spark, out, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
@@ -931,6 +963,8 @@ object StreamOps {
     // per-batch ingests tile the one-shot ingest (the tiling lemma):
     // x_neardup_incremental's restricted-c25 oracle verbatim
     "s14_stream_neardup" -> graft.ops.TextOps.oracles("x_neardup_incremental"),
+    // stream ≡ batch for the stateless fingerprint map: c24's oracle
+    "s15_stream_fingerprint" -> graft.ops.TextOps.oracles("c24_winnow_fingerprint"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -995,5 +1029,6 @@ object StreamOps {
     "s12_stream_pii" -> s12_streamPii _,
     "s13_stream_funnel" -> s13_streamFunnel _,
     "s14_stream_neardup" -> s14_streamNeardup _,
+    "s15_stream_fingerprint" -> s15_streamFingerprint _,
   )
 }

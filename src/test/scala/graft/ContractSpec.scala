@@ -80,15 +80,18 @@ class ContractSpec extends AnyFunSuite {
       "s13_stream_funnel" -> "c32_domain_stats",
       // per-batch ingests tile the one-shot ingest (s14 is
       // x_neardup_incremental's streaming twin — the tiling lemma)
-      "s14_stream_neardup" -> "x_neardup_incremental")
+      "s14_stream_neardup" -> "x_neardup_incremental",
+      // stream ≡ batch for the stateless fingerprint map (s15 is c24's
+      // streaming twin — the index build on arrival)
+      "s15_stream_fingerprint" -> "c24_winnow_fingerprint")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 122 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 122)
-    assert(SparkEntry.oracleSql.size === 107)
+  test("the inventory holds all 123 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 123)
+    assert(SparkEntry.oracleSql.size === 108)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -237,6 +237,7 @@ class ScanCensusSpec extends SparkSpec {
     // s14: the read-back plan scans the batchId-keyed pair sink; the
     // index build and per-batch folds ran as earlier jobs
     "s14_stream_neardup" -> ((1, 0)),
+    "s15_stream_fingerprint" -> ((1, 0)),
     // x_neardup_lifecycle: the final plan unions the three days'
     // materialized audits — one scan each; ingest/append ran earlier
     "x_neardup_lifecycle" -> ((3, 0)),

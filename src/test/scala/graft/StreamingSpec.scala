@@ -416,6 +416,15 @@ class StreamingSpec extends SparkSpec {
       "multi-batch arrival must tile the one-shot ingest exactly")
   }
 
+  test("s15 semantics: streamed fingerprinting ≡ the batch c24, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s15_streamFingerprint(spark, sf0001).collect()
+    val batch = graft.ops.TextOps.c24_winnowFingerprint(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed fingerprints must equal the batch query exactly")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
