@@ -650,11 +650,19 @@ object VectorOps {
     val cents = Extras.ivfCentroidsK(spark, emb, k, seedByLabel = false,
       trainCap = math.max(1024, 16 * k), lloydIters = SemAnnLloydIters)
     if (cents.isEmpty) return None
-    def side(p: String): DataFrame = emb.select(
-        col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}e"),
-        sqrt(sumSqOf("embedding")).as(s"${p}_norm"),
+    // ONE assignment projection feeds both join sides (the c25 fk
+    // pattern): renaming after the shared subtree lets the self-join
+    // reuse a single corpus scan + TopCells pass + norm kernel pass
+    // through ReusedExchange (two independently-built sides canonical-
+    // ize differently and each re-scan the corpus — measured 2 scans,
+    // 2 assignment passes before this shape).
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        sqrt(sumSqOf("embedding")).as("norm"),
         explode(Extras.topCellsCol(cents, SemAnnNprobe)).as("cell"))
-      .filter(finiteNorm(col(s"${p}_norm")))
+      .filter(finiteNorm(col("norm")))
+    def side(p: String): DataFrame = assigned.select(
+      col("cell"), col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}e"), col("norm").as(s"${p}_norm"))
     Some(side("a").join(side("b"), Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim_e6",

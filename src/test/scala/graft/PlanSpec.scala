@@ -69,6 +69,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("top_cells"), s"cell assignment must be the native TopCells map:\n$p")
   }
 
+  test("x_semantic_ann: the self-join reuses ONE assignment pass at the shuffle-join scale") {
+    // at lake scale both sides exceed the broadcast threshold and the
+    // join shuffles on the cell id — the two sides must then share one
+    // corpus scan + one TopCells pass through ReusedExchange (the c25
+    // fk pattern); independently-built sides re-scan and re-assign.
+    // Disable auto-broadcast so the test sees the lake-scale shape.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = VectorOps.semanticAnnPairs(spark, sf0001).get
+      df.collect() // ReusedExchange only appears in the FINAL adaptive plan
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("ReusedExchange"), s"sides must share one exchange:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans == 1, s"expected exactly one embeddings scan, saw $scans:\n$p")
+      assert("top_cells".r.findAllIn(p).size == 1,
+        s"expected exactly one assignment pass:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("c2: candidate generation is an equi-join on the shingle hash, no nested loop") {
     val p = plan(TextOps.c2_dedupJaccard(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"c2 must not nested-loop:\n$p")
