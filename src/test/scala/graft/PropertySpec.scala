@@ -906,4 +906,56 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === expected, "piece sequences must match the JVM regex")
     }
   }
+  // ---- BPE trainer vs an independent naive model ----------------------
+
+  /** Naive reference BPE: immutable lists, from-scratch pair recount
+    * per round, recursive leftmost application — deliberately a
+    * different coding of the same contract as BpeTrain.trainMerges
+    * (which mutates arrays in place with a single-pass merge), so a
+    * divergence on overlaps/ties/stop conditions turns this red.
+    */
+  private def naiveBpe(census: Seq[(String, Long)]): Seq[(Int, String, String, Long)] = {
+    def applyMerge(s: List[String], l: String, r: String): List[String] = s match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
+      case a :: rest => a :: applyMerge(rest, l, r)
+      case Nil => Nil
+    }
+    var seqs = census.map { case (w, f) => (w.map(_.toString).toList, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var go = true
+    while (rank < graft.ops.BpeTrain.BpeMerges && go) {
+      val counts = seqs.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val eligible = counts.filter(_._2 >= 2L)
+      if (eligible.isEmpty) go = false
+      else {
+        val (bp, bc) = eligible.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, bp._1, bp._2, bc))
+        seqs = seqs.map { case (s, f) => (applyMerge(s, bp._1, bp._2), f) }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  private val bpeCensusGen: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 8)
+    ws <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      f <- Gen.choose(1L, 5L)
+    } yield (cs.mkString, f))
+  } yield ws.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toList
+    .sortBy { case (w, f) => (-f, w) }
+
+  test("BPE trainer equals the naive reference model on generated censuses") {
+    samples(bpeCensusGen, 60).foreach { census =>
+      val got = graft.ops.BpeTrain.trainMerges(census.toArray)
+        .map(r => (r.rank, r.left, r.right, r.count))
+      assert(got === naiveBpe(census),
+        s"trainer diverged from the naive model on census $census")
+    }
+  }
 }
