@@ -76,17 +76,30 @@ object BpeTrain {
   private[graft] final case class MergeRule(rank: Int, left: String,
       right: String, count: Long)
 
-  /** Greedy BPE over the census — pure deterministic driver Scala.
-    * Symbols start as single characters (code points kept as Java
-    * chars — surrogate pairs merge like any adjacent pair, which is
-    * the byte-level-BPE posture transplanted to UTF-16). Stops early
-    * when no pair occurs twice (weighted).
+  /** One word as its initial symbol sequence: one symbol per CODE
+    * POINT (not per UTF-16 char — a surrogate pair is one symbol), so
+    * the trainer's unit matches Spark's `length()` and the coverage
+    * query's OOV char-count fallback charges exactly what an untrained
+    * census word would cost (round-15 review finding).
     */
-  private[graft] def trainMerges(census: Array[(String, Long)]): Seq[MergeRule] = {
-    if (census.isEmpty) return Nil
+  private def symbolsOf(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Greedy BPE over the census — pure deterministic driver Scala.
+    * Stops early when no pair occurs twice (weighted). Returns the
+    * rules AND the final symbol sequences (index-aligned with the
+    * census) so [[pieceTable]] reads the trainer's own end state
+    * instead of re-deriving it — one application loop, no drift.
+    */
+  private[graft] def trainMerges(census: Array[(String, Long)]): Seq[MergeRule] =
+    trainWithSeqs(census)._1
+
+  private def trainWithSeqs(
+      census: Array[(String, Long)]): (Seq[MergeRule], Array[Array[String]]) = {
+    if (census.isEmpty) return (Nil, Array.empty)
     // word → current symbol sequence; frequencies never change
     val freqs = census.map(_._2)
-    val seqs = census.map { case (w, _) => w.map(_.toString).toArray }
+    val seqs = census.map { case (w, _) => symbolsOf(w) }
     val rules = Vector.newBuilder[MergeRule]
     var rank = 0
     var continue = true
@@ -140,32 +153,16 @@ object BpeTrain {
         rank += 1
       }
     }
-    rules.result()
+    (rules.result(), seqs)
   }
 
   /** Pieces-per-word under the trained merges, for every census word —
-    * computed as a by-product of training (the final sequences) so the
-    * coverage join cannot drift from the trainer.
+    * read straight off the trainer's final sequences so the coverage
+    * join cannot drift from the merges (one application loop exists,
+    * inside the trainer).
     */
   private[graft] def pieceTable(census: Array[(String, Long)]): Array[(String, Int)] = {
-    if (census.isEmpty) return Array.empty
-    val seqs = census.map { case (w, _) => w.map(_.toString).toArray }
-    trainMerges(census).foreach { rule =>
-      val merged = rule.left + rule.right
-      var i = 0
-      while (i < seqs.length) {
-        val s = seqs(i)
-        var r = 0; var w = 0
-        while (r < s.length) {
-          if (r + 1 < s.length && s(r) == rule.left && s(r + 1) == rule.right) {
-            s(w) = merged; r += 2
-          } else { s(w) = s(r); r += 1 }
-          w += 1
-        }
-        if (w < s.length) seqs(i) = java.util.Arrays.copyOf(s, w)
-        i += 1
-      }
-    }
+    val (_, seqs) = trainWithSeqs(census)
     census.map(_._1).zip(seqs.map(_.length))
   }
 

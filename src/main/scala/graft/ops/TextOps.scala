@@ -297,7 +297,17 @@ object TextOps {
     * deployment would use reliable checkpoints with explicit cleanup
     * instead.
     */
-  def clustersOf(pairList: DataFrame): DataFrame = {
+  def clustersOf(pairList: DataFrame): DataFrame =
+    clustersOf(pairList, MaxCcIters)
+
+  /** The round-budget-parameterized form: production callers use the
+    * [[MaxCcIters]] default above; tests pass a smaller budget to
+    * exercise the starLabels valve THROUGH this wiring (hop+hop+jump
+    * covers depth ~2^budget, so no realistic graph reaches the valve
+    * organically — by design, but the fallback branch still needs
+    * integration coverage).
+    */
+  private[graft] def clustersOf(pairList: DataFrame, maxIters: Int): DataFrame = {
     val pairs = pairList.select(col("a_id"), col("b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -331,7 +341,7 @@ object TextOps {
         .select(col("id"), col("lab2").as("lab"), col("prev"))
     var sweep = 0
     var done = labels.isEmpty
-    while (!done && sweep < MaxCcIters) {
+    while (!done && sweep < maxIters) {
       val next = jump(hop(hop(
           labels.select(col("id"), col("lab"), col("lab").as("prev")))))
         .localCheckpoint()
@@ -741,10 +751,15 @@ object TextOps {
       .filter(n => n != tbl && n.startsWith(prefix) &&
         n.substring(prefix.length).forall(_.isDigit))
       .foreach { n =>
-        val loc = spark.sessionState.catalog
-          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))
-          spark.sql(s"DROP TABLE IF EXISTS $n")
+        // the metadata lookup races a CONCURRENT invocation's sweep
+        // (both can list the same dead sibling; the loser's lookup
+        // lands after the winner's drop) — a vanished table is simply
+        // already-swept, not an error
+        scala.util.Try(spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location)
+          .toOption
+          .filter(loc => !java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))
+          .foreach(_ => spark.sql(s"DROP TABLE IF EXISTS $n"))
       }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     // bucket count ≥ the session's parallelism: buckets bound every

@@ -39,9 +39,15 @@ object StreamOps {
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private def sinkDirs(tag: String, d: String): (String, String) = {
     val base = Tables.scratchDir(s"${tag}_sink", d)
-    lastSink.put((tag, Tables.sanitize(d)), base)
     (s"$base/out", s"$base/chk")
   }
+  /** Record a COMPLETED drain's sink for post-drain inspectors — called
+    * after awaitTermination, so a concurrent/crashed run that merely
+    * STARTED later cannot shadow a finished one's sink (round-15
+    * review finding).
+    */
+  private def recordDrain(tag: String, d: String, out: String): Unit =
+    lastSink.put((tag, Tables.sanitize(d)), out.stripSuffix("/out"))
 
   /** Stateful streaming shuffles are pinned to a lower partition count
     * than batch: each state partition carries its own store instance +
@@ -542,6 +548,7 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
+    recordDrain("s7", d, out)
     // explicit projection drops the sink's `bid=` partition column
     readSink(spark, s"$out/dead", labeled.schema)
       .select(labeled.schema.fieldNames.map(col): _*)

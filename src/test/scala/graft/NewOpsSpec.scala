@@ -306,6 +306,13 @@ class NewOpsSpec extends SparkSpec {
       .toDF("a_id", "b_id")
     val cr = TextOps.clustersOf(clique).collect()
     assert(cr.length === 8 && cr.forall(_.getAs[Long]("cluster_id") == 0L))
+    // the starLabels VALVE through clustersOf's own wiring: a zero
+    // round budget forces the fallback branch immediately (no real
+    // graph reaches it organically under hop+hop+jump) — labels must
+    // still be the exact component minima
+    val fb = TextOps.clustersOf(chain, maxIters = 0).collect()
+    assert(fb.length === 26 && fb.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(fb.count(_.getAs[Boolean]("is_canonical")) === 1)
   }
 
   test("clustersOfBigStar equals union-find on fixture pairs, chains, and stars") {

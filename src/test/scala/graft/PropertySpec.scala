@@ -920,7 +920,9 @@ class PropertySpec extends SparkSpec {
       case a :: rest => a :: applyMerge(rest, l, r)
       case Nil => Nil
     }
-    var seqs = census.map { case (w, f) => (w.map(_.toString).toList, f) }
+    var seqs = census.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toList, f)
+    }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var go = true
