@@ -254,6 +254,27 @@ class WinnowLangSpec extends SparkSpec {
     assert(got.nonEmpty, "the small delta should still find pairs")
   }
 
+  test("tiling precondition holds at BOTH driver-gate scales: no fp df above the cap") {
+    // x_neardup_lifecycle and s14_stream_neardup register the tiling
+    // union as an UNCONDITIONAL hash oracle, but the tiling lemma is
+    // exact only while no fingerprint's df crosses WinnowDfCap between
+    // epochs (a fp under the cap in a prefix but over it corpus-wide
+    // would pair in an early epoch yet be banded out of the oracle).
+    // A global max-df ≤ cap implies no prefix can cross — assert it on
+    // the exact fixtures the driver gate hashes, so a regenerated
+    // fixture that breaks the precondition fails HERE with a message,
+    // not as an opaque hash mismatch.
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val maxDf = TextOps.winnowFps(graft.ops.Tables.documents(spark, d))
+        .groupBy(col("fp")).count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      assert(maxDf <= TextOps.WinnowDfCap,
+        s"$d breaks the tiling precondition (max df $maxDf > cap " +
+          s"${TextOps.WinnowDfCap}) — the x_neardup_lifecycle/s14 oracles " +
+          "are only exact below the cap; re-derive their oracle or band the epochs")
+    }
+  }
+
   test("incremental lifecycle: successive ingest+append days tile the batch c25 exactly") {
     import graft.ops.Tables
     val d = sf0001
