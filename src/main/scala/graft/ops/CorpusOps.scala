@@ -454,6 +454,55 @@ object CorpusOps {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** c35: per-document bigram-LM fluency scoring — the CCNet/KenLM
+    * perplexity filter in the engine's exact-integer idiom: c20 builds
+    * the corpus bigram LM; this APPLIES it to every document. Per
+    * adjacent bigram (w1, w2), the surprise is measured in whole BITS
+    * as `length(bin(n1)) − length(bin(n12))` — the binary-length form
+    * of ⌈−log₂ p(w2|w1)⌉ (c33's no-float-log trick, so both engines
+    * agree bit-for-bit; n12 ≤ n1 keeps it ≥ 0) — and the document
+    * scores its mean surprise as a rational-e6 BIGINT. High score =
+    * improbable word transitions = the junk a perplexity gate drops;
+    * templated/repetitive docs score near zero. Scoring the training
+    * corpus itself means every bigram is in-vocabulary by
+    * construction; an unseen-bigram path (scoring NEW text against a
+    * materialized LM) would ride the same join with a smoothed
+    * fallback, exactly like x_bpe_coverage's OOV arm.
+    *
+    * Scale (100 TB): one corpus explode feeds ONE map-side-combinable
+    * bigram reduce (c20's only data-sized shuffle) + a vocabulary-
+    * bounded head reduce; scoring re-joins the bigram stream to those
+    * counts on (w1, w2) — a shuffled equi-join whose bucket sizes are
+    * bigram frequencies, never all-pairs — then one per-doc aggregate.
+    * No window over corpus-sized data, no driver-sized state.
+    */
+  def c35_lmScore(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // the LM table materializes ONCE (localCheckpoint — the c15 idiom
+    // for reused reduced state): it feeds both the head census and the
+    // scoring join, and without the checkpoint each consumer re-scans
+    // the corpus and re-runs the bigram reduce (measured: 3 documents
+    // scans → 1). Vocabulary-sized, never corpus-sized — exactly what
+    // a production run persists as "the LM".
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .localCheckpoint()
+    val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    bi.join(counts, Seq("w1", "w2"))
+      .join(heads, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("n1"))) - length(bin(col("n12")))).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("s")).as("bits_sum"))
+      .withColumn("avg_bits_e6", expr("bits_sum * 1000000L DIV n_bi"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rows published by c22's coverage report. */
   val VocabTopK = 100L
 
@@ -652,6 +701,26 @@ object CorpusOps {
          |FROM top, t
          |WINDOW w AS (ORDER BY n DESC, term)
          |ORDER BY rnk""".stripMargin,
+    // c35: the same bigram/head censuses as c20 (no min-count cut —
+    // scoring wants the true counts), binary-length surprise, exact
+    // rational mean
+    "c35_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM toks, unnest(range(1, len(t))) r(i)),
+         |c AS (SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY 1, 2),
+         |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
+         |s AS (SELECT bi.doc_id,
+         |        CAST(length(bin(h.n1)) - length(bin(c.n12)) AS BIGINT) AS s
+         |      FROM bi JOIN c USING (w1, w2) JOIN h USING (w1)),
+         |a AS (SELECT doc_id, COUNT(*) AS n_bi, CAST(SUM(s) AS BIGINT) AS bits_sum
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_bi, bits_sum,
+         |  CAST(bits_sum * 1000000 // n_bi AS BIGINT) AS avg_bits_e6
+         |FROM a ORDER BY doc_id""".stripMargin,
     "c20_bigram_stats" ->
       s"""WITH toks AS (
          |  SELECT str_split(text, ' ') AS t FROM documents
@@ -799,6 +868,7 @@ object CorpusOps {
     "x_corpus_from_clusters" -> x_corpusFromClusters _,
     "x_pack_twophase"     -> x_packTwophase _,
     "c20_bigram_stats"    -> c20_bigramStats _,
+    "c35_lm_score"        -> c35_lmScore _,
     "c22_vocab_coverage"  -> c22_vocabCoverage _,
     "c33_rarity_score"    -> c33_rarityScore _,
     "x_select_by_rarity"  -> x_selectByRarity _,

@@ -89,9 +89,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 123 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 123)
-    assert(SparkEntry.oracleSql.size === 108)
+  test("the inventory holds all 124 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 124)
+    assert(SparkEntry.oracleSql.size === 109)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -69,6 +69,7 @@ class EdgeCaseSpec extends SparkSpec {
     "x_ann_ivf", "x_label_centroids", "x_stratified_prefilter",
     "x_corpus_from_clusters", "x_pack_twophase",
     "c20_bigram_stats", "c21_embedding_quantize", "x_ann_quantized",
+    "c35_lm_score",
     "c22_vocab_coverage", "x_ann_pq", "x_ann_ivfpq", "x_ann_from_index",
     "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup",
     "c26_bpe_token_stats", "c27_contamination", "x_contain_from_postings",

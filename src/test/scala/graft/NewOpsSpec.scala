@@ -290,6 +290,23 @@ class NewOpsSpec extends SparkSpec {
     assert(CorpusOps.guardStrata(ok).count() === 2)
   }
 
+  test("c35 equals the hand-computed bigram-surprise model") {
+    // corpus: doc1 "a b a b", doc2 "a b c"
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; heads: a→3, b→2
+    // surprise bits: (a,b): len(bin 3)−len(bin 3)=0; (b,a): len(bin 2)−
+    // len(bin 1)=1; (b,c): 1
+    // doc1: n_bi=3, sum=1, avg=333333; doc2: n_bi=2, sum=1, avg=500000
+    val d = s"${graft.ops.Tables.scratch}/c35_model"
+    graft.ops.Tables.rmrf(d)
+    Seq((1L, "a b a b", "en", "web", 7L), (2L, "a b c", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = CorpusOps.c35_lmScore(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bi"),
+        r.getAs[Long]("bits_sum"), r.getAs[Long]("avg_bits_e6"))).toSeq
+    assert(got === Seq((1L, 3L, 1L, 333333L), (2L, 2L, 1L, 500000L)))
+  }
+
   test("clustersOf converges on a high-diameter chain — correct labels, no partial propagation") {
     // a 25-link chain needed the alternating-star fallback when sweeps
     // propagated one hop each; the round-15 hop+hop+jump rounds cover
