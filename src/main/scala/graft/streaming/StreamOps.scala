@@ -932,6 +932,72 @@ object StreamOps {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** s16: bigram-LM fluency scoring ON ARRIVAL — c35's streaming twin,
+    * completing the arrival ladder's quality stage (classify s9, audit
+    * s10, gate s11, scrub s12, funnel s13, dedup s14, fingerprint s15,
+    * score s16): the LM — c35's (w1,w2)→n12 and w1→n1 censuses — is
+    * materialized ONCE before the stream starts (in production the
+    * standing model a training run ships), and every arriving document
+    * explodes its bigrams, equi-joins the standing tables, and reduces
+    * to its own (n_bi, bits_sum, avg_bits_e6) row inside its
+    * micro-batch — a document's score depends only on its row + the
+    * standing LM, so stream ≡ batch exactly and s16 carries c35's
+    * DuckDB oracle VERBATIM (the s9 parity contract); batchId-keyed
+    * overwrite sink (s1's replay idempotence).
+    *
+    * Scale (100 TB): per batch, map work + two equi-joins against the
+    * slim standing tables (bucket sizes bounded by bigram
+    * frequencies); the stream holds NO state — the LM lives in the
+    * tables, exactly where the batch path keeps it.
+    */
+  def s16_streamLmScore(spark: SparkSession, d: String): DataFrame = {
+    val (out, chk) = sinkDirs("s16", d)
+    // the standing LM: c35's censuses, materialized like s10's postings
+    val dir = Tables.scratchDir("s16_lm", d)
+    val toks = Tables.documents(spark, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    toks.select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .write.mode("overwrite").parquet(s"$dir/counts.parquet")
+    val counts = spark.read.parquet(s"$dir/counts.parquet")
+    counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      .write.mode("overwrite").parquet(s"$dir/heads.parquet")
+    val heads = spark.read.parquet(s"$dir/heads.parquet")
+    // score-on-arrival: per-row bigram explode in the streaming plan
+    val arriving = stagedFileStream(spark, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.join(counts, Seq("w1", "w2"))
+          .join(heads, Seq("w1"))
+          .select(col("doc_id"),
+            (length(bin(col("n1"))) - length(bin(col("n12")))).cast("long").as("s"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bi"), sum(col("s")).as("bits_sum"))
+          .withColumn("avg_bits_e6", expr("bits_sum * 1000000L DIV n_bi"))
+          .write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_bi BIGINT, bits_sum BIGINT, avg_bits_e6 BIGINT")
+    readSink(spark, out, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
@@ -972,6 +1038,8 @@ object StreamOps {
     "s14_stream_neardup" -> graft.ops.TextOps.oracles("x_neardup_incremental"),
     // stream ≡ batch for the stateless fingerprint map: c24's oracle
     "s15_stream_fingerprint" -> graft.ops.TextOps.oracles("c24_winnow_fingerprint"),
+    // score-on-arrival vs the standing LM ≡ batch: c35's oracle verbatim
+    "s16_stream_lm_score" -> graft.ops.CorpusOps.oracles("c35_lm_score"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1037,5 +1105,6 @@ object StreamOps {
     "s13_stream_funnel" -> s13_streamFunnel _,
     "s14_stream_neardup" -> s14_streamNeardup _,
     "s15_stream_fingerprint" -> s15_streamFingerprint _,
+    "s16_stream_lm_score" -> s16_streamLmScore _,
   )
 }

@@ -83,15 +83,18 @@ class ContractSpec extends AnyFunSuite {
       "s14_stream_neardup" -> "x_neardup_incremental",
       // stream ≡ batch for the stateless fingerprint map (s15 is c24's
       // streaming twin — the index build on arrival)
-      "s15_stream_fingerprint" -> "c24_winnow_fingerprint")
+      "s15_stream_fingerprint" -> "c24_winnow_fingerprint",
+      // score-on-arrival vs the standing LM ≡ the batch scorer (s16 is
+      // c35's twin — a doc's score depends only on its row + the LM)
+      "s16_stream_lm_score" -> "c35_lm_score")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 124 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 124)
-    assert(SparkEntry.oracleSql.size === 109)
+  test("the inventory holds all 125 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 125)
+    assert(SparkEntry.oracleSql.size === 110)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

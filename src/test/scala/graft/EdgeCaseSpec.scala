@@ -83,7 +83,7 @@ class EdgeCaseSpec extends SparkSpec {
     // audit stream; empty corpus must drain to an empty sink)
     "s9_stream_lang_id", "s10_stream_contamination",
     "s11_stream_quality_gate", "s12_stream_pii", "s13_stream_funnel",
-    "s14_stream_neardup", "s15_stream_fingerprint")
+    "s14_stream_neardup", "s15_stream_fingerprint", "s16_stream_lm_score")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

@@ -242,6 +242,7 @@ class ScanCensusSpec extends SparkSpec {
     // index build and per-batch folds ran as earlier jobs
     "s14_stream_neardup" -> ((1, 0)),
     "s15_stream_fingerprint" -> ((1, 0)),
+    "s16_stream_lm_score" -> ((1, 0)),
     // x_neardup_lifecycle: the final plan unions the three days'
     // materialized audits — one scan each; ingest/append ran earlier
     "x_neardup_lifecycle" -> ((3, 0)),

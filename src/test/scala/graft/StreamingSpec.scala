@@ -425,6 +425,15 @@ class StreamingSpec extends SparkSpec {
       "streamed fingerprints must equal the batch query exactly")
   }
 
+  test("s16 semantics: streamed LM scoring ≡ the batch c35, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s16_streamLmScore(spark, sf0001).collect()
+    val batch = graft.ops.CorpusOps.c35_lmScore(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed LM scores must equal the batch query exactly")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
