@@ -51,6 +51,22 @@ class DecadeSpec extends SparkSpec {
     assert(expected.exceptAll(repPairs).count() === 0)
   }
 
+  test("decade corpus: c35 LM scores are exactly F shifted copies of the source's") {
+    // the token bijection is a bigram bijection, replicas share no
+    // bigram, and counts within a replica mirror the source — so every
+    // replica doc's (n_bi, bits_sum, avg) row equals its source doc's
+    // exactly. A generator regression that let replicas share bigrams
+    // would inflate counts and shift every surprise value.
+    val src = CorpusOps.c35_lmScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rep = CorpusOps.c35_lmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rep.size === factor * src.size)
+    val expected = (0 until factor).flatMap(r =>
+      src.map { case (id, n, s, a) => (id + r * stride, n, s, a) }).toSet
+    assert(rep === expected, "replica LM scores must be shifted copies of the source's")
+  }
+
   test("decade corpus: null text replicates as null, never as empty string") {
     // concat_ws folds a null token array to "" — the generator must
     // short-circuit so every replica of a null doc is still null
