@@ -476,14 +476,36 @@ object CorpusOps {
     * bigram frequencies, never all-pairs — then one per-doc aggregate.
     * No window over corpus-sized data, no driver-sized state.
     */
-  def c35_lmScore(spark: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(spark, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+  /** (doc_id, w1, w2) per adjacent bigram — ONE definition shared by
+    * c35's batch path and s16's LM build + arrival stream, so the
+    * byte-equal twin cannot drift from its oracle (the trainMerges/
+    * pieceTable lesson applied here).
+    */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
-    val bi = toks.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(t) - 1), " +
-        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The binary-length-surprise scoring tail over ANY (doc_id, w1, w2)
+    * stream + the two LM censuses — shared verbatim by c35 and s16's
+    * per-batch scorer. Unordered: each caller appends its own
+    * presentation sort/sink.
+    */
+  private[graft] def lmScoreOf(bi: DataFrame, counts: DataFrame,
+      heads: DataFrame): DataFrame =
+    bi.join(counts, Seq("w1", "w2"))
+      .join(heads, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("n1"))) - length(bin(col("n12")))).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("s")).as("bits_sum"))
+      .withColumn("avg_bits_e6", expr("bits_sum * 1000000L DIV n_bi"))
+
+  def c35_lmScore(spark: SparkSession, d: String): DataFrame = {
+    val bi = bigramsOf(Tables.documents(spark, d))
     // the LM table materializes ONCE (localCheckpoint — the c15 idiom
     // for reused reduced state): it feeds both the head census and the
     // scoring join, and without the checkpoint each consumer re-scans
@@ -493,14 +515,7 @@ object CorpusOps {
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
       .localCheckpoint()
     val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    bi.join(counts, Seq("w1", "w2"))
-      .join(heads, Seq("w1"))
-      .select(col("doc_id"),
-        (length(bin(col("n1"))) - length(bin(col("n12")))).cast("long").as("s"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bi"), sum(col("s")).as("bits_sum"))
-      .withColumn("avg_bits_e6", expr("bits_sum * 1000000L DIV n_bi"))
-      .orderBy(col("doc_id"))
+    lmScoreOf(bi, counts, heads).orderBy(col("doc_id"))
   }
 
   /** Rows published by c22's coverage report. */

@@ -38,16 +38,24 @@ object StreamOps {
   private val lastSink =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private def sinkDirs(tag: String, d: String): (String, String) = {
+    val (out, chk, _) = sinkDirsWithBase(tag, d)
+    (out, chk)
+  }
+  /** The 3-tuple form for queries with a post-drain inspector: the
+    * base rides back explicitly so [[recordDrain]] stores the real
+    * allocation instead of reverse-engineering it from the out path.
+    */
+  private def sinkDirsWithBase(tag: String, d: String): (String, String, String) = {
     val base = Tables.scratchDir(s"${tag}_sink", d)
-    (s"$base/out", s"$base/chk")
+    (s"$base/out", s"$base/chk", base)
   }
   /** Record a COMPLETED drain's sink for post-drain inspectors — called
     * after awaitTermination, so a concurrent/crashed run that merely
     * STARTED later cannot shadow a finished one's sink (round-15
     * review finding).
     */
-  private def recordDrain(tag: String, d: String, out: String): Unit =
-    lastSink.put((tag, Tables.sanitize(d)), out.stripSuffix("/out"))
+  private def recordDrain(tag: String, d: String, base: String): Unit =
+    lastSink.put((tag, Tables.sanitize(d)), base)
 
   /** Stateful streaming shuffles are pinned to a lower partition count
     * than batch: each state partition carries its own store instance +
@@ -529,7 +537,7 @@ object StreamOps {
     * batch a18 SQL.
     */
   def s7_streamQuarantine(spark: SparkSession, d: String): DataFrame = {
-    val (out, chk) = sinkDirs("s7", d)
+    val (out, chk, base) = sinkDirsWithBase("s7", d)
     val reason = concat_ws(",",
       Ingest.EventFields.map(f => when(col(f).isNull, lit(f))): _*)
     val labeled = Ingest.envelopeOf(eventStream(spark, d))
@@ -548,7 +556,7 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
-    recordDrain("s7", d, out)
+    recordDrain("s7", d, base)
     // explicit projection drops the sink's `bid=` partition column
     readSink(spark, s"$out/dead", labeled.schema)
       .select(labeled.schema.fieldNames.map(col): _*)
@@ -951,42 +959,27 @@ object StreamOps {
     * tables, exactly where the batch path keeps it.
     */
   def s16_streamLmScore(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.CorpusOps
     val (out, chk) = sinkDirs("s16", d)
-    // the standing LM: c35's censuses, materialized like s10's postings
+    // the standing LM: c35's censuses (the SAME bigramsOf projection —
+    // the twin carries c35's oracle, so the shapes share one body),
+    // materialized like s10's postings
     val dir = Tables.scratchDir("s16_lm", d)
-    val toks = Tables.documents(spark, d)
-      .select(split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-    toks.select(explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("n12"))
+    CorpusOps.bigramsOf(Tables.documents(spark, d))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
       .write.mode("overwrite").parquet(s"$dir/counts.parquet")
     val counts = spark.read.parquet(s"$dir/counts.parquet")
     counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
       .write.mode("overwrite").parquet(s"$dir/heads.parquet")
     val heads = spark.read.parquet(s"$dir/heads.parquet")
     // score-on-arrival: per-row bigram explode in the streaming plan
-    val arriving = stagedFileStream(spark, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val arriving = CorpusOps.bigramsOf(stagedFileStream(spark, d, "documents"))
     val q = arriving.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", chk)
       // batchId-keyed overwrite: replay-idempotent (see s1)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        batch.join(counts, Seq("w1", "w2"))
-          .join(heads, Seq("w1"))
-          .select(col("doc_id"),
-            (length(bin(col("n1"))) - length(bin(col("n12")))).cast("long").as("s"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bi"), sum(col("s")).as("bits_sum"))
-          .withColumn("avg_bits_e6", expr("bits_sum * 1000000L DIV n_bi"))
+        CorpusOps.lmScoreOf(batch, counts, heads)
           .write.mode("overwrite").parquet(s"$out/bid=$bid")
       }
       .start()
@@ -1001,7 +994,11 @@ object StreamOps {
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
-    * generation-suffixed sink recorded by [[sinkDirs]]).
+    * generation-suffixed sink recorded by [[recordDrain]] AFTER the
+    * drain finishes). Fails loudly if that generation has since been
+    * reaped by the scratch sweep (enough newer allocations passed
+    * ScratchLag) — a silently-empty read here would turn the caller's
+    * equality check into a confusing empty-vs-expected diff.
     */
   private[graft] def s7ValidSide(spark: SparkSession, d: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
@@ -1010,6 +1007,9 @@ object StreamOps {
           org.apache.spark.sql.types.StringType)))
     val base = lastSink.get(("s7", Tables.sanitize(d)))
     require(base != null, s"s7ValidSide: no s7 drain has run for $d in this JVM")
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/out/valid")),
+      s"s7ValidSide: the last completed drain's sink ($base) was reaped " +
+        "by the scratch sweep — rerun s7 before inspecting it")
     readSink(spark, s"$base/out/valid", schema)
       .select(schema.fieldNames.map(col): _*)
   }

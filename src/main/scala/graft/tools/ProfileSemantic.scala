@@ -32,22 +32,8 @@ object ProfileSemantic {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ProfileSemantic <dir> [dir ...]")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
+    val spark = ToolSession.session()
 
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
-    }
 
     for (d <- args) {
       val emb = graft.ops.Tables.embeddings(spark, d)
@@ -67,11 +53,11 @@ object ProfileSemantic {
         .agg(sum(expr("m * (m - 1) / 2")).as("cand"))
         .head().getAs[Any]("cand")
       val exactPairs = n * (n - 1) / 2
-      val (annRows, annSec) = timed(graft.ops.VectorOps.x_semanticAnn(spark, d).count())
+      val (annRows, annSec) = ToolSession.timed(graft.ops.VectorOps.x_semanticAnn(spark, d).count())
       println(f"[semantic] $d n=$n k=$k candidates=$cand exact_pairs=$exactPairs " +
         f"ann_sec=$annSec%.2f ann_rows=$annRows")
       if (n <= ExactMaxN) {
-        val (exRows, exSec) = timed(graft.ops.VectorOps.x_semanticDedup(spark, d).count())
+        val (exRows, exSec) = ToolSession.timed(graft.ops.VectorOps.x_semanticDedup(spark, d).count())
         println(f"[semantic] $d exact_sec=$exSec%.2f exact_rows=$exRows " +
           f"recall=${if (exRows == 0) 1.0 else annRows.toDouble / exRows}%.4f")
       }

@@ -17,26 +17,12 @@ import org.apache.spark.sql.SparkSession
 object ProfileStreamNeardup {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ProfileStreamNeardup <dir> [dir ...]")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
-    }
+    val spark = ToolSession.session()
     for (d <- args) {
       val n = graft.ops.Tables.documents(spark, d).count()
-      val (sRows, sSec) = timed(
+      val (sRows, sSec) = ToolSession.timed(
         graft.streaming.StreamOps.s14_streamNeardup(spark, d).count())
-      val (bRows, bSec) = timed(
+      val (bRows, bSec) = ToolSession.timed(
         graft.ops.TextOps.x_neardupIncremental(spark, d).count())
       println(f"[s14] $d docs=$n stream_sec=$sSec%.2f stream_rows=$sRows " +
         f"oneshot_sec=$bSec%.2f oneshot_rows=$bRows")

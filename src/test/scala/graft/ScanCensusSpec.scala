@@ -150,11 +150,11 @@ class ScanCensusSpec extends SparkSpec {
     "c19_heavy_hitters" -> ((1, 0)),
     // c20: ONE corpus explode feeds the (w1,w2) reduce; the n1 window
     // rides the reduced table, never a second scan
+    "c20_bigram_stats" -> ((1, 0)),
     // c35: the LM table is checkpointed reduced state (the c15 idiom),
     // so the head census and the scoring join share it — one corpus
     // scan total (was 3 before the checkpoint)
     "c35_lm_score" -> ((1, 0)),
-    "c20_bigram_stats" -> ((1, 0)),
     // c22: one corpus explode; the total census REUSES the term-count
     // exchange (the reused-exchange ride is the point of the shape)
     "c22_vocab_coverage" -> ((1, 1)),
