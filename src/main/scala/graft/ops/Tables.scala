@@ -141,6 +141,29 @@ object Tables {
     s"$scratch/$prefix$g"
   }
 
+  private val memoDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-JVM memo over [[scratchDir]] for STANDING artifacts — the
+    * state a production deployment materializes once and consumes many
+    * times (s14's near-dup index, s16's bigram LM): the first caller
+    * per (tag, dataset) builds into a fresh generation dir, every
+    * later caller reuses it. Without this, every registered-query
+    * invocation re-paid the standing-state build, which double-counts
+    * build cost in BENCH and hides the arrival path's marginal cost
+    * (round-15 verdict №6). Safe with the reaper: the memo holds
+    * generation 1 of its own tag forever — reaping needs ScratchLag
+    * NEWER generations of the SAME prefix, which a memoized tag never
+    * creates. Fixtures are immutable within a JVM, so staleness cannot
+    * arise; a failed build leaves no mapping (computeIfAbsent unwinds).
+    */
+  def memoDir(tag: String, d: String)(build: String => Unit): String =
+    memoDirs.computeIfAbsent(s"${tag}_${sanitize(d)}", _ => {
+      val dir = scratchDir(tag, d)
+      build(dir)
+      dir
+    })
+
   /** Recursive delete of a scratch path (no-op if absent). The walk
     * stream holds open directory handles until closed — leak one per
     * call (b19 calls this every bench rep) and fd pressure eventually

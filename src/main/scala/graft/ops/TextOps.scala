@@ -925,6 +925,58 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The MICRO-BATCH pair stage — [[neardupPairTail]]'s arrival-path
+    * twin (StreamOps s14), same pairs from the same inputs through a
+    * plan shaped for a per-trigger budget. The join-cascade form costs
+    * a NESTED broadcast chain per batch (delta fps → df censuses →
+    * keep → pair joins — each a sequential driver round-trip), which
+    * at 32 triggers per drain was the entire 86 s round-15 arrival-
+    * path overhang. This form is group-local instead: union the
+    * (already delta-pruned) standing postings with the batch's
+    * postings, ONE exchange groups each fingerprint's rows into an
+    * array — bounded by [[WinnowDfCap]] + the fp's in-drain arrivals
+    * once the caller drops standing-hot fps (see s14's stop list) —
+    * the df band and the has-a-new-doc test are group predicates, and
+    * the pairs fall out of a higher-order-function expansion over the
+    * array (every index pair {i, j} with distinct non-null doc_ids and
+    * ≥1 new side — exactly the multiset the tail's old×new plus
+    * new×new joins emit, duplicate postings and all). ONE pair job:
+    * two delta-sized exchanges, zero broadcasts, and the batch never
+    * touches the standing df census — df_old of every relevant fp is
+    * already IN the pruned scan as its row count. No presentation
+    * orderBy: the drain's read-back applies the global sort once
+    * (a per-batch orderBy would pay a range-partitioner sampling job
+    * every trigger). Pinned row-for-row against [[neardupPairTail]]
+    * in scalatest AND end-to-end by s14's tiling + oracle gates.
+    */
+  private[graft] def neardupPairTailMicro(delta: DataFrame,
+      oldPruned: DataFrame): DataFrame = {
+    // null fps never pair in the join cascade (every equi-join drops
+    // them) — drop them before grouping rather than after
+    val rows = oldPruned.select(col("fp"), col("doc_id"), lit(0L).as("is_new"))
+      .unionByName(delta.select(col("fp"), col("doc_id"), lit(1L).as("is_new")))
+      .filter(col("fp").isNotNull)
+    rows.groupBy(col("fp"))
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ids"),
+        count(lit(1)).as("df"), sum(col("is_new")).as("n_new"))
+      // the tail's keep band + "pairs must touch a new doc" (old-only
+      // fps feed nothing there: dk is empty for them)
+      .filter(col("df").between(2, WinnowDfCap) && col("n_new") >= 1)
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ids, (x, i) ->
+          |    transform(slice(ids, i + 2, size(ids)), y -> struct(
+          |      least(x.doc_id, y.doc_id) AS a_id,
+          |      greatest(x.doc_id, y.doc_id) AS b_id,
+          |      x.doc_id IS NOT NULL AND y.doc_id IS NOT NULL
+          |        AND x.doc_id <> y.doc_id
+          |        AND (x.is_new = 1 OR y.is_new = 1) AS keep)))),
+          |  p -> p.keep)""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowShared)
+  }
+
   /** Gate for [[neardupIngest]]'s index-side Bloom prune: sketch only
     * when the delta's posting count is under 1/this of the index's —
     * below that the pruned exchange wins; above it the index mostly
