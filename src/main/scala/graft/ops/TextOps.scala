@@ -1079,6 +1079,136 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Prior-epoch postings view for the epoch-layout index: `epochs/
+    * bid=K` partitions below `bid` — or an empty frame when no epoch
+    * dir exists (day 1, or any day after a compaction folded them into
+    * base).
+    */
+  private def epochsBefore(spark: SparkSession, dir: String, bid: Int): DataFrame =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$dir/epochs")))
+      spark.read.parquet(s"$dir/epochs").filter(col("bid") < bid)
+        .select(col("doc_id"), col("fp"))
+    else
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("fp"))
+
+  /** Day ingest over the EPOCH-LAYOUT index (the layout s14's arrival
+    * drain leaves behind: immutable `base` + `epochs/bid=K`
+    * partitions, standing census = base census ⊕ epoch counts) —
+    * [[neardupIngest]]'s semantics with the epoch view in place of the
+    * folded-append view, so the compaction lifecycle can interleave
+    * ingests with [[neardupCompact]] and pin the identity.
+    */
+  private[graft] def neardupEpochIngest(spark: SparkSession, d: String,
+      dir: String, from: Long, until: Option[Long], bid: Int): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val deltaDocs = until.foldLeft(docs.filter(col("doc_id") > from)) {
+      (df, u) => df.filter(col("doc_id") <= u)
+    }
+    winnowFps(deltaDocs).write.mode("overwrite").parquet(s"$dir/epochs/bid=$bid")
+    val delta = spark.read.parquet(s"$dir/epochs/bid=$bid")
+      .select(col("doc_id"), col("fp"))
+    val prior = epochsBefore(spark, dir, bid)
+    val old = spark.read.parquet(s"$dir/postings.parquet").unionByName(prior)
+    val dfOld = spark.read.parquet(s"$dir/df.parquet")
+      .join(prior.groupBy(col("fp")).agg(count(lit(1)).as("df_prior")),
+        Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_prior"), lit(0L)))
+          .as("df_old"))
+    neardupPairTail(delta, old, dfOld)
+  }
+
+  /** EPOCH COMPACTION — the table maintenance that keeps the standing
+    * index's read path O(base + recent) instead of O(all history):
+    * every arrival drain (s14) and epoch-layout ingest leaves one more
+    * `epochs/bid=K` partition, so an index that ingests daily would
+    * eventually pay per-query listing + scan + census-merge cost
+    * proportional to its ENTIRE ingest history. Compaction folds the
+    * accumulated epochs into a fresh base — postings := base ∪ epochs
+    * rewritten as one table, census := base census ⊕ epoch counts (the
+    * same full-outer sum every reader computes on the fly; after the
+    * fold they read it for free) — then drops the epoch partitions.
+    *
+    * RESULT-IDENTICAL by construction: readers only ever consume the
+    * index through the views `base ∪ epochs` and `census ⊕ epoch
+    * counts`, and compaction replaces the stored pair by exactly those
+    * views — the next ingest sees the same multiset of postings and
+    * the same per-fp counts, so its audit is byte-equal (pinned in
+    * scalatest, and end-to-end by [[x_neardupCompact]]'s oracle). The
+    * swap is write-new → rm-old → rename, single-writer scratch
+    * semantics like [[neardupIndexAppend]]'s census swap; a production
+    * lake runs the same fold as a transactional table-format rewrite
+    * (OPTIMIZE/rewrite-data-files), typically every K epochs.
+    */
+  private[graft] def neardupCompact(spark: SparkSession, dir: String): Unit = {
+    val epochs = s"$dir/epochs"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(epochs))) return
+    val ep = spark.read.parquet(epochs).select(col("doc_id"), col("fp"))
+    spark.read.parquet(s"$dir/postings.parquet").unionByName(ep)
+      .write.mode("overwrite").parquet(s"$dir/postings_next.parquet")
+    spark.read.parquet(s"$dir/df.parquet")
+      .join(ep.groupBy(col("fp")).agg(count(lit(1)).as("df_ep")),
+        Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_ep"), lit(0L)))
+          .as("df_old"))
+      .write.mode("overwrite").parquet(s"$dir/df_next.parquet")
+    Tables.rmrf(s"$dir/postings.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/postings_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/postings.parquet"))
+    Tables.rmrf(s"$dir/df.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/df_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/df.parquet"))
+    Tables.rmrf(epochs)
+  }
+
+  /** x_neardup_compact: the ingest lifecycle WITH mid-stream epoch
+    * compaction — [[x_neardupLifecycle]]'s cadence over the epoch
+    * layout, with [[neardupCompact]] folding the first two days'
+    * epochs into the base before day 3 ingests. The audits are
+    * byte-equal to the uncompacted lifecycle by the compaction
+    * identity (readers consume the index only through the base∪epochs
+    * and census⊕counts views, which the fold preserves exactly), so
+    * the query carries the SAME tiling-union oracle and is driver-
+    * hash-checked — the end-to-end gate that compaction changes
+    * nothing but the storage layout.
+    *
+    * Scale (100 TB): without compaction, day N's ingest pays listing +
+    * census-merge over N−1 epoch partitions — O(history) recurring
+    * cost; with a compact-every-K policy it is O(K), and the fold
+    * itself is one sequential rewrite of slim posting rows, off the
+    * ingest path. This closes the "epochs accumulate forever" backlog
+    * item from the round-15 verdict.
+    */
+  def x_neardupCompact(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    if (r.isNullAt(0))
+      // empty corpus: no boundaries, no pairs — first-run totality
+      return spark.range(0).select(col("id").as("a_id"), col("id").as("b_id"),
+        col("id").as("n_shared"))
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val bounds = (0 to LifecycleDays)
+      .map(i => lo + (hi - lo) * i / (LifecycleDays + 1))
+    val dir = Tables.scratchDir("compactlc", d)
+    neardupIndexBuild(spark, d, dir, bounds(1))
+    (1 to LifecycleDays).foreach { day =>
+      val upper = if (day == LifecycleDays) None else Some(bounds(day + 1))
+      // materialize the day's audit BEFORE any index mutation (see
+      // x_neardupLifecycle — the plan reads the index tables lazily)
+      neardupEpochIngest(spark, d, dir, bounds(day), upper, day)
+        .write.mode("overwrite").parquet(s"$dir/audit_day$day.parquet")
+      // compact after day 2: day 3 must ingest against the FOLDED base
+      if (day == LifecycleDays - 1) neardupCompact(spark, dir)
+    }
+    (1 to LifecycleDays)
+      .map(day => spark.read.parquet(s"$dir/audit_day$day.parquet"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** BPE-ish pre-tokenizer regex (c26) — the GPT-2-family shape:
     * contractions, space-prefixed letter runs, space-prefixed digit
     * runs, space-prefixed punctuation runs. Deliberately restricted to
@@ -1248,6 +1378,20 @@ object TextOps {
        |WHERE h.n_shared * 1000000 // c.n_eval_fp >= $ContainFracE6
        |ORDER BY eval_id, train_id""".stripMargin
 
+  // the lifecycle's tiling union = c25 restricted to pairs touching
+  // any post-base doc (b_id past the FIRST ingest boundary) — shared
+  // by x_neardup_lifecycle and its compact-mid-lifecycle variant
+  private val LifecycleOracle: String =
+    s"""WITH $WinnowFpsSql,
+       |bound AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // ${LifecycleDays + 1} AS q1 FROM documents),
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
+       |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared FROM pairs, bound
+       |WHERE n_shared >= $WinnowShared AND b_id > bound.q1
+       |ORDER BY a_id, b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x_contain_from_postings" -> ContainOracle,
     "c23_lang_id" ->
@@ -1307,19 +1451,11 @@ object TextOps {
          |SELECT a_id, b_id, n_shared FROM pairs, bound
          |WHERE n_shared >= $WinnowShared AND b_id > bound.mid
          |ORDER BY a_id, b_id""".stripMargin,
-    // the lifecycle's tiling union = c25 restricted to pairs touching
-    // any post-base doc (b_id past the FIRST ingest boundary — the
-    // later id of a qualifying pair is always the newer doc)
-    "x_neardup_lifecycle" ->
-      s"""WITH $WinnowFpsSql,
-         |bound AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // ${LifecycleDays + 1} AS q1 FROM documents),
-         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
-         |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT a_id, b_id, n_shared FROM pairs, bound
-         |WHERE n_shared >= $WinnowShared AND b_id > bound.q1
-         |ORDER BY a_id, b_id""".stripMargin,
+    "x_neardup_lifecycle" -> LifecycleOracle,
+    // compact-mid-lifecycle variant: byte-equal to the lifecycle by the
+    // compaction identity (scalatest-pinned), so it shares the oracle
+    // STRING by reference — one definition, no drift
+    "x_neardup_compact" -> LifecycleOracle,
     "c1_dedup_exact" ->
       """SELECT sha256(lower(text)) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY sha256(lower(text)) ORDER BY keep_id""".stripMargin,
@@ -1433,6 +1569,7 @@ object TextOps {
     "x_neardup_bucketed" -> x_neardupBucketed _,
     "x_neardup_incremental" -> x_neardupIncremental _,
     "x_neardup_lifecycle" -> x_neardupLifecycle _,
+    "x_neardup_compact" -> x_neardupCompact _,
     "c26_bpe_token_stats" -> c26_bpeTokenStats _,
     "c27_contamination" -> c27_contamination _,
     "x_contain_from_postings" -> x_containFromPostings _,

@@ -86,15 +86,17 @@ class ContractSpec extends AnyFunSuite {
       "s15_stream_fingerprint" -> "c24_winnow_fingerprint",
       // score-on-arrival vs the standing LM ≡ the batch scorer (s16 is
       // c35's twin — a doc's score depends only on its row + the LM)
-      "s16_stream_lm_score" -> "c35_lm_score")
+      "s16_stream_lm_score" -> "c35_lm_score",
+      // compact-mid-lifecycle ≡ the lifecycle (the compaction identity)
+      "x_neardup_compact" -> "x_neardup_lifecycle")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 125 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 125)
-    assert(SparkEntry.oracleSql.size === 110)
+  test("the inventory holds all 126 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 126)
+    assert(SparkEntry.oracleSql.size === 111)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

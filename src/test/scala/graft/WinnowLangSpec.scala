@@ -371,6 +371,72 @@ class WinnowLangSpec extends SparkSpec {
     assert(viaMicro === viaJoin, "micro tail must match the cascade's multiset exactly")
   }
 
+  test("compaction identity: post-compaction ingest is byte-equal, epochs folded exactly") {
+    import graft.ops.Tables
+    val d = sf0001
+    val r = Tables.documents(spark, d)
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val bounds = (0 to TextOps.LifecycleDays)
+      .map(i => lo + (hi - lo) * i / (TextOps.LifecycleDays + 1))
+    def runDays(dir: String, compactAfterDay2: Boolean): Seq[Seq[Seq[Any]]] = {
+      TextOps.neardupIndexBuild(spark, d, dir, bounds(1))
+      (1 to TextOps.LifecycleDays).map { day =>
+        val upper = if (day == TextOps.LifecycleDays) None else Some(bounds(day + 1))
+        val audit = TextOps.neardupEpochIngest(spark, d, dir, bounds(day), upper, day)
+          .collect().map(_.toSeq).toSeq
+        if (compactAfterDay2 && day == TextOps.LifecycleDays - 1)
+          TextOps.neardupCompact(spark, dir)
+        audit
+      }
+    }
+    val dirA = Tables.scratchDir("compact_a", d)
+    val dirB = Tables.scratchDir("compact_b", d)
+    // snapshot what A's index views hold at the moment B compacts:
+    // run A fully first, then B with the mid-stream compaction
+    val auditsA = runDays(dirA, compactAfterDay2 = false)
+    val auditsB = runDays(dirB, compactAfterDay2 = true)
+    (auditsA, auditsB).zipped.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(b === a, s"day ${i + 1} audit must be byte-equal under compaction")
+    }
+    assert(auditsA.last.nonEmpty, "day 3 should find pairs")
+    // layout assertions on B: epochs are gone, the compacted base holds
+    // exactly base ∪ (day-1, day-2) epochs, and the stored census is
+    // the recount of the compacted postings
+    assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$dirB/epochs")) ||
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dirB/epochs"))
+        .filter(p => p.getFileName.toString.startsWith("bid="))
+        .allMatch(p => p.getFileName.toString == s"bid=${TextOps.LifecycleDays}"),
+      "compaction must drop the folded epoch partitions")
+    val postingsB = spark.read.parquet(s"$dirB/postings.parquet")
+      .select(col("doc_id"), col("fp"))
+    val expected = spark.read.parquet(s"$dirA/postings.parquet")
+      .select(col("doc_id"), col("fp"))
+      .unionByName(spark.read.parquet(s"$dirA/epochs")
+        .filter(col("bid") < TextOps.LifecycleDays)
+        .select(col("doc_id"), col("fp")))
+    def ms(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(ms(postingsB) === ms(expected),
+      "compacted postings must be exactly base ∪ folded epochs")
+    val censusB = spark.read.parquet(s"$dirB/df.parquet")
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    val recount = postingsB.groupBy(col("fp")).count()
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(censusB === recount,
+      "merged census must equal a from-scratch recount of the compacted postings")
+  }
+
+  test("x_neardup_compact ≡ x_neardup_lifecycle (the registered end-to-end identity)") {
+    val viaCompact = TextOps.x_neardupCompact(spark, sf0001).collect().map(_.toSeq).toSeq
+    val viaLifecycle = TextOps.x_neardupLifecycle(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(viaCompact.nonEmpty)
+    assert(viaCompact === viaLifecycle,
+      "compact-mid-lifecycle must emit the lifecycle's exact rows")
+  }
+
   test("x_neardup_bucketed is byte-equal to c25 on both fixture scales") {
     Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
       val direct = TextOps.c25_winnowNeardup(spark, d).collect().map(_.toSeq).toSeq
