@@ -203,6 +203,9 @@ class ScanCensusSpec extends SparkSpec {
     // x_ann_ivfpq: same two branches (cell-assign + decode are pure
     // maps on the corpus scan; both codebooks are reference objects)
     "x_ann_ivfpq" -> ((2, 0)),
+    // x_ann_append: the returned search plan is x_ann_from_index's
+    // (codes + probe scans); build + append ran as earlier jobs
+    "x_ann_append" -> ((2, 0)),
     // x_ann_from_index: the consumer plan reads codes.parquet + the
     // probe slice of embeddings — training/build ran as earlier jobs
     "x_ann_from_index" -> ((2, 0)),

@@ -258,6 +258,55 @@ class TextVectorSpec extends SparkSpec {
     assert(search.collect().toSeq === VectorOps.annFromIndex(spark, sf0001, dir).collect().toSeq)
   }
 
+  test("x_ann_append: appended index ≡ from-scratch assignment under the base model") {
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val base = emb.filter(col("vec_id").isNull || col("vec_id") <= mid)
+    val delta = emb.filter(col("vec_id") > mid)
+    // index A: base build + append; index B: the SAME base model
+    // assigning base ∪ delta in one pass — append must be invisible
+    val dirA = VectorOps.buildAnnIndexOf(spark, base,
+      Tables.scratchDir("annapp_a", sf0001)).get
+    VectorOps.annIndexAppend(spark, delta, dirA)
+    val dirB = Tables.scratchDir("annapp_b", sf0001)
+    VectorOps.annAppendFrame(spark, emb, dirA)
+      .write.mode("overwrite").parquet(s"$dirB/codes.parquet")
+    val codesA = spark.read.parquet(s"$dirA/codes.parquet")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val codesB = spark.read.parquet(s"$dirB/codes.parquet")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(codesA === codesB,
+      "append must store exactly the codes a one-pass assignment would")
+    // and the registered query's search over the grown index returns a
+    // sane, probe-complete result
+    val got = VectorOps.x_annAppend(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Long]("neighbor_id")).exists(_ > mid),
+      "appended vectors must be searchable")
+  }
+
+  test("x_ann_append: the append plan holds no Lloyd and never re-scans the base") {
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val dir = VectorOps.buildAnnIndexOf(spark,
+      emb.filter(col("vec_id").isNull || col("vec_id") <= mid),
+      Tables.scratchDir("annapp_plan", sf0001)).get
+    val frame = VectorOps.annAppendFrame(spark,
+      emb.filter(col("vec_id") > mid), dir)
+    val p = frame.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"append must hold no Lloyd aggregate:\n$p")
+    assert(p.contains("pq_codes"), s"append must assign codes with the stored model:\n$p")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans === 1, s"append must scan ONLY the delta, saw $scans scans:\n$p")
+  }
+
   test("x_ann_ivfpq: the composed index still finds the neighborhood — recall floor vs c3") {
     val exact = VectorOps.c3_simTopk(spark, sf0001).collect()
     val ivfpq = VectorOps.x_annIvfPq(spark, sf0001).collect()
