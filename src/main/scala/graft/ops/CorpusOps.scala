@@ -518,6 +518,75 @@ object CorpusOps {
     lmScoreOf(bi, counts, heads).orderBy(col("doc_id"))
   }
 
+  /** The held-out scoring tail — [[lmScoreOf]]'s left-join form for
+    * text the LM has NEVER seen: a bigram present in the model costs
+    * its usual binary-length surprise; an unseen transition costs
+    * `length(bin(n_tot))` bits, the exact-integer form of
+    * ⌈log₂ N⌉-ish "the model's full mass was surprised" (the
+    * x_bpe_coverage OOV-arm idiom: a deterministic integer fallback
+    * both engines compute identically, no float smoothing). The
+    * fallback strictly dominates every seen cost — n1 ≤ n_tot and
+    * n12 ≥ 1 give len(bin(n1)) − len(bin(n12)) ≤ len(bin(n_tot)) − 1
+    * — so OOV is always the most expensive transition, the monotone
+    * property a perplexity gate needs. `n_oov` rides along so the
+    * gate can separate "fluent but novel" from "out of domain".
+    */
+  private[graft] def lmHeldoutScoreOf(bi: DataFrame, counts: DataFrame,
+      heads: DataFrame, tot: DataFrame): DataFrame =
+    bi.join(counts, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("n12").isNotNull,
+            length(bin(col("n1"))) - length(bin(col("n12"))))
+          .otherwise(length(bin(col("n_tot")))).cast("long").as("s"),
+        when(col("n12").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("oov")).as("n_oov"),
+        sum(col("s")).as("bits_sum"))
+      .withColumn("avg_bits_e6", expr("bits_sum * 1000000L DIV n_bi"))
+
+  /** The shard the held-out LM trains on — the "standing epoch" whose
+    * model scores everything that arrives after it (the c27 source-
+    * shard split, with the ROLES inverted: training on 19 of 20
+    * homogeneous fixture shards leaves literally zero unseen eval
+    * bigrams, so the OOV fallback — the entire point of the held-out
+    * arm — would never execute under the driver's hash gate; training
+    * on ONE shard scores 19 novel shards and takes both branches on
+    * ~every doc). Configuration, like [[TextOps.EvalSource]].
+    */
+  val LmTrainSource = "src0"
+
+  /** x_lm_heldout: held-out LM scoring — the unseen-bigram arm c35's
+    * scaladoc promises: the bigram LM trains on the
+    * [[LmTrainSource]] shard (the standing epoch), and every OTHER
+    * document — later shards, null-source strays — is scored against
+    * that model through [[lmHeldoutScoreOf]]'s left-join + OOV
+    * fallback. This is the form a production gate actually runs —
+    * score ARRIVING text against the standing LM — where c35 is the
+    * training-corpus self-score (every bigram in-vocabulary by
+    * construction). Hash-checked end-to-end: the whole
+    * train/score/fallback pipeline has an exact DuckDB twin, and the
+    * fixture exercises BOTH branches (thousands of OOV transitions —
+    * measured, not assumed).
+    *
+    * Scale (100 TB): identical economics to c35 — one train-shard
+    * explode into a map-side-combinable reduce (vocabulary-sized
+    * result, localCheckpointed once), one scored-shard explode through
+    * two equi-joins against the slim LM tables, a 1-row total census
+    * broadcast (the b21 pattern), one per-doc aggregate.
+    */
+  def x_lmHeldout(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val train = bigramsOf(docs.filter(col("source") === LmTrainSource))
+    val scored = bigramsOf(docs.filter(!(col("source") <=> lit(LmTrainSource))))
+    val counts = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .localCheckpoint()
+    val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val tot = counts.agg(coalesce(sum(col("n12")), lit(0L)).as("n_tot"))
+    lmHeldoutScoreOf(scored, counts, heads, tot).orderBy(col("doc_id"))
+  }
+
   /** Rows published by c22's coverage report. */
   val VocabTopK = 100L
 
@@ -736,6 +805,10 @@ object CorpusOps {
          |SELECT doc_id, n_bi, bits_sum,
          |  CAST(bits_sum * 1000000 // n_bi AS BIGINT) AS avg_bits_e6
          |FROM a ORDER BY doc_id""".stripMargin,
+    // x_lm_heldout: standing-shard LM, every other doc scored via left
+    // join; unseen transition costs length(bin(n_tot)) — see
+    // lmHeldoutScoreOf / LmTrainSource
+    "x_lm_heldout" -> LmHeldoutSql,
     "c20_bigram_stats" ->
       s"""WITH toks AS (
          |  SELECT str_split(text, ' ') AS t FROM documents
@@ -786,6 +859,31 @@ object CorpusOps {
     "c16_corpus_pipeline" -> C16Sql,
     "x_corpus_from_clusters" -> C16Sql,
   )
+
+  // the held-out scorer's DuckDB twin — shared by x_lm_heldout and its
+  // streaming twin s17 (one string, no drift)
+  private[graft] lazy val LmHeldoutSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+       |  WHERE len(str_split(text, ' ')) >= 2),
+       |bi AS (
+       |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) r(i)),
+       |tb AS (SELECT w1, w2 FROM bi WHERE source = '$LmTrainSource'),
+       |c AS (SELECT w1, w2, COUNT(*) AS n12 FROM tb GROUP BY 1, 2),
+       |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tb),
+       |eb AS (SELECT doc_id, w1, w2 FROM bi WHERE source IS DISTINCT FROM '$LmTrainSource'),
+       |s AS (SELECT eb.doc_id,
+       |        CASE WHEN c.n12 IS NOT NULL
+       |             THEN CAST(length(bin(h.n1)) - length(bin(c.n12)) AS BIGINT)
+       |             ELSE CAST(length(bin(tot.n_tot)) AS BIGINT) END AS s,
+       |        CASE WHEN c.n12 IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM eb LEFT JOIN c USING (w1, w2) LEFT JOIN h USING (w1), tot)
+       |SELECT doc_id, COUNT(*) AS n_bi, CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  CAST(SUM(s) AS BIGINT) AS bits_sum,
+       |  CAST(SUM(s) * 1000000 // COUNT(*) AS BIGINT) AS avg_bits_e6
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private lazy val C13Sql =
       """SELECT doc_id, lang, rnk FROM (
@@ -884,6 +982,7 @@ object CorpusOps {
     "x_pack_twophase"     -> x_packTwophase _,
     "c20_bigram_stats"    -> c20_bigramStats _,
     "c35_lm_score"        -> c35_lmScore _,
+    "x_lm_heldout"        -> x_lmHeldout _,
     "c22_vocab_coverage"  -> c22_vocabCoverage _,
     "c33_rarity_score"    -> c33_rarityScore _,
     "x_select_by_rarity"  -> x_selectByRarity _,

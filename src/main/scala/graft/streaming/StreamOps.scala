@@ -1051,6 +1051,62 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s17: HELD-OUT LM scoring on arrival — x_lm_heldout's streaming
+    * twin, and the arrival ladder's most production-shaped rung: the
+    * standing LM was trained on a PAST epoch (the
+    * [[graft.ops.CorpusOps.LmTrainSource]] shard), and every arriving
+    * document — which the model has never seen — scores against it
+    * through the left-join + OOV-fallback tail, unseen transitions
+    * costing `length(bin(n_tot))` bits. This is where s16's
+    * self-score contract becomes the real gate: s16 scores the corpus
+    * the LM trained on (no OOV by construction); s17 scores novel
+    * text, and the fixture takes the fallback branch on ~every doc. A
+    * document's score depends only on its row + the standing tables,
+    * so stream ≡ batch exactly and s17 carries x_lm_heldout's DuckDB
+    * oracle VERBATIM (the s9 parity contract); batchId-keyed
+    * overwrite sink (s1's replay idempotence).
+    *
+    * Scale (100 TB): per batch, map work + two equi-joins against the
+    * slim standing LM + the 1-row total broadcast; the stream holds NO
+    * state. The LM is memoized per dataset ([[Tables.memoDir]]) — in
+    * production it is the artifact a past training run shipped.
+    */
+  def s17_streamLmHeldout(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.CorpusOps
+    val (out, chk) = sinkDirs("s17", d)
+    val dir = Tables.memoDir("s17_lm", d) { p =>
+      CorpusOps.bigramsOf(Tables.documents(spark, d)
+          .filter(col("source") === CorpusOps.LmTrainSource))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+        .write.mode("overwrite").parquet(s"$p/counts.parquet")
+      spark.read.parquet(s"$p/counts.parquet")
+        .groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+        .write.mode("overwrite").parquet(s"$p/heads.parquet")
+    }
+    val counts = spark.read.parquet(s"$dir/counts.parquet")
+    val heads = spark.read.parquet(s"$dir/heads.parquet")
+    val tot = counts.agg(coalesce(sum(col("n12")), lit(0L)).as("n_tot"))
+    // score-on-arrival: only the post-epoch shards stream in
+    val arriving = CorpusOps.bigramsOf(
+      stagedFileStream(spark, d, "documents")
+        .filter(!(col("source") <=> lit(CorpusOps.LmTrainSource))))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        CorpusOps.lmHeldoutScoreOf(batch, counts, heads, tot)
+          .write.mode("overwrite").parquet(s"$out/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_bi BIGINT, n_oov BIGINT, bits_sum BIGINT, avg_bits_e6 BIGINT")
+    readSink(spark, out, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
@@ -1100,6 +1156,9 @@ object StreamOps {
     "s15_stream_fingerprint" -> graft.ops.TextOps.oracles("c24_winnow_fingerprint"),
     // score-on-arrival vs the standing LM ≡ batch: c35's oracle verbatim
     "s16_stream_lm_score" -> graft.ops.CorpusOps.oracles("c35_lm_score"),
+    // held-out score-on-arrival ≡ batch (per-row vs standing tables):
+    // x_lm_heldout's oracle verbatim
+    "s17_stream_lm_heldout" -> graft.ops.CorpusOps.oracles("x_lm_heldout"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1166,5 +1225,6 @@ object StreamOps {
     "s14_stream_neardup" -> s14_streamNeardup _,
     "s15_stream_fingerprint" -> s15_streamFingerprint _,
     "s16_stream_lm_score" -> s16_streamLmScore _,
+    "s17_stream_lm_heldout" -> s17_streamLmHeldout _,
   )
 }

@@ -87,6 +87,9 @@ class ContractSpec extends AnyFunSuite {
       // score-on-arrival vs the standing LM ≡ the batch scorer (s16 is
       // c35's twin — a doc's score depends only on its row + the LM)
       "s16_stream_lm_score" -> "c35_lm_score",
+      // held-out score-on-arrival ≡ the batch held-out scorer (s17 is
+      // x_lm_heldout's twin — per-row vs the standing LM tables)
+      "s17_stream_lm_heldout" -> "x_lm_heldout",
       // compact-mid-lifecycle ≡ the lifecycle (the compaction identity)
       "x_neardup_compact" -> "x_neardup_lifecycle")
     for ((x, twin) <- twins)
@@ -94,9 +97,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 127 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 127)
-    assert(SparkEntry.oracleSql.size === 111)
+  test("the inventory holds all 129 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 129)
+    assert(SparkEntry.oracleSql.size === 113)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -246,6 +246,10 @@ class ScanCensusSpec extends SparkSpec {
     "s14_stream_neardup" -> ((1, 0)),
     "s15_stream_fingerprint" -> ((1, 0)),
     "s16_stream_lm_score" -> ((1, 0)),
+    "s17_stream_lm_heldout" -> ((1, 0)),
+    // x_lm_heldout: one scored-shard scan; the train-shard reduce is
+    // checkpointed LM state (the c35 localCheckpoint idiom)
+    "x_lm_heldout" -> ((1, 0)),
     // x_neardup_lifecycle: the final plan unions the three days'
     // materialized audits — one scan each; ingest/append ran earlier
     "x_neardup_lifecycle" -> ((3, 0)),

@@ -434,6 +434,19 @@ class StreamingSpec extends SparkSpec {
       "streamed LM scores must equal the batch query exactly")
   }
 
+  test("s17 semantics: streamed held-out scoring ≡ the batch x_lm_heldout, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s17_streamLmHeldout(spark, sf0001).collect()
+    val batch = graft.ops.CorpusOps.x_lmHeldout(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed held-out scores must equal the batch query exactly")
+    // the held-out contract: the fixture must actually take the OOV
+    // branch (this is the arm the query exists for)
+    assert(streamed.count(_.getAs[Long]("n_oov") > 0) > 0,
+      "fixture must exercise the OOV fallback")
+  }
+
   test("s2 semantics: a row later than the watermark is dropped; closed state is evicted once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
