@@ -342,9 +342,13 @@ object TextOps {
     var sweep = 0
     var done = labels.isEmpty
     while (!done && sweep < maxIters) {
-      val next = jump(hop(hop(
-          labels.select(col("id"), col("lab"), col("lab").as("prev")))))
+      // checkpoint the double hop BEFORE jump: jump self-joins its
+      // input, and an un-checkpointed hop(hop(...)) plan would execute
+      // the two hop passes once per join side (round-15 ADVICE)
+      val hopped = hop(hop(
+          labels.select(col("id"), col("lab"), col("lab").as("prev"))))
         .localCheckpoint()
+      val next = jump(hopped).localCheckpoint()
       done = next.filter(col("lab") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("lab"))
       sweep += 1
@@ -746,19 +750,34 @@ object TextOps {
     // longer exists is dead by construction (a live generation's dir is
     // protected by ScratchLag), so drop exactly those.
     val prefix = tbl.substring(0, tbl.lastIndexOf("_g") + 2)
+    val myGen = tbl.substring(prefix.length).toLong
     spark.catalog.listTables().collect()
       .map(_.name)
       .filter(n => n != tbl && n.startsWith(prefix) &&
-        n.substring(prefix.length).forall(_.isDigit))
+        n.substring(prefix.length).forall(_.isDigit) &&
+        // sweep only generations the lag rule already guarantees no
+        // CONCURRENT invocation can hold (round-15 ADVICE: a sibling
+        // whose catalog entry exists a beat before its dir would
+        // otherwise be judged dead in that window). Strays from dead
+        // JVMs with higher numbers are picked up once this counter
+        // advances past them — the sweep is eventually complete either
+        // way, just never early.
+        n.substring(prefix.length).toLong <= myGen - Tables.ScratchLag)
       .foreach { n =>
         // the metadata lookup races a CONCURRENT invocation's sweep
         // (both can list the same dead sibling; the loser's lookup
         // lands after the winner's drop) — a vanished table is simply
-        // already-swept, not an error
-        scala.util.Try(spark.sessionState.catalog
-            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location)
-          .toOption
-          .filter(loc => !java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))
+        // already-swept, not an error. The existence probe sits INSIDE
+        // the Try too (round-15 ADVICE): a non-file location URI would
+        // throw in Paths.get and fail the whole query, and only
+        // file-scheme locations are ours to judge dead
+        scala.util.Try {
+          val loc = spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location
+          (loc.getScheme == null || loc.getScheme == "file") &&
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(loc))
+        }.toOption
+          .filter(identity)
           .foreach(_ => spark.sql(s"DROP TABLE IF EXISTS $n"))
       }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -58,8 +58,20 @@ object ProfileSemantic {
         f"ann_sec=$annSec%.2f ann_rows=$annRows")
       if (n <= ExactMaxN) {
         val (exRows, exSec) = ToolSession.timed(graft.ops.VectorOps.x_semanticDedup(spark, d).count())
+        // membership recall, the TextVectorSpec definition: clustered
+        // ids the ANN run keeps ∩ the exact run's — NOT a row-count
+        // ratio, which can exceed 1 when component shapes differ
+        // (round-15 ADVICE)
+        val exactIds = graft.ops.VectorOps.x_semanticDedup(spark, d)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val annIds = graft.ops.VectorOps.x_semanticAnn(spark, d)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val recall =
+          if (exactIds.isEmpty) 1.0
+          else annIds.intersect(exactIds).size.toDouble / exactIds.size
         println(f"[semantic] $d exact_sec=$exSec%.2f exact_rows=$exRows " +
-          f"recall=${if (exRows == 0) 1.0 else annRows.toDouble / exRows}%.4f")
+          f"rows_ratio=${if (exRows == 0) 1.0 else annRows.toDouble / exRows}%.4f " +
+          f"membership_recall=$recall%.4f")
       }
     }
     spark.stop()
