@@ -253,17 +253,33 @@ object TextOps {
     */
   val MaxCcIters = 20
 
+  /** Plain one-hop sweeps before [[clustersOf]] escalates to
+    * hop²+jump rounds. A plain sweep is ~2.5× cheaper than a
+    * pointer-jumping round (one label-edge join + one checkpoint vs
+    * two hops, a label self-join, and the same checkpoint), and
+    * clique-ish dedup graphs converge within a few sweeps — the
+    * round-16 A/B (BENCH_NOTES (bj)): the c2 pair graph converges in
+    * 2 plain sweeps, so pure hop+jump paid double-round cost for
+    * nothing, while the 17-sweep c7 graph still finishes in 4 + 5
+    * escalated rounds. Four covers every clique-ish fixture graph
+    * with one sweep of convergence-check slack.
+    */
+  val PlainCcSweeps = 4
+
   /** c15: near-dup CLUSTER resolution — the step after pair generation
     * that an actual dedup pipeline needs: connected components over
     * c2's verified pairs, labeling every member with the component's
     * min doc_id (`cluster_id`) and flagging the canonical keeper.
-    * Iterative min-label propagation with pointer-jumping: each round
-    * takes the per-node min over the 2-hop neighborhood's labels (two
-    * edge hops) and then shortcuts lab ← lab(lab), so the covered
-    * depth grows d → 2(d+2) per round — O(log diameter) rounds, not
-    * O(diameter) sweeps (round 15; the sf0.1 semantic pair graph took
-    * 18 one-hop sweeps, 7 rounds now). Deterministic (min is
-    * order-free, and both operators only lower labels).
+    * Iterative min-label propagation on an escalation ladder: plain
+    * one-hop sweeps first (cheapest per round — dedup graphs are
+    * clique-ish and converge in a few), then, past [[PlainCcSweeps]],
+    * pointer-jumping rounds that take the per-node min over the 2-hop
+    * neighborhood's labels and shortcut lab ← lab(lab), doubling the
+    * covered depth per round — O(log diameter) rounds for the
+    * high-diameter tail instead of O(diameter) sweeps (the sf0.1
+    * semantic pair graph: 17 plain sweeps, 4+5 ladder rounds).
+    * Deterministic (min is order-free, and every operator only lowers
+    * labels).
     *
     * Scale (100 TB): per round, two label-edge equi-joins with
     * partial-agg'd mins + one label self-join — label state is
@@ -302,10 +318,10 @@ object TextOps {
 
   /** The round-budget-parameterized form: production callers use the
     * [[MaxCcIters]] default above; tests pass a smaller budget to
-    * exercise the starLabels valve THROUGH this wiring (hop+hop+jump
-    * covers depth ~2^budget, so no realistic graph reaches the valve
-    * organically — by design, but the fallback branch still needs
-    * integration coverage).
+    * exercise the starLabels valve THROUGH this wiring (the escalated
+    * rounds cover depth ~2^budget past [[PlainCcSweeps]], so no
+    * realistic graph reaches the valve organically — by design, but
+    * the fallback branch still needs integration coverage).
     */
   private[graft] def clustersOf(pairList: DataFrame, maxIters: Int): DataFrame = {
     val pairs = pairList.select(col("a_id"), col("b_id"))
@@ -326,29 +342,31 @@ object TextOps {
           least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
           col("prev"))
     }
-    // pointer-jumping shortcut: lab ← lab(lab). Labels are always node
-    // ids with lab(x) ≤ x (init lab = id; hop takes least with the own
-    // label), so the inner self-join is total and the update monotone
-    // non-increasing. One hop + one jump per round HALVES the remaining
-    // pointer depth — O(diameter) plain sweeps become O(log diameter)
-    // rounds (round-14 verdict item 5: the semantic pair graph at
-    // sf0.1 took 18 plain hops; hop+jump converges in 5 rounds). A
-    // fixpoint of the composed operator is a hop-fixpoint (both ops
-    // only lower labels), i.e. exactly the component-minimum labeling —
-    // semantics unchanged, just fewer rounds.
-    def jump(ls: DataFrame): DataFrame =
-      ls.join(ls.select(col("id").as("lab"), col("lab").as("lab2")), Seq("lab"))
-        .select(col("id"), col("lab2").as("lab"), col("prev"))
     var sweep = 0
     var done = labels.isEmpty
     while (!done && sweep < maxIters) {
-      // checkpoint the double hop BEFORE jump: jump self-joins its
-      // input, and an un-checkpointed hop(hop(...)) plan would execute
-      // the two hop passes once per join side (round-15 ADVICE)
-      val hopped = hop(hop(
-          labels.select(col("id"), col("lab"), col("lab").as("prev"))))
-        .localCheckpoint()
-      val next = jump(hopped).localCheckpoint()
+      val start = labels.select(col("id"), col("lab"), col("lab").as("prev"))
+      val stepped =
+        if (sweep < PlainCcSweeps) hop(start)
+        else
+          // escalated round: two hops, then the pointer-jumping
+          // shortcut lab ← startLab(lab). Labels are always node ids
+          // with lab(x) ≤ x (init lab = id; hop takes least with the
+          // own label), so the lookup join is total and the update
+          // monotone non-increasing; the composition roughly DOUBLES
+          // the covered pointer depth per round. Dereferencing the
+          // round-START labels — already checkpointed — instead of the
+          // fresh hop output means no subplan is ever self-joined
+          // un-materialized (round-15 ADVICE: that re-executed both
+          // hop passes per join side) and the round needs ONE
+          // checkpoint, not two. A fixpoint of the composed operator
+          // is a hop-fixpoint (every operator only lowers labels),
+          // i.e. exactly the component-minimum labeling.
+          hop(hop(start))
+            .join(labels.select(col("id").as("lab"), col("lab").as("lab2")),
+              Seq("lab"))
+            .select(col("id"), col("lab2").as("lab"), col("prev"))
+      val next = stepped.localCheckpoint()
       done = next.filter(col("lab") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("lab"))
       sweep += 1
