@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Decade evidence for the two round-16 index-maintenance paths:
+  *
+  * 1. neardup epoch COMPACTION (x_neardup_compact's machinery) — a
+  *    standing index that has accumulated E arrival epochs pays
+  *    listing + census-merge over all E partitions on EVERY ingest
+  *    (O(history) recurring cost); after one fold, the same probe
+  *    ingest reads base only. Timed: probe-day ingest with E standing
+  *    epochs vs the identical ingest post-compaction, rows asserted
+  *    equal (the fold identity, end-to-end).
+  *
+  * 2. ANN index APPEND (x_ann_append's machinery) — absorbing a new
+  *    vector epoch with the EXISTING codebooks is one assignment map
+  *    over the delta; the alternative a build-only index forces is a
+  *    full retrain + re-assignment over base ∪ delta. Timed side by
+  *    side on the same delta.
+  *
+  * Usage: runMain graft.tools.ProfileMaintenance <decadeDir> [epochs]
+  */
+object ProfileMaintenance {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileMaintenance <dir> [epochs]")
+    val d = args(0)
+    val epochs = if (args.length > 1) args(1).toInt else 16
+    val spark = ToolSession.session()
+    import graft.ops.{Tables, TextOps, VectorOps}
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- 1. neardup compaction ----
+    val docs = Tables.documents(spark, d)
+    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // base = first half; E small epochs over the third quarter; the
+    // probe day = the last quarter, ingested twice (pre/post fold)
+    val mid = lo + (hi - lo) / 2
+    val probeFrom = lo + (hi - lo) * 3 / 4
+    val dir = Tables.scratchDir("maint_nd", d)
+    val (_, tBuild) = timed(TextOps.neardupIndexBuild(spark, d, dir, mid))
+    val step = math.max(1L, (probeFrom - mid) / epochs)
+    var accum = 0.0
+    for (k <- 1 to epochs) {
+      val from = mid + step * (k - 1)
+      val until = if (k == epochs) probeFrom else from + step
+      val (_, t) = timed(
+        TextOps.neardupEpochIngest(spark, d, dir, from, Some(until), k).count())
+      accum += t
+    }
+    val probeBid = epochs + 1
+    val (rowsPre, tPre) = timed(
+      TextOps.neardupEpochIngest(spark, d, dir, probeFrom, None, probeBid).count())
+    // drop the probe's own epoch before folding, then compact and
+    // re-run the identical probe against the folded base
+    Tables.rmrf(s"$dir/epochs/bid=$probeBid")
+    val (_, tCompact) = timed(TextOps.neardupCompact(spark, dir))
+    val (rowsPost, tPost) = timed(
+      TextOps.neardupEpochIngest(spark, d, dir, probeFrom, None, probeBid).count())
+    require(rowsPre == rowsPost,
+      s"compaction identity broken: $rowsPre pre vs $rowsPost post")
+    println(f"[maint] neardup dir=$d epochs=$epochs build=$tBuild%.1f " +
+      f"epoch_ingests_total=$accum%.1f probe_pre=$tPre%.2f " +
+      f"compact=$tCompact%.2f probe_post=$tPost%.2f rows=$rowsPre")
+
+    // ---- 2. ANN append vs rebuild ----
+    val emb = Tables.embeddings(spark, d)
+    val er = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    val emid = er.getLong(0) + (er.getLong(1) - er.getLong(0)) / 2
+    val base = emb.filter(col("vec_id").isNull || col("vec_id") <= emid)
+    val delta = emb.filter(col("vec_id") > emid)
+    val adir = Tables.scratchDir("maint_ann", d)
+    val (built, tAnnBuild) = timed(VectorOps.buildAnnIndexOf(spark, base, adir))
+    built match {
+      case None => println("[maint] ann: untrainable base, skipped")
+      case Some(p) =>
+        val (_, tAppend) = timed {
+          VectorOps.annIndexAppend(spark, delta, p)
+          // force the lazy append write to be comparable to the build
+          spark.read.parquet(s"$p/codes.parquet").count()
+        }
+        val rdir = Tables.scratchDir("maint_ann_rb", d)
+        val (_, tRebuild) = timed(VectorOps.buildAnnIndexOf(spark, emb, rdir))
+        println(f"[maint] ann dir=$d base_build=$tAnnBuild%.1f " +
+          f"append=$tAppend%.2f rebuild=$tRebuild%.1f " +
+          f"ratio=${tAppend / tRebuild}%.3f")
+    }
+    spark.stop()
+  }
+}
