@@ -155,12 +155,18 @@ object Tables {
     * generation 1 of its own tag forever — reaping needs ScratchLag
     * NEWER generations of the SAME prefix, which a memoized tag never
     * creates. Fixtures are immutable within a JVM, so staleness cannot
-    * arise; a failed build leaves no mapping (computeIfAbsent unwinds).
+    * arise; a failed build leaves no mapping (computeIfAbsent unwinds)
+    * AND no partial dir (the catch below rmrf's it before rethrowing —
+    * without that, the advanced generation counter would orphan the
+    * half-written artifact for the JVM's life, since the reaper only
+    * fires ScratchLag generations later and a memoized tag essentially
+    * never allocates more).
     */
   def memoDir(tag: String, d: String)(build: String => Unit): String =
     memoDirs.computeIfAbsent(s"${tag}_${sanitize(d)}", _ => {
       val dir = scratchDir(tag, d)
-      build(dir)
+      try build(dir)
+      catch { case e: Throwable => scala.util.Try(rmrf(dir)); throw e }
       dir
     })
 

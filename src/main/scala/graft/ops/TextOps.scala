@@ -792,8 +792,15 @@ object TextOps {
         scala.util.Try {
           val loc = spark.sessionState.catalog
             .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location
-          (loc.getScheme == null || loc.getScheme == "file") &&
-            !java.nio.file.Files.exists(java.nio.file.Paths.get(loc))
+          // Paths.get(URI) REQUIRES a scheme — a scheme-less location
+          // must go through its raw path, or the null arm is dead (the
+          // IllegalArgumentException would be swallowed by the Try and
+          // the dead entry would survive every sweep)
+          (loc.getScheme == null || loc.getScheme == "file") && {
+            val p = if (loc.getScheme == null) java.nio.file.Paths.get(loc.getPath)
+              else java.nio.file.Paths.get(loc)
+            !java.nio.file.Files.exists(p)
+          }
         }.toOption
           .filter(identity)
           .foreach(_ => spark.sql(s"DROP TABLE IF EXISTS $n"))

@@ -1085,7 +1085,14 @@ object StreamOps {
     }
     val counts = spark.read.parquet(s"$dir/counts.parquet")
     val heads = spark.read.parquet(s"$dir/heads.parquet")
-    val tot = counts.agg(coalesce(sum(col("n12")), lit(0L)).as("n_tot"))
+    // the model's total mass is ONE scalar of standing state — collect
+    // it once per drain (the s14 stop-list pattern); leaving it as an
+    // un-materialized agg would re-scan counts.parquet and rebuild the
+    // broadcast inside EVERY micro-batch plan, a per-trigger fixed
+    // cost of exactly the kind the s14 rework removed
+    val nTot = counts.agg(coalesce(sum(col("n12")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    val tot = Seq(nTot).toDF("n_tot")
     // score-on-arrival: only the post-epoch shards stream in
     val arriving = CorpusOps.bigramsOf(
       stagedFileStream(spark, d, "documents")

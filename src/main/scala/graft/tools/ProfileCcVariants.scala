@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ProfileCcVariants [dir]
   */
 object ProfileCcVariants {
-  def finish(labels: DataFrame): Long =
-    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
-      .orderBy(col("cluster_id"), col("doc_id")).count()
+  /** Row count + an order-free content checksum over (id, lab) — a
+    * count alone would pass any WRONG labeling of the right node set,
+    * making the cross-variant require() vacuous (round-16 review).
+    */
+  def finish(labels: DataFrame): (Long, Long) = {
+    val r = labels
+      .select(count(lit(1)).as("n"),
+        sum(xxhash64(col("id"), col("lab"))).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** V0: shipped form — hop+hop checkpointed, then jump, checkpointed. */
-  def v0(pairs: DataFrame): Long = finish(
+  def v0(pairs: DataFrame): (Long, Long) = finish(
     graft.ops.TextOps.clustersOf(pairs).select(
       col("doc_id").as("id"), col("cluster_id").as("lab")))
 
@@ -26,7 +34,7 @@ object ProfileCcVariants {
     * un-materialized. Depth still ~doubles per round (hop² gives d+2,
     * composing with the start labels' depth-d pointers gives ~2d+2).
     */
-  def v1(pairs: DataFrame): Long = {
+  def v1(pairs: DataFrame): (Long, Long) = {
     val p = pairs.select(col("a_id"), col("b_id"))
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
@@ -58,42 +66,10 @@ object ProfileCcVariants {
     finish(labels)
   }
 
-  /** V2: V1 + union-form hop (neighbor stream ∪ self-labels into ONE
-    * groupBy-min — 2 exchanges per hop instead of 3) with prev carried
-    * by a post-round join against the checkpointed start labels.
-    */
-  def v2(pairs: DataFrame): Long = {
-    val p = pairs.select(col("a_id"), col("b_id"))
-    val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint()
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).localCheckpoint()
-    def hop(ls: DataFrame): DataFrame =
-      edges.join(ls.select(col("id").as("b_id"), col("lab")), "b_id")
-        .select(col("a_id").as("id"), col("lab"))
-        .union(ls)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-    var sweep = 0
-    var done = labels.isEmpty
-    while (!done && sweep < 20) {
-      val start = labels
-      val next = hop(hop(start))
-        .join(start.select(col("id").as("lab"), col("lab").as("lab2")), Seq("lab"))
-        .select(col("id"), col("lab2").as("lab"))
-        .localCheckpoint()
-      done = next.join(start.withColumnRenamed("lab", "prev"), Seq("id"))
-        .filter(col("lab") =!= col("prev")).isEmpty
-      labels = next
-      sweep += 1
-    }
-    println(s"[ccv] v2 rounds=$sweep")
-    finish(labels)
-  }
-
   /** V3: the round-14 plain one-hop sweep (the same-box control's code
     * path), for the floor.
     */
-  def v3(pairs: DataFrame): Long = {
+  def v3(pairs: DataFrame): (Long, Long) = {
     val p = pairs.select(col("a_id"), col("b_id"))
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
@@ -123,7 +99,7 @@ object ProfileCcVariants {
     * while the graph converges fast, hop²+lookup-jump rounds (depth
     * doubling) once it hasn't, starLabels past the total budget.
     */
-  def v4(pairs: DataFrame): Long = {
+  def v4(pairs: DataFrame): (Long, Long) = {
     val p = pairs.select(col("a_id"), col("b_id"))
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
@@ -159,7 +135,7 @@ object ProfileCcVariants {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = ToolSession.session()
-    val variants: Seq[(String, DataFrame => Long)] =
+    val variants: Seq[(String, DataFrame => (Long, Long))] =
       Seq("v0" -> v0 _, "v1" -> v1 _, "v3" -> v3 _, "v4" -> v4 _)
     val sources: Seq[(String, DataFrame)] = Seq(
       "c2" -> graft.ops.TextOps.c2_dedupJaccard(spark, d).localCheckpoint(),
@@ -167,14 +143,14 @@ object ProfileCcVariants {
         .select(col("a_id"), col("b_id")).localCheckpoint())
     for ((src, pairs) <- sources) {
       println(s"[ccv] src=$src pairs=${pairs.count()}")
-      // expected cluster rows, for a correctness cross-check across variants
-      var expect = -1L
+      // expected (rows, content hash), cross-checked across variants
+      var expect: Option[(Long, Long)] = None
       for (rep <- 1 to 5; (tag, f) <- variants) {
         val t0 = System.nanoTime()
-        val n = f(pairs)
-        if (expect < 0) expect = n
-        require(n == expect, s"$tag rows=$n != $expect")
-        println(f"[ccv] rep=$rep $src/$tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        val nh = f(pairs)
+        if (expect.isEmpty) expect = Some(nh)
+        require(expect.contains(nh), s"$tag $nh != ${expect.get}")
+        println(f"[ccv] rep=$rep $src/$tag rows=${nh._1} sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
     }
     spark.stop()

@@ -37,6 +37,7 @@ object ProfileMaintenance {
     // ---- 1. neardup compaction ----
     val docs = Tables.documents(spark, d)
     val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    if (r.isNullAt(0)) { println("[maint] empty documents table, nothing to profile"); spark.stop(); return }
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     // base = first half; E small epochs over the third quarter; the
     // probe day = the last quarter, ingested twice (pre/post fold)
@@ -71,6 +72,7 @@ object ProfileMaintenance {
     // ---- 2. ANN append vs rebuild ----
     val emb = Tables.embeddings(spark, d)
     val er = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (er.isNullAt(0)) { println("[maint] empty embeddings table, ann section skipped"); spark.stop(); return }
     val emid = er.getLong(0) + (er.getLong(1) - er.getLong(0)) / 2
     val base = emb.filter(col("vec_id").isNull || col("vec_id") <= emid)
     val delta = emb.filter(col("vec_id") > emid)
@@ -79,11 +81,11 @@ object ProfileMaintenance {
     built match {
       case None => println("[maint] ann: untrainable base, skipped")
       case Some(p) =>
-        val (_, tAppend) = timed {
-          VectorOps.annIndexAppend(spark, delta, p)
-          // force the lazy append write to be comparable to the build
-          spark.read.parquet(s"$p/codes.parquet").count()
-        }
+        // the append write is EAGER (parquet save is an action) — no
+        // read-back needed, and counting the grown table here would
+        // charge an O(base) scan to the append side only, inflating
+        // the headline ratio against it (round-16 review)
+        val (_, tAppend) = timed(VectorOps.annIndexAppend(spark, delta, p))
         val rdir = Tables.scratchDir("maint_ann_rb", d)
         val (_, tRebuild) = timed(VectorOps.buildAnnIndexOf(spark, emb, rdir))
         println(f"[maint] ann dir=$d base_build=$tAnnBuild%.1f " +

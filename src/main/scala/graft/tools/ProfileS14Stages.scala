@@ -70,6 +70,15 @@ object ProfileS14Stages {
         Option(e.progress.durationMs.get("triggerExecution")).foreach(d => durs.add(d.toLong))
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
+    // materialize the memoized standing index BEFORE the counted run:
+    // the first s14 invocation in a fresh JVM triggers the per-dataset
+    // index build inside Tables.memoDir, and counting that here would
+    // attribute build cost to the arrival path — the exact
+    // double-counting the memoization exists to remove (round-16
+    // review). The warm-up drain also absorbs first-use JIT, making
+    // "full" comparable to the floor/write drains that ran before it.
+    graft.streaming.StreamOps.s14_streamNeardup(spark, d).count()
+    durs.clear()
     counted("full") { ToolSession.timed(
       graft.streaming.StreamOps.s14_streamNeardup(spark, d).count())._2 }
     Thread.sleep(2000) // listener events are async

@@ -404,12 +404,14 @@ class WinnowLangSpec extends SparkSpec {
     // layout assertions on B: epochs are gone, the compacted base holds
     // exactly base ∪ (day-1, day-2) epochs, and the stored census is
     // the recount of the compacted postings
-    assert(!java.nio.file.Files.isDirectory(
+    val epochsOk = !java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(s"$dirB/epochs")) ||
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dirB/epochs"))
-        .filter(p => p.getFileName.toString.startsWith("bid="))
-        .allMatch(p => p.getFileName.toString == s"bid=${TextOps.LifecycleDays}"),
-      "compaction must drop the folded epoch partitions")
+      scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(s"$dirB/epochs"))) {
+        _.filter(p => p.getFileName.toString.startsWith("bid="))
+          .allMatch(p => p.getFileName.toString == s"bid=${TextOps.LifecycleDays}")
+      }
+    assert(epochsOk, "compaction must drop the folded epoch partitions")
     val postingsB = spark.read.parquet(s"$dirB/postings.parquet")
       .select(col("doc_id"), col("fp"))
     val expected = spark.read.parquet(s"$dirA/postings.parquet")
