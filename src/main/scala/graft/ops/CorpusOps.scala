@@ -587,6 +587,66 @@ object CorpusOps {
     lmHeldoutScoreOf(scored, counts, heads, tot).orderBy(col("doc_id"))
   }
 
+  /** The LM-update fold: the standing artifact's (w1,w2)→n12 census
+    * full_outer-summed with the DELTA epoch's census. Bigram counts
+    * are ADDITIVE over any row partition of the corpus, so
+    * fold(train(base), census(delta)) ≡ train(base ∪ delta) exactly —
+    * the identity that lets the update path carry the full-retrain
+    * oracle verbatim. Split out so tests can pin its plan (one delta
+    * scan + one artifact scan, never the base documents) and the
+    * additivity against an independent retrain.
+    */
+  private[graft] def lmUpdateCounts(base: DataFrame, delta: DataFrame): DataFrame =
+    base.join(
+        delta.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12d")),
+        Seq("w1", "w2"), "full_outer")
+      .select(col("w1"), col("w2"),
+        (coalesce(col("n12"), lit(0L)) + coalesce(col("n12d"), lit(0L))).as("n12"))
+
+  /** x_lm_update: the LM lifecycle's UPDATE path — the missing rung
+    * that the posting index (neardupIndexAppend) and the vector index
+    * (x_ann_append) already have: the standing bigram LM was trained
+    * on a PAST epoch and persisted ([[LmTrainSource]], the artifact
+    * s16/s17 consume); when a new epoch arrives, production does NOT
+    * re-scan the lake — it censuses the DELTA alone and folds the
+    * counts into the standing table ([[lmUpdateCounts]]), then
+    * persists the fold as the next LM generation. Registered as
+    * train-base → fold-delta → persist → score the corpus through the
+    * UPDATED artifact, which by count additivity is byte-equal to
+    * c35's retrain-from-scratch scoring — so the whole update cycle
+    * carries c35's DuckDB oracle VERBATIM and is driver-hash-checked.
+    *
+    * Scale (100 TB): the daily cost is one scan of the DELTA (its
+    * bigram reduce is map-side combinable) + a vocabulary-sized
+    * full_outer merge + a vocabulary-sized artifact write — never a
+    * corpus re-scan; heads re-derive from the merged table (they are
+    * not independently foldable state one would ship). The same drift
+    * caveat as every append path: the VOCABULARY only grows, so a
+    * production cadence interleaves folds with occasional pruning
+    * (min-count cut) exactly as the posting index interleaves ingest
+    * with compaction.
+    */
+  def x_lmUpdate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val dir = Tables.scratchDir("lm_update", d)
+    // the standing artifact: trained on the base epoch, persisted
+    bigramsOf(docs.filter(col("source") === LmTrainSource))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .write.mode("overwrite").parquet(s"$dir/counts.parquet")
+    // the fold: delta census ⊕ standing table → the NEXT generation,
+    // persisted (what production ships to s16/s17-style consumers)
+    lmUpdateCounts(
+        spark.read.parquet(s"$dir/counts.parquet"),
+        bigramsOf(docs.filter(!(col("source") <=> lit(LmTrainSource)))))
+      .write.mode("overwrite").parquet(s"$dir/counts_v2.parquet")
+    // score through the UPDATED artifact — c35's exact tail; the
+    // checkpoint keeps the final plan at c35's census (one documents
+    // scan; the artifact becomes driver-free RDD state)
+    val counts = spark.read.parquet(s"$dir/counts_v2.parquet").localCheckpoint()
+    val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    lmScoreOf(bigramsOf(docs), counts, heads).orderBy(col("doc_id"))
+  }
+
   /** Rows published by c22's coverage report. */
   val VocabTopK = 100L
 
@@ -788,23 +848,10 @@ object CorpusOps {
     // c35: the same bigram/head censuses as c20 (no min-count cut —
     // scoring wants the true counts), binary-length surprise, exact
     // rational mean
-    "c35_lm_score" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bi AS (
-         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-         |  FROM toks, unnest(range(1, len(t))) r(i)),
-         |c AS (SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY 1, 2),
-         |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
-         |s AS (SELECT bi.doc_id,
-         |        CAST(length(bin(h.n1)) - length(bin(c.n12)) AS BIGINT) AS s
-         |      FROM bi JOIN c USING (w1, w2) JOIN h USING (w1)),
-         |a AS (SELECT doc_id, COUNT(*) AS n_bi, CAST(SUM(s) AS BIGINT) AS bits_sum
-         |      FROM s GROUP BY doc_id)
-         |SELECT doc_id, n_bi, bits_sum,
-         |  CAST(bits_sum * 1000000 // n_bi AS BIGINT) AS avg_bits_e6
-         |FROM a ORDER BY doc_id""".stripMargin,
+    "c35_lm_score" -> C35Sql,
+    // x_lm_update: fold-then-score ≡ retrain-then-score (census
+    // additivity), so the update path carries c35's oracle VERBATIM
+    "x_lm_update" -> C35Sql,
     // x_lm_heldout: standing-shard LM, every other doc scored via left
     // join; unseen transition costs length(bin(n_tot)) — see
     // lmHeldoutScoreOf / LmTrainSource
@@ -859,6 +906,26 @@ object CorpusOps {
     "c16_corpus_pipeline" -> C16Sql,
     "x_corpus_from_clusters" -> C16Sql,
   )
+
+  // c35's DuckDB twin — shared by c35, its streaming twin s16, and the
+  // LM-update path x_lm_update (one string, no drift)
+  private[graft] lazy val C35Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+       |  WHERE len(str_split(text, ' ')) >= 2),
+       |bi AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) r(i)),
+       |c AS (SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY 1, 2),
+       |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
+       |s AS (SELECT bi.doc_id,
+       |        CAST(length(bin(h.n1)) - length(bin(c.n12)) AS BIGINT) AS s
+       |      FROM bi JOIN c USING (w1, w2) JOIN h USING (w1)),
+       |a AS (SELECT doc_id, COUNT(*) AS n_bi, CAST(SUM(s) AS BIGINT) AS bits_sum
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_bi, bits_sum,
+       |  CAST(bits_sum * 1000000 // n_bi AS BIGINT) AS avg_bits_e6
+       |FROM a ORDER BY doc_id""".stripMargin
 
   // the held-out scorer's DuckDB twin — shared by x_lm_heldout and its
   // streaming twin s17 (one string, no drift)
@@ -983,6 +1050,7 @@ object CorpusOps {
     "c20_bigram_stats"    -> c20_bigramStats _,
     "c35_lm_score"        -> c35_lmScore _,
     "x_lm_heldout"        -> x_lmHeldout _,
+    "x_lm_update"         -> x_lmUpdate _,
     "c22_vocab_coverage"  -> c22_vocabCoverage _,
     "c33_rarity_score"    -> c33_rarityScore _,
     "x_select_by_rarity"  -> x_selectByRarity _,

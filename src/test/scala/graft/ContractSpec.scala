@@ -91,15 +91,17 @@ class ContractSpec extends AnyFunSuite {
       // x_lm_heldout's twin — per-row vs the standing LM tables)
       "s17_stream_lm_heldout" -> "x_lm_heldout",
       // compact-mid-lifecycle ≡ the lifecycle (the compaction identity)
-      "x_neardup_compact" -> "x_neardup_lifecycle")
+      "x_neardup_compact" -> "x_neardup_lifecycle",
+      // fold-then-score ≡ retrain-then-score (bigram-census additivity)
+      "x_lm_update" -> "c35_lm_score")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 129 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 129)
-    assert(SparkEntry.oracleSql.size === 113)
+  test("the inventory holds all 130 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 130)
+    assert(SparkEntry.oracleSql.size === 114)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -307,6 +307,55 @@ class NewOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 1L, 333333L), (2L, 2L, 1L, 500000L)))
   }
 
+  test("x_lm_update: the fold equals an independent retrain on all three census arms") {
+    // base shard: "a b a b"  → base counts (a,b)=2, (b,a)=1
+    // delta shard: "b a c"   → delta counts (b,a)=1, (a,c)=1
+    // arms: (a,b) base-only, (a,c) delta-only, (b,a) in both (1+1)
+    val d = s"${graft.ops.Tables.scratch}/lmupd_model"
+    graft.ops.Tables.rmrf(d)
+    Seq((1L, "a b a b", "en", "src0", 7L), (2L, "b a c", "en", "src1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val docs = graft.ops.Tables.documents(spark, d)
+    val base = CorpusOps.bigramsOf(docs.filter(col("source") === "src0"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val folded = CorpusOps.lmUpdateCounts(base,
+        CorpusOps.bigramsOf(docs.filter(col("source") =!= "src0")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(folded === Set(("a", "b", 2L), ("b", "a", 2L), ("a", "c", 1L)))
+    // ≡ the independent retrain over the whole corpus
+    val retrain = CorpusOps.bigramsOf(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(folded === retrain, "fold must equal retrain (census additivity)")
+  }
+
+  test("x_lm_update ≡ c35 row-for-row (the update cycle carries the retrain oracle)") {
+    val viaUpdate = CorpusOps.x_lmUpdate(spark, sf0001).collect().map(_.toSeq).toSeq
+    val retrain = CorpusOps.c35_lmScore(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(viaUpdate.nonEmpty)
+    assert(viaUpdate === retrain,
+      "scoring through the folded artifact must be byte-equal to the retrain")
+  }
+
+  test("x_lm_update: the fold plan scans the delta and the artifact, never base documents") {
+    val d = sf0001
+    val docs = graft.ops.Tables.documents(spark, d)
+    val dir = graft.ops.Tables.scratchDir("lmupd_plan", d)
+    CorpusOps.bigramsOf(docs.filter(col("source") === CorpusOps.LmTrainSource))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .write.mode("overwrite").parquet(s"$dir/counts.parquet")
+    val fold = CorpusOps.lmUpdateCounts(
+      spark.read.parquet(s"$dir/counts.parquet"),
+      CorpusOps.bigramsOf(
+        docs.filter(!(col("source") <=> lit(CorpusOps.LmTrainSource)))))
+    val c = graft.tools.ScanAudit.census(fold)
+    // exactly one documents scan (the delta side) + one artifact scan —
+    // the update never re-reads the base epoch's text
+    assert(c.scans === 2, s"fold census: $c")
+    assert(c.tables.getOrElse("documents", 0) === 1, s"fold census: $c")
+  }
+
   test("clustersOf converges on a high-diameter chain — correct labels, no partial propagation") {
     // a 25-link chain needed the alternating-star fallback when sweeps
     // propagated one hop each; the round-15 hop+hop+jump rounds cover

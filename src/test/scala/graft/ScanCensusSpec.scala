@@ -250,6 +250,10 @@ class ScanCensusSpec extends SparkSpec {
     // x_lm_heldout: one scored-shard scan; the train-shard reduce is
     // checkpointed LM state (the c35 localCheckpoint idiom)
     "x_lm_heldout" -> ((1, 0)),
+    // x_lm_update: the train/fold/persist stages ran as earlier jobs;
+    // the returned scoring plan is c35's shape — one documents scan,
+    // the updated artifact checkpointed to RDD state
+    "x_lm_update" -> ((1, 0)),
     // x_neardup_lifecycle: the final plan unions the three days'
     // materialized audits — one scan each; ingest/append ran earlier
     "x_neardup_lifecycle" -> ((3, 0)),
