@@ -16,9 +16,11 @@ object ProfileCcVariants {
     * making the cross-variant require() vacuous (round-16 review).
     */
   def finish(labels: DataFrame): (Long, Long) = {
+    // bit_xor, not sum: summing uniform 64-bit hashes overflows under
+    // ANSI; XOR is order-free, and (id, lab) rows are unique per id
     val r = labels
       .select(count(lit(1)).as("n"),
-        sum(xxhash64(col("id"), col("lab"))).as("h"))
+        expr("bit_xor(xxhash64(id, lab))").as("h"))
       .head()
     (r.getLong(0), r.getLong(1))
   }

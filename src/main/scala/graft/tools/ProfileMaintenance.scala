@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *    full retrain + re-assignment over base ∪ delta. Timed side by
   *    side on the same delta.
   *
+  * 3. LM UPDATE fold (x_lm_update's machinery) — folding the delta's
+  *    bigram census into the standing counts table vs retraining the
+  *    LM over the whole corpus, result-identical by additivity
+  *    (asserted via a content hash).
+  *
   * Usage: runMain graft.tools.ProfileMaintenance <decadeDir> [epochs]
   */
 object ProfileMaintenance {
@@ -92,6 +97,45 @@ object ProfileMaintenance {
           f"append=$tAppend%.2f rebuild=$tRebuild%.1f " +
           f"ratio=${tAppend / tRebuild}%.3f")
     }
+
+    // ---- 3. LM fold vs retrain ----
+    // the production shape: a standing LM over ~97% of the corpus, one
+    // arriving day (~3%, the 1/32 tail — the s14 batch-size analog).
+    // Both sides PERSIST their result (production ships the artifact
+    // either way), so the comparison is write-symmetric.
+    import graft.ops.CorpusOps
+    def censusHash(c: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // bit_xor, not sum: summing uniform 64-bit hashes overflows under
+      // ANSI; XOR is order-free and closed, and census rows are unique
+      // per (w1, w2) so no pair can cancel
+      val h = c.select(count(lit(1)),
+        expr("bit_xor(xxhash64(w1, w2, n12))")).head()
+      (h.getLong(0), h.getLong(1))
+    }
+    val dayFrom = lo + (hi - lo) * 31 / 32
+    val ldir = Tables.scratchDir("maint_lm", d)
+    val (_, tLmBase) = timed {
+      CorpusOps.bigramsOf(docs.filter(col("doc_id") <= dayFrom))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+        .write.mode("overwrite").parquet(s"$ldir/counts.parquet")
+    }
+    val (_, tFold) = timed {
+      CorpusOps.lmUpdateCounts(
+          spark.read.parquet(s"$ldir/counts.parquet"),
+          CorpusOps.bigramsOf(docs.filter(col("doc_id") > dayFrom)))
+        .write.mode("overwrite").parquet(s"$ldir/counts_v2.parquet")
+    }
+    val (_, tRetrain) = timed {
+      CorpusOps.bigramsOf(docs)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+        .write.mode("overwrite").parquet(s"$ldir/counts_rt.parquet")
+    }
+    val foldHash = censusHash(spark.read.parquet(s"$ldir/counts_v2.parquet"))
+    val retrainHash = censusHash(spark.read.parquet(s"$ldir/counts_rt.parquet"))
+    require(foldHash == retrainHash,
+      s"LM additivity broken: $foldHash vs $retrainHash")
+    println(f"[maint] lm dir=$d base_train=$tLmBase%.2f fold=$tFold%.2f " +
+      f"retrain=$tRetrain%.2f ratio=${tFold / tRetrain}%.3f rows=${foldHash._1}")
     spark.stop()
   }
 }
