@@ -1071,18 +1071,25 @@ object StreamOps {
     * state. The LM is memoized per dataset ([[Tables.memoDir]]) — in
     * production it is the artifact a past training run shipped.
     */
-  def s17_streamLmHeldout(spark: SparkSession, d: String): DataFrame = {
-    import graft.ops.CorpusOps
-    val (out, chk) = sinkDirs("s17", d)
-    val dir = Tables.memoDir("s17_lm", d) { p =>
-      CorpusOps.bigramsOf(Tables.documents(spark, d)
-          .filter(col("source") === CorpusOps.LmTrainSource))
+  /** The standing train-shard LM artifact (counts + heads parquet),
+    * memoized per dataset — the model a PAST training run shipped.
+    * Consumed by s17 (held-out scoring) and s18 (the fold's base).
+    */
+  private def standingLmDir(spark: SparkSession, d: String): String =
+    Tables.memoDir("s17_lm", d) { p =>
+      graft.ops.CorpusOps.bigramsOf(Tables.documents(spark, d)
+          .filter(col("source") === graft.ops.CorpusOps.LmTrainSource))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
         .write.mode("overwrite").parquet(s"$p/counts.parquet")
       spark.read.parquet(s"$p/counts.parquet")
         .groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
         .write.mode("overwrite").parquet(s"$p/heads.parquet")
     }
+
+  def s17_streamLmHeldout(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.CorpusOps
+    val (out, chk) = sinkDirs("s17", d)
+    val dir = standingLmDir(spark, d)
     val counts = spark.read.parquet(s"$dir/counts.parquet")
     val heads = spark.read.parquet(s"$dir/heads.parquet")
     // the model's total mass is ONE scalar of standing state — collect
@@ -1111,6 +1118,64 @@ object StreamOps {
       "doc_id BIGINT, n_bi BIGINT, n_oov BIGINT, bits_sum BIGINT, avg_bits_e6 BIGINT")
     readSink(spark, out, schema)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** s18: the LM UPDATE fold on arrival — x_lm_update's streaming twin
+    * and the arrival ladder's maintenance rung (build s15, audit s14,
+    * score s16/s17, now FOLD s18): the standing LM was trained on a
+    * past epoch; as new epochs arrive, each micro-batch's bigram
+    * census lands in its own `epochs/bid=N` overwrite partition (the
+    * s14 replay-idempotence convention — a replayed batch rewrites
+    * exactly its own partial), and the current LM at any point is
+    * `base ⊕ Σ epochs`. Census ADDITIVITY is the tiling lemma here:
+    * however the file source cuts the arriving shards into batches,
+    * the folded counts equal the one-shot retrain's EXACTLY — so
+    * scoring the corpus through the post-drain LM is byte-equal to
+    * c35 and s18 carries c35's DuckDB oracle VERBATIM
+    * (driver-hash-checked; StreamingSpec pins a forced multi-batch
+    * arrival row-for-row).
+    *
+    * Scale (100 TB): per batch, a map + one map-side-combinable reduce
+    * over the DELTA — the stream holds NO state and never re-reads the
+    * base corpus or the standing artifact; the consume-time merge
+    * aggregates vocabulary-sized partials. Epoch partials accumulate
+    * like s14's posting epochs and fold away on the same maintenance
+    * cadence (compact partials into the base artifact every K epochs —
+    * x_lm_update's fold IS that compaction).
+    */
+  def s18_streamLmUpdate(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.CorpusOps
+    val (_, chk, base) = sinkDirsWithBase("s18", d)
+    val epochs = s"$base/epochs"
+    val lmDir = standingLmDir(spark, d)
+    // arrival: the post-epoch shards, bigram-exploded IN the stream plan
+    val arriving = CorpusOps.bigramsOf(
+      stagedFileStream(spark, d, "documents")
+        .filter(!(col("source") <=> lit(CorpusOps.LmTrainSource))))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed census partial, overwrite ⇒ replay-idempotent
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+          .write.mode("overwrite").parquet(s"$epochs/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    // the post-drain LM: base artifact ⊕ arrived partials (additivity);
+    // the checkpoint keeps the scoring plan at c35's census shape
+    val baseCounts = spark.read.parquet(s"$lmDir/counts.parquet")
+    val merged =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(epochs)))
+        baseCounts.unionByName(
+          spark.read.parquet(epochs).select(col("w1"), col("w2"), col("n12")))
+      else baseCounts // nothing arrived: the standing LM is current
+    val counts = merged.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n12")).as("n12")).localCheckpoint()
+    val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    CorpusOps.lmScoreOf(
+        CorpusOps.bigramsOf(Tables.documents(spark, d)), counts, heads)
       .orderBy(col("doc_id"))
   }
 
@@ -1166,6 +1231,8 @@ object StreamOps {
     // held-out score-on-arrival ≡ batch (per-row vs standing tables):
     // x_lm_heldout's oracle verbatim
     "s17_stream_lm_heldout" -> graft.ops.CorpusOps.oracles("x_lm_heldout"),
+    // fold-on-arrival ≡ retrain (census additivity): c35's oracle verbatim
+    "s18_stream_lm_update" -> graft.ops.CorpusOps.oracles("c35_lm_score"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1233,5 +1300,6 @@ object StreamOps {
     "s15_stream_fingerprint" -> s15_streamFingerprint _,
     "s16_stream_lm_score" -> s16_streamLmScore _,
     "s17_stream_lm_heldout" -> s17_streamLmHeldout _,
+    "s18_stream_lm_update"  -> s18_streamLmUpdate _,
   )
 }

@@ -93,15 +93,17 @@ class ContractSpec extends AnyFunSuite {
       // compact-mid-lifecycle ≡ the lifecycle (the compaction identity)
       "x_neardup_compact" -> "x_neardup_lifecycle",
       // fold-then-score ≡ retrain-then-score (bigram-census additivity)
-      "x_lm_update" -> "c35_lm_score")
+      "x_lm_update" -> "c35_lm_score",
+      // fold-on-arrival ≡ retrain, however batches tile (additivity)
+      "s18_stream_lm_update" -> "c35_lm_score")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 130 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 130)
-    assert(SparkEntry.oracleSql.size === 114)
+  test("the inventory holds all 131 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 131)
+    assert(SparkEntry.oracleSql.size === 115)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

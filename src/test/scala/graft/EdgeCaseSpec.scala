@@ -90,7 +90,7 @@ class EdgeCaseSpec extends SparkSpec {
     "s9_stream_lang_id", "s10_stream_contamination",
     "s11_stream_quality_gate", "s12_stream_pii", "s13_stream_funnel",
     "s14_stream_neardup", "s15_stream_fingerprint", "s16_stream_lm_score",
-    "s17_stream_lm_heldout")
+    "s17_stream_lm_heldout", "s18_stream_lm_update")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

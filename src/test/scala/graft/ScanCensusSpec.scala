@@ -247,6 +247,9 @@ class ScanCensusSpec extends SparkSpec {
     "s15_stream_fingerprint" -> ((1, 0)),
     "s16_stream_lm_score" -> ((1, 0)),
     "s17_stream_lm_heldout" -> ((1, 0)),
+    // s18: per-batch census partials ran inside the drain; the returned
+    // scoring plan is c35's shape (merged LM checkpointed to RDD state)
+    "s18_stream_lm_update" -> ((1, 0)),
     // x_lm_heldout: one scored-shard scan; the train-shard reduce is
     // checkpointed LM state (the c35 localCheckpoint idiom)
     "x_lm_heldout" -> ((1, 0)),

@@ -434,6 +434,32 @@ class StreamingSpec extends SparkSpec {
       "streamed LM scores must equal the batch query exactly")
   }
 
+  test("s18 semantics: the fold-on-arrival LM scores ≡ the batch c35, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s18_streamLmUpdate(spark, sf0001).collect()
+    val batch = graft.ops.CorpusOps.c35_lmScore(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "the folded LM must score identically to the retrain (additivity)")
+  }
+
+  test("s18 tiling: a multi-file arrival folds partials that still equal the retrain") {
+    // several part files → several micro-batches → several census
+    // partials; base ⊕ Σ partials must equal the one-shot censuses
+    // EXACTLY (additivity over any batch tiling), so the scores match
+    // c35 over the same corpus
+    val dir = s"${graft.ops.Tables.scratch}/s18_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.documents(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamOps.s18_streamLmUpdate(spark, dir).collect()
+    val oneShot = graft.ops.CorpusOps.c35_lmScore(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === oneShot.toSeq,
+      "multi-batch census partials must fold to the one-shot LM exactly")
+  }
+
   test("s17 semantics: streamed held-out scoring ≡ the batch x_lm_heldout, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s17_streamLmHeldout(spark, sf0001).collect()
