@@ -489,6 +489,15 @@ object CorpusOps {
           "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
+  /** The (w1, w2) → n12 census over a document set — the LM's training
+    * reduce, ONE definition for every trainer/fold site (c35,
+    * x_lm_heldout, x_lm_update, the streaming standing-LM build, the
+    * maintenance profiler): a column rename applied to one copy but
+    * not another would silently break the fold ≡ retrain identities.
+    */
+  private[graft] def bigramCensusOf(docs: DataFrame): DataFrame =
+    bigramsOf(docs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+
   /** The binary-length-surprise scoring tail over ANY (doc_id, w1, w2)
     * stream + the two LM censuses — shared verbatim by c35 and s16's
     * per-batch scorer. Unordered: each caller appends its own
@@ -578,9 +587,8 @@ object CorpusOps {
     */
   def x_lmHeldout(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val train = bigramsOf(docs.filter(col("source") === LmTrainSource))
     val scored = bigramsOf(docs.filter(!(col("source") <=> lit(LmTrainSource))))
-    val counts = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val counts = bigramCensusOf(docs.filter(col("source") === LmTrainSource))
       .localCheckpoint()
     val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     val tot = counts.agg(coalesce(sum(col("n12")), lit(0L)).as("n_tot"))
@@ -630,8 +638,7 @@ object CorpusOps {
     val docs = Tables.documents(spark, d)
     val dir = Tables.scratchDir("lm_update", d)
     // the standing artifact: trained on the base epoch, persisted
-    bigramsOf(docs.filter(col("source") === LmTrainSource))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    bigramCensusOf(docs.filter(col("source") === LmTrainSource))
       .write.mode("overwrite").parquet(s"$dir/counts.parquet")
     // the fold: delta census ⊕ standing table → the NEXT generation,
     // persisted (what production ships to s16/s17-style consumers)

@@ -1077,9 +1077,8 @@ object StreamOps {
     */
   private def standingLmDir(spark: SparkSession, d: String): String =
     Tables.memoDir("s17_lm", d) { p =>
-      graft.ops.CorpusOps.bigramsOf(Tables.documents(spark, d)
+      graft.ops.CorpusOps.bigramCensusOf(Tables.documents(spark, d)
           .filter(col("source") === graft.ops.CorpusOps.LmTrainSource))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
         .write.mode("overwrite").parquet(s"$p/counts.parquet")
       spark.read.parquet(s"$p/counts.parquet")
         .groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
@@ -1149,9 +1148,14 @@ object StreamOps {
     val (_, chk, base) = sinkDirsWithBase("s18", d)
     val epochs = s"$base/epochs"
     val lmDir = standingLmDir(spark, d)
-    // arrival: the post-epoch shards, bigram-exploded IN the stream plan
+    // arrival: the post-epoch shards, bigram-exploded IN the stream
+    // plan; maxFilesPerTrigger=1 makes a multi-file corpus arrive
+    // file-by-file (the s14 convention) so the per-batch census fold
+    // and the bid=N replay layout are exercised for real — without it
+    // AvailableNow would swallow every file into one batch and the
+    // multi-partial merge would never run under test
     val arriving = CorpusOps.bigramsOf(
-      stagedFileStream(spark, d, "documents")
+      stagedFileStream(spark, d, "documents", maxFilesPerTrigger = Some(1))
         .filter(!(col("source") <=> lit(CorpusOps.LmTrainSource))))
     val q = arriving.writeStream
       .trigger(Trigger.AvailableNow())
@@ -1164,13 +1168,17 @@ object StreamOps {
       .start()
     q.awaitTermination()
     // the post-drain LM: base artifact ⊕ arrived partials (additivity);
-    // the checkpoint keeps the scoring plan at c35's census shape
-    val baseCounts = spark.read.parquet(s"$lmDir/counts.parquet")
-    val merged =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(epochs)))
-        baseCounts.unionByName(
-          spark.read.parquet(epochs).select(col("w1"), col("w2"), col("n12")))
-      else baseCounts // nothing arrived: the standing LM is current
+    // the checkpoint keeps the scoring plan at c35's census shape.
+    // readSink handles the nothing-arrived case (no epochs dir) and
+    // reads the partials with the WRITER's schema — inference cannot
+    // read a zero-data-file commit (the s1 sink convention)
+    val partialSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "w1 STRING, w2 STRING, n12 BIGINT")
+    val merged = spark.read.parquet(s"$lmDir/counts.parquet")
+      .unionByName(readSink(spark, epochs, partialSchema)
+        // project off the discovered bid partition column (the same
+        // post-readSink projection every sink consumer does)
+        .select(partialSchema.fieldNames.map(col).toIndexedSeq: _*))
     val counts = merged.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n12")).as("n12")).localCheckpoint()
     val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Decade evidence for the two round-16 index-maintenance paths:
+/** Decade evidence for the round-16 index-maintenance paths:
   *
   * 1. neardup epoch COMPACTION (x_neardup_compact's machinery) — a
   *    standing index that has accumulated E arrival epochs pays
@@ -75,27 +75,33 @@ object ProfileMaintenance {
       f"compact=$tCompact%.2f probe_post=$tPost%.2f rows=$rowsPre")
 
     // ---- 2. ANN append vs rebuild ----
+    // skipped (not returned from) when embeddings are empty: the LM
+    // section below needs only documents, and a documents-only dataset
+    // must still get it (round-16 review — a `return` here silently
+    // unreached section 3)
     val emb = Tables.embeddings(spark, d)
     val er = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
-    if (er.isNullAt(0)) { println("[maint] empty embeddings table, ann section skipped"); spark.stop(); return }
-    val emid = er.getLong(0) + (er.getLong(1) - er.getLong(0)) / 2
-    val base = emb.filter(col("vec_id").isNull || col("vec_id") <= emid)
-    val delta = emb.filter(col("vec_id") > emid)
-    val adir = Tables.scratchDir("maint_ann", d)
-    val (built, tAnnBuild) = timed(VectorOps.buildAnnIndexOf(spark, base, adir))
-    built match {
-      case None => println("[maint] ann: untrainable base, skipped")
-      case Some(p) =>
-        // the append write is EAGER (parquet save is an action) — no
-        // read-back needed, and counting the grown table here would
-        // charge an O(base) scan to the append side only, inflating
-        // the headline ratio against it (round-16 review)
-        val (_, tAppend) = timed(VectorOps.annIndexAppend(spark, delta, p))
-        val rdir = Tables.scratchDir("maint_ann_rb", d)
-        val (_, tRebuild) = timed(VectorOps.buildAnnIndexOf(spark, emb, rdir))
-        println(f"[maint] ann dir=$d base_build=$tAnnBuild%.1f " +
-          f"append=$tAppend%.2f rebuild=$tRebuild%.1f " +
-          f"ratio=${tAppend / tRebuild}%.3f")
+    if (er.isNullAt(0)) println("[maint] empty embeddings table, ann section skipped")
+    else {
+      val emid = er.getLong(0) + (er.getLong(1) - er.getLong(0)) / 2
+      val base = emb.filter(col("vec_id").isNull || col("vec_id") <= emid)
+      val delta = emb.filter(col("vec_id") > emid)
+      val adir = Tables.scratchDir("maint_ann", d)
+      val (built, tAnnBuild) = timed(VectorOps.buildAnnIndexOf(spark, base, adir))
+      built match {
+        case None => println("[maint] ann: untrainable base, skipped")
+        case Some(p) =>
+          // the append write is EAGER (parquet save is an action) — no
+          // read-back needed, and counting the grown table here would
+          // charge an O(base) scan to the append side only, inflating
+          // the headline ratio against it (round-16 review)
+          val (_, tAppend) = timed(VectorOps.annIndexAppend(spark, delta, p))
+          val rdir = Tables.scratchDir("maint_ann_rb", d)
+          val (_, tRebuild) = timed(VectorOps.buildAnnIndexOf(spark, emb, rdir))
+          println(f"[maint] ann dir=$d base_build=$tAnnBuild%.1f " +
+            f"append=$tAppend%.2f rebuild=$tRebuild%.1f " +
+            f"ratio=${tAppend / tRebuild}%.3f")
+      }
     }
 
     // ---- 3. LM fold vs retrain ----
@@ -115,8 +121,7 @@ object ProfileMaintenance {
     val dayFrom = lo + (hi - lo) * 31 / 32
     val ldir = Tables.scratchDir("maint_lm", d)
     val (_, tLmBase) = timed {
-      CorpusOps.bigramsOf(docs.filter(col("doc_id") <= dayFrom))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      CorpusOps.bigramCensusOf(docs.filter(col("doc_id") <= dayFrom))
         .write.mode("overwrite").parquet(s"$ldir/counts.parquet")
     }
     val (_, tFold) = timed {
@@ -126,8 +131,7 @@ object ProfileMaintenance {
         .write.mode("overwrite").parquet(s"$ldir/counts_v2.parquet")
     }
     val (_, tRetrain) = timed {
-      CorpusOps.bigramsOf(docs)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      CorpusOps.bigramCensusOf(docs)
         .write.mode("overwrite").parquet(s"$ldir/counts_rt.parquet")
     }
     val foldHash = censusHash(spark.read.parquet(s"$ldir/counts_v2.parquet"))
