@@ -128,7 +128,10 @@ object Tables {
         val n = p.getFileName.toString
         if (n.startsWith(prefix)) {
           val gen = n.substring(prefix.length)
-          if (gen.nonEmpty && gen.forall(_.isDigit) && gen.toLong <= g - ScratchLag)
+          // toLongOption: an all-digit stray suffix beyond Long range
+          // must be skipped, not crash the namer (round-16 review's
+          // TextOps sweep finding, applied here too)
+          if (gen.toLongOption.exists(_ <= g - ScratchLag))
             rmrf(p.toString)
         }
       } finally s.close()
@@ -163,7 +166,13 @@ object Tables {
     * never allocates more).
     */
   def memoDir(tag: String, d: String)(build: String => Unit): String =
-    memoDirs.computeIfAbsent(s"${tag}_${sanitize(d)}", _ => {
+    // keyed on the RAW dataset path, not sanitize(d): sanitize is lossy
+    // ('corpus-v2' and 'corpus_v2' collide), which was benign when every
+    // invocation rebuilt a fresh generation but would make memoization
+    // silently serve dataset A's standing index/LM to dataset B for the
+    // JVM's life (round-16 review). Colliding SANITIZED names are still
+    // fine below: scratchDir allocates a distinct generation per call.
+    memoDirs.computeIfAbsent(s"$tag $d", _ => {
       val dir = scratchDir(tag, d)
       try build(dir)
       catch { case e: Throwable => scala.util.Try(rmrf(dir)); throw e }

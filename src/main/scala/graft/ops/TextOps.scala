@@ -780,7 +780,11 @@ object TextOps {
         // JVMs with higher numbers are picked up once this counter
         // advances past them — the sweep is eventually complete either
         // way, just never early.
-        n.substring(prefix.length).toLong <= myGen - Tables.ScratchLag)
+        // toLongOption, not toLong: an all-digit stray suffix longer
+        // than Long range (foreign tool, corrupted run) must be
+        // skipped, not crash the query (round-16 review)
+        n.substring(prefix.length).toLongOption
+          .exists(_ <= myGen - Tables.ScratchLag))
       .foreach { n =>
         // the metadata lookup races a CONCURRENT invocation's sweep
         // (both can list the same dead sibling; the loser's lookup
@@ -1094,7 +1098,29 @@ object TextOps {
     * END-TO-END lifecycle — build, N×(ingest, audit, append) — is now
     * hash-verified against an independent engine every round.
     */
-  def x_neardupLifecycle(spark: SparkSession, d: String): DataFrame = {
+  def x_neardupLifecycle(spark: SparkSession, d: String): DataFrame =
+    lifecycleDriver(spark, d, "lifecycle")(
+      (dir, from, until, _) => neardupIngest(spark, d, dir, from, until))(
+      // the index folds forward AFTER the audit materialized (no fold
+      // after the last day — nothing consumes it)
+      (dir, day) => if (day < LifecycleDays) neardupIndexAppend(spark, dir))
+
+  /** The shared multi-day driver behind [[x_neardupLifecycle]] and
+    * [[x_neardupCompact]]: empty-corpus guard, quarter-boundary census
+    * (b32's floor-consistent form), day-0 index build, then per day —
+    * materialize the day's audit BEFORE any index mutation (the ingest
+    * plan reads the index tables lazily and the maintenance hook
+    * MUTATES them; production consumes a day's audit before the next
+    * ingest for the same reason), run the variant's maintenance hook —
+    * and the ordered audit union. The variants differ ONLY in the
+    * per-day ingest view (folded-append vs epoch layout) and the hook
+    * (fold forward vs compact mid-stream); sharing the skeleton keeps
+    * the boundary math and audit layout from drifting apart
+    * (round-16 review).
+    */
+  private def lifecycleDriver(spark: SparkSession, d: String, tag: String)(
+      ingestDay: (String, Long, Option[Long], Int) => DataFrame)(
+      afterDay: (String, Int) => Unit): DataFrame = {
     val docs = Tables.documents(spark, d)
     val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
     if (r.isNullAt(0))
@@ -1104,18 +1130,14 @@ object TextOps {
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val bounds = (0 to LifecycleDays)
       .map(i => lo + (hi - lo) * i / (LifecycleDays + 1))
-    val dir = Tables.scratchDir("lifecycle", d)
+    val dir = Tables.scratchDir(tag, d)
     // day 0: the standing corpus is everything ≤ q1 (or null-id)
     neardupIndexBuild(spark, d, dir, bounds(1))
     (1 to LifecycleDays).foreach { day =>
       val upper = if (day == LifecycleDays) None else Some(bounds(day + 1))
-      // materialize the day's audit BEFORE the index folds forward:
-      // the ingest plan reads the index tables lazily and the append
-      // MUTATES them (production consumes a day's audit before the
-      // next ingest for the same reason)
-      neardupIngest(spark, d, dir, bounds(day), upper)
+      ingestDay(dir, bounds(day), upper, day)
         .write.mode("overwrite").parquet(s"$dir/audit_day$day.parquet")
-      if (day < LifecycleDays) neardupIndexAppend(spark, dir)
+      afterDay(dir, day)
     }
     (1 to LifecycleDays)
       .map(day => spark.read.parquet(s"$dir/audit_day$day.parquet"))
@@ -1226,32 +1248,11 @@ object TextOps {
     * ingest path. This closes the "epochs accumulate forever" backlog
     * item from the round-15 verdict.
     */
-  def x_neardupCompact(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
-    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-    if (r.isNullAt(0))
-      // empty corpus: no boundaries, no pairs — first-run totality
-      return spark.range(0).select(col("id").as("a_id"), col("id").as("b_id"),
-        col("id").as("n_shared"))
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val bounds = (0 to LifecycleDays)
-      .map(i => lo + (hi - lo) * i / (LifecycleDays + 1))
-    val dir = Tables.scratchDir("compactlc", d)
-    neardupIndexBuild(spark, d, dir, bounds(1))
-    (1 to LifecycleDays).foreach { day =>
-      val upper = if (day == LifecycleDays) None else Some(bounds(day + 1))
-      // materialize the day's audit BEFORE any index mutation (see
-      // x_neardupLifecycle — the plan reads the index tables lazily)
-      neardupEpochIngest(spark, d, dir, bounds(day), upper, day)
-        .write.mode("overwrite").parquet(s"$dir/audit_day$day.parquet")
+  def x_neardupCompact(spark: SparkSession, d: String): DataFrame =
+    lifecycleDriver(spark, d, "compactlc")(
+      (dir, from, until, day) => neardupEpochIngest(spark, d, dir, from, until, day))(
       // compact after day 2: day 3 must ingest against the FOLDED base
-      if (day == LifecycleDays - 1) neardupCompact(spark, dir)
-    }
-    (1 to LifecycleDays)
-      .map(day => spark.read.parquet(s"$dir/audit_day$day.parquet"))
-      .reduce(_.unionByName(_))
-      .orderBy(col("a_id"), col("b_id"))
-  }
+      (dir, day) => if (day == LifecycleDays - 1) neardupCompact(spark, dir))
 
   /** BPE-ish pre-tokenizer regex (c26) — the GPT-2-family shape:
     * contractions, space-prefixed letter runs, space-prefixed digit

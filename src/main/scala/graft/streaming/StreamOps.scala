@@ -154,7 +154,7 @@ object StreamOps {
   /** File-source stream over any single-table fixture — shared by the
     * event tier (s1-s8) and the document tier (s9).
     */
-  private def stagedFileStream(spark: SparkSession, d: String, table: String,
+  private[graft] def stagedFileStream(spark: SparkSession, d: String, table: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = Tables.t(spark, d, table).schema
     def reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(schema)) {
@@ -1023,8 +1023,7 @@ object StreamOps {
     // it per invocation double-counted build cost in BENCH, round-15
     // verdict №6)
     val dir = Tables.memoDir("s16_lm", d) { p =>
-      CorpusOps.bigramsOf(Tables.documents(spark, d))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      CorpusOps.bigramCensusOf(Tables.documents(spark, d))
         .write.mode("overwrite").parquet(s"$p/counts.parquet")
       spark.read.parquet(s"$p/counts.parquet")
         .groupBy(col("w1")).agg(sum(col("n12")).as("n1"))

@@ -25,7 +25,12 @@ object ProfileCcVariants {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** V0: shipped form — hop+hop checkpointed, then jump, checkpointed. */
+  /** V0: whatever clustersOf currently ships (since the round-16 fix
+    * that is the V4 escalation ladder — v0 vs v4 now measures live
+    * code against the harness's frozen copy, a drift tripwire rather
+    * than an algorithm A/B; the historical two-checkpoint hop²+jump
+    * this slot originally held lives on only in (bj)'s table).
+    */
   def v0(pairs: DataFrame): (Long, Long) = finish(
     graft.ops.TextOps.clustersOf(pairs).select(
       col("doc_id").as("id"), col("cluster_id").as("lab")))

@@ -25,10 +25,13 @@ object ProfileS14Stages {
 
     def drain(tag: String)(body: (DataFrame, Long, String) => Unit): Double = {
       val base = Tables.scratchDir(s"p14_$tag", d)
+      // through stagedFileStream, not a raw path: the file source
+      // needs a DIRECTORY, and a single-file fixture streamed raw
+      // would silently drain zero rows here while the s14-based
+      // "full" stage processes everything (round-16 review)
       val fps = TextOps.winnowFps(
-        spark.readStream.schema(Tables.documents(spark, d).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$d/documents.parquet"))
+        graft.streaming.StreamOps.stagedFileStream(spark, d, "documents",
+          maxFilesPerTrigger = Some(1)))
       val t0 = System.nanoTime()
       val q = fps.writeStream
         .trigger(Trigger.AvailableNow())
@@ -78,6 +81,10 @@ object ProfileS14Stages {
     // review). The warm-up drain also absorbs first-use JIT, making
     // "full" comparable to the floor/write drains that ran before it.
     graft.streaming.StreamOps.s14_streamNeardup(spark, d).count()
+    // listener events arrive async — let the warm-up drain's queued
+    // QueryProgress events land BEFORE clearing, or they contaminate
+    // the counted run's per-batch trace (round-16 review)
+    Thread.sleep(2000)
     durs.clear()
     counted("full") { ToolSession.timed(
       graft.streaming.StreamOps.s14_streamNeardup(spark, d).count())._2 }

@@ -53,19 +53,26 @@ object ProfileSemantic {
         .agg(sum(expr("m * (m - 1) / 2")).as("cand"))
         .head().getAs[Any]("cand")
       val exactPairs = n * (n - 1) / 2
-      val (annRows, annSec) = ToolSession.timed(graft.ops.VectorOps.x_semanticAnn(spark, d).count())
+      // collect the id column once per operator and derive BOTH the
+      // row count and the membership set from it — re-running the
+      // queries for the recall (the exact arm is the O(n²) pass
+      // ExactMaxN exists to bound) doubled the profiler's most
+      // expensive section (round-16 review)
+      val (annIds, annSec) = ToolSession.timed(
+        graft.ops.VectorOps.x_semanticAnn(spark, d)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+      val annRows = annIds.size
       println(f"[semantic] $d n=$n k=$k candidates=$cand exact_pairs=$exactPairs " +
         f"ann_sec=$annSec%.2f ann_rows=$annRows")
       if (n <= ExactMaxN) {
-        val (exRows, exSec) = ToolSession.timed(graft.ops.VectorOps.x_semanticDedup(spark, d).count())
+        val (exactIds, exSec) = ToolSession.timed(
+          graft.ops.VectorOps.x_semanticDedup(spark, d)
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+        val exRows = exactIds.size
         // membership recall, the TextVectorSpec definition: clustered
         // ids the ANN run keeps ∩ the exact run's — NOT a row-count
         // ratio, which can exceed 1 when component shapes differ
         // (round-15 ADVICE)
-        val exactIds = graft.ops.VectorOps.x_semanticDedup(spark, d)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-        val annIds = graft.ops.VectorOps.x_semanticAnn(spark, d)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
         val recall =
           if (exactIds.isEmpty) 1.0
           else annIds.intersect(exactIds).size.toDouble / exactIds.size
