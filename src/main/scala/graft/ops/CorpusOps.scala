@@ -514,15 +514,19 @@ object CorpusOps {
       .withColumn("avg_bits_e6", expr("bits_sum * 1000000L DIV n_bi"))
 
   def c35_lmScore(spark: SparkSession, d: String): DataFrame = {
-    val bi = bigramsOf(Tables.documents(spark, d))
+    val docs = Tables.documents(spark, d)
+    val bi = bigramsOf(docs)
     // the LM table materializes ONCE (localCheckpoint — the c15 idiom
     // for reused reduced state): it feeds both the head census and the
     // scoring join, and without the checkpoint each consumer re-scans
     // the corpus and re-runs the bigram reduce (measured: 3 documents
     // scans → 1). Vocabulary-sized, never corpus-sized — exactly what
-    // a production run persists as "the LM".
-    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
-      .localCheckpoint()
+    // a production run persists as "the LM". Built through
+    // [[bigramCensusOf]] like every other trainer site — the identical
+    // plan (bigramsOf(docs) is the same subtree), and the helper's
+    // anti-drift guarantee now actually covers the primary trainer
+    // (round-16 ADVICE: this site inlined its own copy of the reduce).
+    val counts = bigramCensusOf(docs).localCheckpoint()
     val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     lmScoreOf(bi, counts, heads).orderBy(col("doc_id"))
   }

@@ -170,10 +170,16 @@ object Tables {
     // ('corpus-v2' and 'corpus_v2' collide), which was benign when every
     // invocation rebuilt a fresh generation but would make memoization
     // silently serve dataset A's standing index/LM to dataset B for the
-    // JVM's life (round-16 review). Colliding SANITIZED names are still
-    // fine below: scratchDir allocates a distinct generation per call.
+    // JVM's life (round-16 review). The raw path's hash is folded into
+    // the scratch PREFIX too: colliding sanitized names must never
+    // share a generation sequence, because each colliding raw path
+    // allocates one more generation of the shared prefix and after
+    // ScratchLag+1 of them the reaper would delete generation 1 while
+    // this memo still serves its path for the JVM's life (round-16
+    // ADVICE). String.hashCode is specified arithmetic — stable across
+    // JVMs — so the prefix stays deterministic per raw path.
     memoDirs.computeIfAbsent(s"$tag $d", _ => {
-      val dir = scratchDir(tag, d)
+      val dir = scratchDir(s"${tag}_${Integer.toHexString(d.hashCode)}", d)
       try build(dir)
       catch { case e: Throwable => scala.util.Try(rmrf(dir)); throw e }
       dir

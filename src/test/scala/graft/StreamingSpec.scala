@@ -416,6 +416,44 @@ class StreamingSpec extends SparkSpec {
       "multi-batch arrival must tile the one-shot ingest exactly")
   }
 
+  test("s14 stop list: an over-cap-heavy corpus exercises the anti-join path and still matches the batch ingest") {
+    import spark.implicits._
+    // a boilerplate-heavy corpus: 70 identical base docs push their
+    // fps past WinnowDfCap (=64), so the standing stop list is
+    // NON-empty and the per-batch anti-join branch actually runs —
+    // the single-file fixture never reaches it (max base df ≪ cap).
+    // 70 more identical arrivals land in the delta: their postings
+    // must be stop-dropped per batch (they could never pair anyway —
+    // df 140 is far over the band), while the genuine near-dup
+    // arrivals (copies of unique base docs, df 2) still pair. The
+    // drain must tile the one-shot batch ingest exactly.
+    val dir = s"${graft.ops.Tables.scratch}/s14_overcap"
+    graft.ops.Tables.rmrf(dir)
+    val boiler = ((1 to 16).map(i => s"boiler$i")).mkString(" ")
+    def uniq(i: Int) = (1 to 16).map(j => s"w${i}x$j").mkString(" ")
+    val rows =
+      (1 to 70).map(i => (i.toLong, boiler, "en", "src0")) ++
+      (71 to 100).map(i => (i.toLong, uniq(i), "en", "src0")) ++
+      (101 to 130).map(i => (i.toLong, uniq(i - 30), "en", "src1")) ++
+      (131 to 200).map(i => (i.toLong, boiler, "en", "src1"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the path's precondition, asserted not assumed: the base half
+    // (doc_id ≤ mid = 100) must hold an over-cap fingerprint
+    val maxBaseDf = graft.ops.TextOps
+      .winnowFps(graft.ops.Tables.documents(spark, dir).filter(col("doc_id") <= 100))
+      .groupBy(col("fp")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBaseDf > graft.ops.TextOps.WinnowDfCap,
+      "fixture must push a base fingerprint over the df cap")
+    val streamed = graft.streaming.StreamOps.s14_streamNeardup(spark, dir).collect()
+    val batch = graft.ops.TextOps.x_neardupIncremental(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "the stop-listed drain must still tile the one-shot ingest exactly")
+  }
+
   test("s15 semantics: streamed fingerprinting ≡ the batch c24, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s15_streamFingerprint(spark, sf0001).collect()
