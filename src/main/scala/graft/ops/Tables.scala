@@ -185,6 +185,37 @@ object Tables {
       dir
     })
 
+  /** Hard-link clone of a memoized artifact directory into a
+    * per-invocation scratch area (falls back to copy where links are
+    * unsupported). The lifecycle queries MUTATE their index in place
+    * (append epochs, compaction's rm+rename swap), which a shared
+    * memoized base must never see — but every mutation in this repo
+    * is directory-level (new files in, whole tables unlinked +
+    * renamed; parquet data files are immutable once written), so a
+    * link-clone gives each invocation its own mutable NAMESPACE over
+    * the same immutable bytes: build cost once per JVM, clone cost a
+    * few syscalls per file, and unlinking in the clone never touches
+    * the memo's data. The production analog is a table-format
+    * snapshot/branch over shared immutable data files.
+    */
+  def linkTree(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val s = Paths.get(src)
+    val t = Paths.get(dst)
+    rmrf(dst)
+    val walk = Files.walk(s)
+    try walk.forEach { p =>
+      val q = t.resolve(s.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else {
+        Files.createDirectories(q.getParent)
+        try Files.createLink(q, p)
+        catch { case _: Exception =>
+          Files.copy(p, q, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+      }
+    } finally walk.close()
+  }
+
   /** Recursive delete of a scratch path (no-op if absent). The walk
     * stream holds open directory handles until closed — leak one per
     * call (b19 calls this every bench rep) and fd pressure eventually
