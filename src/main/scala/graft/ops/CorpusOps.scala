@@ -270,15 +270,45 @@ object CorpusOps {
     * passes a parquet read of the same frame.
     */
   private[ops] def corpusFromClusters(spark: SparkSession, d: String,
+      clusters: DataFrame): DataFrame =
+    manifestFrom(sizedDigest(Tables.documents(spark, d)), clusters)
+
+  /** The per-document corpus-build state: c14's sized projection
+    * ([[sizeDocs]]) plus the exact-dedup digest — one row per document,
+    * ~72 slim bytes, everything the manifest cut needs without ever
+    * re-reading text. ONE definition shared by the batch pipeline
+    * (c16 / x_corpus_from_clusters) and the arrival form (s19 sinks
+    * exactly these rows per micro-batch), so the keep rule cannot
+    * drift between the twins. Pure per-row work.
+    */
+  private[graft] def sizedDigest(docs: DataFrame): DataFrame = {
+    val ntok = when(col("text").isNull, lit(0L))
+      .otherwise(size(split(col("text"), " ")).cast("long"))
+    docs.select(col("doc_id"), col("source"), ntok.as("n_tok"),
+      md5(col("doc_id").cast("string")).as("order_key"),
+      sha2(lower(col("text")), 256).as("digest"))
+  }
+
+  /** The manifest CUT — c16's resolution + gate + packing over the
+    * slim per-document state and the resolved cluster table: exact
+    * dedup keeps the min-id doc per digest, near-dup resolution drops
+    * every non-canonical cluster member, the token gate bounds
+    * survivors to [[MinTok]]..[[MaxTok]], and c14's packer assigns
+    * (seq_id, offset). Shared verbatim by the batch pipeline and the
+    * s19 arrival form's post-drain cut — document BYTES never appear
+    * here: the digest aggregation moves (digest, id) pairs, the joins
+    * move the sized projection, the drop list is label state.
+    */
+  private[graft] def manifestFrom(sized: DataFrame,
       clusters: DataFrame): DataFrame = {
-    val docs = Tables.documents(spark, d)
-    val keeps = docs
-      .groupBy(sha2(lower(col("text")), 256).as("h"))
+    val keeps = sized
+      .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val drops = clusters
       .filter(!col("is_canonical")).select(col("doc_id"))
-    val survivors = sizeDocs(docs)
+    val survivors = sized
+      .select(col("doc_id"), col("source"), col("n_tok"), col("order_key"))
       .join(keeps, Seq("doc_id"), "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
       .filter(col("n_tok").between(MinTok, MaxTok))

@@ -102,14 +102,46 @@ object TextOps {
     */
   private[graft] def cappedShingles(sh: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val dff = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    capBand(sh.withColumn("n", count(lit(1)).over(byDoc)))
+  }
+
+  /** The df band over a CARDED shingle relation (doc_id, h, n) — the
+    * tail of [[cappedShingles]], split out so the arrival form (s19),
+    * whose per-batch rows already carry their doc's cardinality
+    * ([[docShingles]] computes it row-locally), can enter the exact
+    * same band + pair machinery without re-deriving n through a
+    * window over the whole arrived state.
+    */
+  private[graft] def capBand(shn: DataFrame): DataFrame = {
+    val dff = shn.select(col("h")).groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, DfCap))
       .select(col("h"))
-    sh.withColumn("n", count(lit(1)).over(byDoc))
-      .hint("SHUFFLE_MERGE")
+    shn.hint("SHUFFLE_MERGE")
       .join(dff, "h")
       .select(col("doc_id"), col("h"), col("n"))
   }
+
+  /** [[hashedShingles]] in its ROW-LOCAL form: the same distinct
+    * shingle-hash set per document plus the document's full shingle
+    * cardinality `n` (the Jaccard denominator), computed entirely
+    * inside the projection — array_distinct over the gram transform
+    * instead of a corpus-wide DISTINCT, size() instead of a per-doc
+    * count window. Identical rows by construction (a document's rows
+    * are a function of its own text, and doc_ids are unique), pinned
+    * against the global form in scalatest. This is the shape the
+    * arrival path needs: a micro-batch's shingle state is pure per-row
+    * work with NO exchange in the streaming plan at all.
+    */
+  private[graft] def docShingles(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        "filter(array_distinct(transform(sequence(0, size(t)-3), " +
+          "i -> xxhash64(t[i], t[i+1], t[i+2]))), x -> x IS NOT NULL)").as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("h"), col("n"))
 
   /** Shared-shingle pair counts → exact Jaccard ≥ 0.5, deterministic
     * order — the common tail of c2 and x_minhash's verification.
@@ -135,13 +167,22 @@ object TextOps {
     * of any single shingle; candidates are exactly the pairs with
     * J > 0, so recall is 1 by construction.
     */
-  def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame = {
-    val shf = cappedShingles(hashedShingles(spark, d))
-    // hint the self-join to sort-merge: its key IS the capped relation's
-    // partitioning, so both sides resolve to the existing exchanges
-    // (ReuseExchange) and the join adds no shuffle. Left to AQE, a
-    // small side gets broadcast, which both recomputes the relation
-    // and would be the wrong strategy for a corpus-sized relation.
+  def c2_dedupJaccard(spark: SparkSession, d: String): DataFrame =
+    jaccardPairsOf(cappedShingles(hashedShingles(spark, d)))
+
+  /** c2's pair stage over ANY df-capped carded shingle relation
+    * (doc_id, h, n) — shared by the batch pipeline and s19's
+    * post-drain cut (which feeds arrived per-batch shingle state
+    * through the identical band + join).
+    *
+    * The self-join is hinted to sort-merge: its key IS the capped
+    * relation's partitioning, so both sides resolve to the existing
+    * exchanges (ReuseExchange) and the join adds no shuffle. Left to
+    * AQE, a small side gets broadcast, which both recomputes the
+    * relation and would be the wrong strategy for a corpus-sized
+    * relation.
+    */
+  private[graft] def jaccardPairsOf(shf: DataFrame): DataFrame = {
     val pairs = shf.as("a").join(shf.as("b").hint("SHUFFLE_MERGE"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

@@ -1195,6 +1195,84 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** s19: the COMPOSED corpus build ON ARRIVAL — c16's streaming twin,
+    * the query a production ingest actually runs per batch (every
+    * STAGE of curation had an arrival form, s9-s18; this is the
+    * composition: exact dedup → near-dup drop → quality gate →
+    * packing). The arrival path extracts the slim per-document state
+    * each stage needs, touching document TEXT exactly once, in the
+    * micro-batch that delivered it:
+    *
+    *   - the sized+digest row ([[graft.ops.CorpusOps.sizedDigest]] —
+    *     the dedup keep key, the token gate's count, the packer's
+    *     order key), and
+    *   - the doc's distinct shingle set with its cardinality
+    *     ([[graft.ops.TextOps.docShingles]] — c2's state, computed
+    *     ROW-LOCALLY so the streaming plans hold no exchange at all),
+    *
+    * each sunk into its own `bid=N` overwrite partition (the s14
+    * replay-idempotence convention). The manifest CUT then runs at
+    * drain close over arrived state only — and that placement is
+    * SEMANTIC, not convenience: under c16's contract every resolution
+    * is retroactive under late arrivals (a later doc with a smaller
+    * id displaces its digest group's keeper; a later pair can merge
+    * two clusters and un-canonicalize a doc; a later doc's md5 order
+    * key can insert it BEFORE already-packed docs and shift every
+    * downstream offset), so no per-batch final manifest exists — the
+    * production cadence is exactly this: extract on arrival, cut the
+    * manifest at epoch close. Both stages share c16's own bodies
+    * (capBand → jaccardPairsOf → clustersOf → manifestFrom), so the
+    * drain output is byte-equal to the batch pipeline however the
+    * file source tiles the corpus into batches (per-doc rows land
+    * whole in one batch; every downstream reduce is over the union),
+    * and s19 carries c16's DuckDB oracle VERBATIM
+    * (driver-hash-checked; StreamingSpec pins a forced multi-batch
+    * arrival row-for-row).
+    *
+    * Scale (100 TB): per batch, two pure per-row projections over the
+    * delta — no joins, no aggs, no state in the stream; the close-time
+    * cut consumes ~72-byte sized rows and 16-byte shingle postings,
+    * never text, with c16's own economics (map-side-combined digest
+    * agg, df-banded pair join, label-state CC, one pack shuffle).
+    */
+  def s19_streamCorpusPipeline(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.{CorpusOps, TextOps}
+    val (_, chk, base) = sinkDirsWithBase("s19", d)
+    val sized = s"$base/sized"
+    val shingles = s"$base/shingles"
+    val arriving = stagedFileStream(spark, d, "documents", maxFilesPerTrigger = Some(1))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite sinks: replay-idempotent (see s1); the
+      // batch is persisted because TWO state extractions consume it —
+      // without the persist each write would re-read and re-decode the
+      // batch's files
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val b = batch.persist()
+        try {
+          CorpusOps.sizedDigest(b)
+            .write.mode("overwrite").parquet(s"$sized/bid=$bid")
+          TextOps.docShingles(b)
+            .write.mode("overwrite").parquet(s"$shingles/bid=$bid")
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val sizedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, n_tok BIGINT, order_key STRING, digest STRING")
+    val shSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, h BIGINT, n BIGINT")
+    val sizedArr = readSink(spark, sized, sizedSchema)
+      .select(sizedSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val shArr = readSink(spark, shingles, shSchema)
+      .select(shSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val clusters = TextOps.clustersOf(
+      TextOps.jaccardPairsOf(TextOps.capBand(shArr)))
+    CorpusOps.manifestFrom(sizedArr, clusters)
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
@@ -1249,6 +1327,10 @@ object StreamOps {
     "s17_stream_lm_heldout" -> graft.ops.CorpusOps.oracles("x_lm_heldout"),
     // fold-on-arrival ≡ retrain (census additivity): c35's oracle verbatim
     "s18_stream_lm_update" -> graft.ops.CorpusOps.oracles("c35_lm_score"),
+    // extract-on-arrival + cut-at-close ≡ the batch pipeline (per-doc
+    // state lands whole in one batch; every reduce is over the union):
+    // c16's oracle verbatim
+    "s19_stream_corpus_pipeline" -> graft.ops.CorpusOps.oracles("c16_corpus_pipeline"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1317,5 +1399,6 @@ object StreamOps {
     "s16_stream_lm_score" -> s16_streamLmScore _,
     "s17_stream_lm_heldout" -> s17_streamLmHeldout _,
     "s18_stream_lm_update"  -> s18_streamLmUpdate _,
+    "s19_stream_corpus_pipeline" -> s19_streamCorpusPipeline _,
   )
 }

@@ -26,11 +26,16 @@ object ScanAudit {
     * which double-counts every node.
     */
   def census(df: DataFrame): Census = {
-    df.collect()
     // default maxMetadataStringLength (100) truncates FileScan location
     // strings, silently dropping long paths' `<table>.parquet` leaf from
-    // the census — raise it so the table breakdown is parse-complete
+    // the census — raise it so the table breakdown is parse-complete.
+    // BEFORE the collect, not after: a FileScan's metadata string is a
+    // lazy val that AQE's plan-description events materialize DURING
+    // execution, so a post-collect raise is too late in a session where
+    // no earlier census already set it (the truncation then surfaced
+    // only under single-test -z runs — order-dependent flakiness).
     df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2048")
+    df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     Census(

@@ -95,15 +95,18 @@ class ContractSpec extends AnyFunSuite {
       // fold-then-score ≡ retrain-then-score (bigram-census additivity)
       "x_lm_update" -> "c35_lm_score",
       // fold-on-arrival ≡ retrain, however batches tile (additivity)
-      "s18_stream_lm_update" -> "c35_lm_score")
+      "s18_stream_lm_update" -> "c35_lm_score",
+      // extract-on-arrival + cut-at-close ≡ the batch pipeline (per-doc
+      // state lands whole in one batch; reduces run over the union)
+      "s19_stream_corpus_pipeline" -> "c16_corpus_pipeline")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 131 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 131)
-    assert(SparkEntry.oracleSql.size === 115)
+  test("the inventory holds all 132 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 132)
+    assert(SparkEntry.oracleSql.size === 116)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

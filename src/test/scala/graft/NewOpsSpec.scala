@@ -412,6 +412,48 @@ class NewOpsSpec extends SparkSpec {
       s"big-star census drifted — scans=${c.scans} reused=${c.reused}")
   }
 
+  test("docShingles (row-local) ≡ hashedShingles + per-doc carding (s19's arrival state)") {
+    // the arrival form computes each doc's distinct shingle set and
+    // cardinality INSIDE the projection (array_distinct + size); the
+    // batch form uses a corpus-wide DISTINCT and a count window. Same
+    // multiset of (doc_id, h, n) rows — the identity that lets s19's
+    // per-batch state feed c2's exact band + pair machinery. Checked
+    // on the fixture AND on the crafted edges: null text, null id,
+    // short docs, within-doc repeated shingles (the case distinct
+    // actually bites on).
+    import spark.implicits._
+    val fixture = graft.ops.Tables.documents(spark, sf0001)
+    val crafted = Seq(
+      (java.lang.Long.valueOf(1L), "a b c a b c a b c"), // repeated shingles collapse
+      (java.lang.Long.valueOf(2L), "a b"),               // < 3 tokens: no grams
+      (java.lang.Long.valueOf(3L), null),                // null text
+      (null.asInstanceOf[java.lang.Long], "x y z w"),    // null id: excluded by both
+      (java.lang.Long.valueOf(4L), "x y z w")
+    ).toDF("doc_id", "text")
+    for (docs <- Seq(fixture, crafted)) {
+      val viaRow = TextOps.docShingles(docs)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.col("doc_id"))
+      val viaGlobal = docs
+        .filter(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ").as("t"))
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("t")) >= 3)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.expr(
+            "transform(sequence(0, size(t)-3), i -> xxhash64(t[i], t[i+1], t[i+2]))")).as("h"))
+        .filter(org.apache.spark.sql.functions.col("h").isNotNull)
+        .distinct()
+        .withColumn("n", org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(byDoc))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaRow === viaGlobal, "row-local shingle state diverged from the batch form")
+    }
+  }
+
   test("x_corpus_from_clusters: byte-equal to c16; the consumer plan is shingle-free") {
     // the materialized-cluster composition must change NOTHING about
     // the manifest — same rows, same order, at both fixture scales

@@ -250,6 +250,12 @@ class ScanCensusSpec extends SparkSpec {
     // s18: per-batch census partials ran inside the drain; the returned
     // scoring plan is c35's shape (merged LM checkpointed to RDD state)
     "s18_stream_lm_update" -> ((1, 0)),
+    // s19: the close-time cut reads the sized-state sink twice (the
+    // digest-keeps census + the survivor projection — c16's two-scan
+    // shape over the slim sink instead of the corpus); the drop list
+    // is checkpointed label state, the shingle sink was consumed by
+    // the cluster jobs before the final plan
+    "s19_stream_corpus_pipeline" -> ((2, 0)),
     // x_lm_heldout: one scored-shard scan; the train-shard reduce is
     // checkpointed LM state (the c35 localCheckpoint idiom)
     "x_lm_heldout" -> ((1, 0)),

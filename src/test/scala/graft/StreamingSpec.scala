@@ -498,6 +498,36 @@ class StreamingSpec extends SparkSpec {
       "multi-batch census partials must fold to the one-shot LM exactly")
   }
 
+  test("s19 semantics: the corpus build on arrival ≡ the batch c16, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s19_streamCorpusPipeline(spark, sf0001).collect()
+    val batch = graft.ops.CorpusOps.c16_corpusPipeline(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "the arrival-extracted manifest must equal the batch pipeline exactly")
+  }
+
+  test("s19 tiling: a multi-file corpus arriving batch-by-batch still cuts the batch manifest") {
+    // several part files → several micro-batches → per-batch sized +
+    // shingle state partitions; the close-time cut over their union
+    // must equal the one-shot pipeline EXACTLY (per-doc rows land
+    // whole in one batch; keeps/pairs/packing are reduces over the
+    // union) — the composition property the single-file fixture
+    // cannot reach. This is also where stage INTERACTIONS would break:
+    // a drop list derived from partial pair state, or packing offsets
+    // computed per batch, would both diverge here.
+    val dir = s"${graft.ops.Tables.scratch}/s19_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.documents(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamOps.s19_streamCorpusPipeline(spark, dir).collect()
+    val oneShot = graft.ops.CorpusOps.c16_corpusPipeline(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === oneShot.toSeq,
+      "multi-batch arrival state must cut the one-shot manifest exactly")
+  }
+
   test("s17 semantics: streamed held-out scoring ≡ the batch x_lm_heldout, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s17_streamLmHeldout(spark, sf0001).collect()
