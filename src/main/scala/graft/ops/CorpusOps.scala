@@ -688,6 +688,74 @@ object CorpusOps {
     lmScoreOf(bigramsOf(docs), counts, heads).orderBy(col("doc_id"))
   }
 
+  /** Minimum surviving pair count for [[x_lmPrune]]'s cut — bigrams
+    * seen fewer times than this leave the pair table. 2 is the
+    * classic singleton cut; on the fixture it prunes ~40% of the
+    * train shard's pairs while eval text still hits both branches
+    * thousands of times (measured at both driver scales).
+    */
+  val LmPruneMin = 2L
+
+  /** x_lm_prune: the LM artifact's MAINTENANCE cut — the rung
+    * [[x_lmUpdate]]'s scaladoc names: the fold's vocabulary only
+    * grows, so a production cadence interleaves folds with a
+    * min-count prune exactly as the posting index interleaves ingest
+    * with compaction. Unlike compaction, pruning CHANGES scores —
+    * a pruned transition takes the OOV arm — so it is registered as
+    * its own oracled query, not folded silently into the update path:
+    * train on the standing shard, persist, prune the pair table at
+    * [[LmPruneMin]] into the next artifact generation, then score
+    * held-out text through the PRUNED model via the
+    * [[lmHeldoutScoreOf]] tail.
+    *
+    * Pruning semantics are the backoff-LM ones: the cut drops PAIR
+    * rows only, while the head census (w1 → n1) and the total mass
+    * stay the TRUE pre-prune marginals the artifact also ships — so a
+    * surviving transition costs exactly what it cost before the prune,
+    * a pruned transition costs exactly the OOV fallback, and
+    * pruned-vs-unpruned scoring differs ONLY on pruned-bigram
+    * transitions (the invariant NewOpsSpec pins row-for-row; pruning
+    * marginals too would silently re-price every sibling transition).
+    * The OOV arm's domination property is untouched: n1 ≤ n_tot and
+    * n12 ≥ 1 exactly as in [[x_lmHeldout]].
+    *
+    * Scale (100 TB): the prune is one vocabulary-sized filter + write
+    * — never a corpus re-scan; scoring has x_lm_heldout's economics
+    * (one scored-shard explode, two slim equi-joins, a 1-row total
+    * broadcast). Hash-checked end-to-end: the DuckDB twin applies the
+    * identical cut, so the whole train/prune/score cycle is verified
+    * against an independent engine.
+    */
+  def x_lmPrune(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val dir = Tables.scratchDir("lm_prune", d)
+    // the standing artifact: trained on the base epoch, persisted
+    // (x_lm_update's generation layout)
+    bigramCensusOf(docs.filter(col("source") === LmTrainSource))
+      .write.mode("overwrite").parquet(s"$dir/counts.parquet")
+    val full = spark.read.parquet(s"$dir/counts.parquet")
+    // the PRUNE: min-count cut over the pair table, persisted as the
+    // next generation; heads + total stay the pre-prune marginals
+    full.filter(col("n12") >= LmPruneMin)
+      .write.mode("overwrite").parquet(s"$dir/counts_v2.parquet")
+    full.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      .write.mode("overwrite").parquet(s"$dir/heads.parquet")
+    // scoring consumes the persisted generation as checkpointed slim
+    // state (the x_lm_update idiom — one documents scan in the final
+    // plan) and the 1-scalar total as a collected broadcast (the s17
+    // pattern: an un-materialized agg would re-scan the census inside
+    // the scoring plan)
+    val counts = spark.read.parquet(s"$dir/counts_v2.parquet").localCheckpoint()
+    val heads = spark.read.parquet(s"$dir/heads.parquet").localCheckpoint()
+    val nTot = full.agg(coalesce(sum(col("n12")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    val tot = Seq(nTot).toDF("n_tot")
+    lmHeldoutScoreOf(
+        bigramsOf(docs.filter(!(col("source") <=> lit(LmTrainSource)))),
+        counts, heads, tot)
+      .orderBy(col("doc_id"))
+  }
+
   /** Rows published by c22's coverage report. */
   val VocabTopK = 100L
 
@@ -897,6 +965,9 @@ object CorpusOps {
     // join; unseen transition costs length(bin(n_tot)) — see
     // lmHeldoutScoreOf / LmTrainSource
     "x_lm_heldout" -> LmHeldoutSql,
+    // x_lm_prune: the identical min-count cut in SQL — pair table
+    // pruned, heads/total stay the pre-prune marginals (see x_lmPrune)
+    "x_lm_prune" -> LmPruneSql,
     "c20_bigram_stats" ->
       s"""WITH toks AS (
          |  SELECT str_split(text, ' ') AS t FROM documents
@@ -967,6 +1038,34 @@ object CorpusOps {
        |SELECT doc_id, n_bi, bits_sum,
        |  CAST(bits_sum * 1000000 // n_bi AS BIGINT) AS avg_bits_e6
        |FROM a ORDER BY doc_id""".stripMargin
+
+  // x_lm_prune's DuckDB twin — LmHeldoutSql's shape with the pair
+  // table cut at LmPruneMin (c := c0 filtered); heads and total stay
+  // the PRE-prune marginals (h from c0, tot from tb), the backoff-LM
+  // semantics x_lmPrune documents
+  private[graft] lazy val LmPruneSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+       |  WHERE len(str_split(text, ' ')) >= 2),
+       |bi AS (
+       |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) r(i)),
+       |tb AS (SELECT w1, w2 FROM bi WHERE source = '$LmTrainSource'),
+       |c0 AS (SELECT w1, w2, COUNT(*) AS n12 FROM tb GROUP BY 1, 2),
+       |c AS (SELECT * FROM c0 WHERE n12 >= $LmPruneMin),
+       |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c0 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tb),
+       |eb AS (SELECT doc_id, w1, w2 FROM bi WHERE source IS DISTINCT FROM '$LmTrainSource'),
+       |s AS (SELECT eb.doc_id,
+       |        CASE WHEN c.n12 IS NOT NULL
+       |             THEN CAST(length(bin(h.n1)) - length(bin(c.n12)) AS BIGINT)
+       |             ELSE CAST(length(bin(tot.n_tot)) AS BIGINT) END AS s,
+       |        CASE WHEN c.n12 IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM eb LEFT JOIN c USING (w1, w2) LEFT JOIN h USING (w1), tot)
+       |SELECT doc_id, COUNT(*) AS n_bi, CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  CAST(SUM(s) AS BIGINT) AS bits_sum,
+       |  CAST(SUM(s) * 1000000 // COUNT(*) AS BIGINT) AS avg_bits_e6
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // the held-out scorer's DuckDB twin — shared by x_lm_heldout and its
   // streaming twin s17 (one string, no drift)
@@ -1092,6 +1191,7 @@ object CorpusOps {
     "c35_lm_score"        -> c35_lmScore _,
     "x_lm_heldout"        -> x_lmHeldout _,
     "x_lm_update"         -> x_lmUpdate _,
+    "x_lm_prune"          -> x_lmPrune _,
     "c22_vocab_coverage"  -> c22_vocabCoverage _,
     "c33_rarity_score"    -> c33_rarityScore _,
     "x_select_by_rarity"  -> x_selectByRarity _,

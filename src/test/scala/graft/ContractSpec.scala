@@ -104,9 +104,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 132 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 132)
-    assert(SparkEntry.oracleSql.size === 116)
+  test("the inventory holds all 133 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 133)
+    assert(SparkEntry.oracleSql.size === 117)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

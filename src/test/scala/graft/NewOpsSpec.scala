@@ -356,6 +356,71 @@ class NewOpsSpec extends SparkSpec {
     assert(c.tables.getOrElse("documents", 0) === 1, s"fold census: $c")
   }
 
+  test("x_lm_prune vs x_lm_heldout: scores differ ONLY on pruned-bigram transitions") {
+    import org.apache.spark.sql.functions._
+    // the backoff-LM prune contract: heads/total keep the pre-prune
+    // marginals, so a surviving transition costs exactly what it cost
+    // unpruned and a pruned one costs exactly the OOV fallback — the
+    // per-doc delta is therefore COMPUTABLE from the census alone,
+    // and this pins it row-for-row (a prune that re-priced sibling
+    // transitions, e.g. by deriving heads post-cut, would fail here)
+    // a crafted corpus rides along because the FIXTURE prunes at least
+    // one transition in every eval doc — the untouched-doc arm (rows
+    // byte-equal to x_lm_heldout) needs a doc built from surviving
+    // bigrams only
+    val crafted = s"${graft.ops.Tables.scratch}/lm_prune_fixture"
+    graft.ops.Tables.rmrf(crafted)
+    locally {
+      import spark.implicits._
+      Seq(
+        (1L, "a b a b a b", "en", CorpusOps.LmTrainSource), // a-b ×3, b-a ×2 survive
+        (2L, "c d", "en", CorpusOps.LmTrainSource),         // c-d ×1 pruned
+        (3L, "a b a b", "en", "src9"),                      // untouched eval doc
+        (4L, "c d", "en", "src9")                           // fully-pruned eval doc
+      ).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$crafted/documents.parquet")
+    }
+    for (d <- Seq(sf0001, crafted)) {
+    val docs = graft.ops.Tables.documents(spark, d)
+    val census = CorpusOps.bigramCensusOf(
+      docs.filter(col("source") === CorpusOps.LmTrainSource)).localCheckpoint()
+    val heads = census.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val nTot = census.agg(coalesce(sum(col("n12")), lit(0L))).head().getLong(0)
+    val totBits = java.lang.Long.toBinaryString(nTot).length.toLong
+    // per doc: how many eval transitions fall to the cut, and the bit
+    // delta each contributes (fallback cost − its unpruned seen cost)
+    val deltas = CorpusOps.bigramsOf(
+        docs.filter(!(col("source") <=> lit(CorpusOps.LmTrainSource))))
+      .join(census.filter(col("n12") < CorpusOps.LmPruneMin), Seq("w1", "w2"))
+      .join(heads, Seq("w1"))
+      .select(col("doc_id"),
+        (lit(totBits) - (length(bin(col("n1"))) - length(bin(col("n12")))))
+          .cast("long").as("dbits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("k"), sum(col("dbits")).as("dsum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(deltas.values.map(_._1).sum > 0, "fixture must prune transitions")
+    val base = CorpusOps.x_lmHeldout(spark, d).collect()
+    val pruned = CorpusOps.x_lmPrune(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(pruned.size === base.length)
+    var untouched = 0
+    for (u <- base) {
+      val id = u.getLong(0)
+      val (k, dsum) = deltas.getOrElse(id, (0L, 0L))
+      val p = pruned(id)
+      assert(p.getAs[Long]("n_bi") === u.getAs[Long]("n_bi"), s"doc $id n_bi")
+      assert(p.getAs[Long]("n_oov") === u.getAs[Long]("n_oov") + k, s"doc $id n_oov")
+      assert(p.getAs[Long]("bits_sum") === u.getAs[Long]("bits_sum") + dsum,
+        s"doc $id bits_sum")
+      if (k == 0) { untouched += 1; assert(p.toSeq === u.toSeq, s"doc $id row") }
+    }
+    if (d == crafted)
+      assert(untouched > 0, "crafted corpus must hold a doc the prune never touches")
+    }
+  }
+
   test("clustersOf converges on a high-diameter chain — correct labels, no partial propagation") {
     // a 25-link chain needed the alternating-star fallback when sweeps
     // propagated one hop each; the round-15 hop+hop+jump rounds cover

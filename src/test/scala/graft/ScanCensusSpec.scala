@@ -259,6 +259,10 @@ class ScanCensusSpec extends SparkSpec {
     // x_lm_heldout: one scored-shard scan; the train-shard reduce is
     // checkpointed LM state (the c35 localCheckpoint idiom)
     "x_lm_heldout" -> ((1, 0)),
+    // x_lm_prune: train/prune/persist ran as earlier jobs; the scoring
+    // plan is x_lm_heldout's shape — one documents scan, the pruned
+    // artifact checkpointed to RDD state, the total a collected scalar
+    "x_lm_prune" -> ((1, 0)),
     // x_lm_update: the train/fold/persist stages ran as earlier jobs;
     // the returned scoring plan is c35's shape — one documents scan,
     // the updated artifact checkpointed to RDD state
