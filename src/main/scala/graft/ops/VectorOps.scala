@@ -492,22 +492,158 @@ object VectorOps {
     * properties (no Lloyd, no base re-scan in the append; search plan
     * unchanged from x_ann_from_index's shape).
     */
-  def x_annAppend(spark: SparkSession, d: String): DataFrame = {
+  def x_annAppend(spark: SparkSession, d: String): DataFrame =
+    annIngest(spark, d, compact = false)
+
+  /** INDEX COMPACTION — the vector analog of the posting index's
+    * [[graft.ops.TextOps.neardupCompact]]: [[annIndexAppend]] lands
+    * one parquet file-set per delta, so a daily-append index
+    * eventually pays per-search listing + many-small-file scan cost
+    * proportional to its ENTIRE append history. The fold rewrites
+    * codes.parquet as one table (same rows — trivially
+    * result-identical; search is byte-equal pre/post, pinned in
+    * scalatest) with the write-new → rm-old → rename swap, off the
+    * search path; the model table is untouched. A production lake
+    * runs the same fold as a table-format OPTIMIZE every K appends.
+    */
+  private[graft] def annCompact(spark: SparkSession, dir: String): Unit = {
+    // explicit output sizing, the OPTIMIZE semantic: the fold's POINT
+    // is collapsing K tiny append file-sets into target-sized files,
+    // so the rewrite coalesces to ceil(bytes / AnnCompactFileBytes)
+    // (coalesce, not repartition — no shuffle; same rows either way)
+    val src = java.nio.file.Paths.get(s"$dir/codes.parquet")
+    val s = java.nio.file.Files.walk(src)
+    val bytes =
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    val parts = math.max(1L, (bytes + AnnCompactFileBytes - 1) / AnnCompactFileBytes).toInt
+    spark.read.parquet(s"$dir/codes.parquet").coalesce(parts)
+      .write.mode("overwrite").parquet(s"$dir/codes_next.parquet")
+    Tables.rmrf(s"$dir/codes.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/codes_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/codes.parquet"))
+  }
+
+  /** Target file size for [[annCompact]]'s rewrite (64 MB of code
+    * rows — small enough to parallelize, large enough that listing
+    * and open cost amortize; a lake OPTIMIZE would use its table
+    * default).
+    */
+  val AnnCompactFileBytes: Long = 64L << 20
+
+  /** x_ann_compact: the append lifecycle WITH the maintenance fold —
+    * build-base → append-delta → COMPACT → search. Byte-equal to
+    * [[x_annAppend]] by the compaction identity (same code rows, one
+    * file-set), pinned in scalatest; rows-only in the driver gate
+    * like the rest of the ANN family.
+    */
+  def x_annCompact(spark: SparkSession, d: String): DataFrame =
+    annIngest(spark, d, compact = true)
+
+  /** The shared ingest lifecycle behind [[x_annAppend]] and
+    * [[x_annCompact]]: memoized base build (the lifecycleDriver
+    * pattern — in production the index exists from past ingests;
+    * rebuilding per invocation double-counts build cost in BENCH),
+    * link-cloned into the invocation's area because the append
+    * MUTATES codes.parquet (new file-sets) and the compaction swaps
+    * it wholesale — mutations act on the clone's namespace, never the
+    * memo's immutable files ([[Tables.linkTree]]).
+    */
+  private def annIngest(spark: SparkSession, d: String,
+      compact: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
     val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
     if (r.isNullAt(0)) return cosineTopK(emb.filter(lit(false)))
     val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
-    val dir = Tables.scratchDir("ann_append", d)
     // null-id vectors belong to the standing epoch ("already there"),
-    // the x_neardup_incremental convention
-    buildAnnIndexOf(spark,
-        emb.filter(col("vec_id").isNull || col("vec_id") <= mid), dir) match {
-      case None => cosineTopK(emb.filter(lit(false)))
-      case Some(p) =>
-        annIndexAppend(spark, emb.filter(col("vec_id") > mid), p)
-        annFromIndex(spark, d, p)
+    // the x_neardup_incremental convention. An untrainable base leaves
+    // a marker instead of throwing so the memo records the outcome
+    // deterministically (memoDir unwinds on exceptions).
+    val memo = Tables.memoDir("ann_base", d) { p =>
+      if (buildAnnIndexOf(spark,
+          emb.filter(col("vec_id").isNull || col("vec_id") <= mid), p).isEmpty)
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(s"$p/UNTRAINABLE"))
     }
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$memo/UNTRAINABLE")))
+      return cosineTopK(emb.filter(lit(false)))
+    val dir = Tables.scratchDir(if (compact) "ann_compact" else "ann_append", d)
+    Tables.linkTree(s"$memo/codes.parquet", s"$dir/codes.parquet")
+    Tables.linkTree(s"$memo/model.parquet", s"$dir/model.parquet")
+    annIndexAppend(spark, emb.filter(col("vec_id") > mid), dir)
+    if (compact) annCompact(spark, dir)
+    annFromIndex(spark, d, dir)
+  }
+
+  /** The quantization-error census over epoch buckets — the machinery
+    * behind [[x_annDrift]], parameterized on the codebooks and the
+    * epoch boundaries so tests can force a distribution shift. Per
+    * indexed vector (modal dimension, finite norm — the same domain
+    * the index stores), the ADC reconstruction error
+    * ‖v − decode(assign(v))‖² = v·v − 2·v·r + r·r through the native
+    * dot kernel, floored to an e6 integer per vector BEFORE the
+    * epoch mean (so the census is a sum of per-row integers — stable
+    * across partitionings the way every e6 census here is).
+    */
+  private[graft] def annDriftCensus(emb: DataFrame,
+      cbs: Array[Array[Array[Float]]], bounds: Seq[Long]): DataFrame = {
+    val dims = cbs.length * cbs(0)(0).length
+    val epoch = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("vec_id") > b, 1L).otherwise(0L) }
+    emb.filter(size(col("embedding")) === dims)
+      .withColumn("nrm", sqrt(sumSqOf("embedding")))
+      .filter(finiteNorm(col("nrm")))
+      .select(col("vec_id"), col("embedding"), pqCol(cbs, codes = false).as("re"))
+      .withColumn("err_e6", floor((expr("dot_f32(embedding, embedding)")
+        - lit(2.0) * expr("dot_f32(embedding, re)")
+        + expr("dot_f32(re, re)")) * 1e6).cast("long"))
+      .groupBy(epoch.as("epoch"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(err_e6) DIV count(1)").as("mean_err_e6"))
+      .orderBy(col("epoch"))
+  }
+
+  /** x_ann_drift: the index's REBUILD-CADENCE monitor — makes
+    * [[annIndexAppend]]'s documented FAISS tradeoff (base-trained
+    * codebooks quantize a shifted delta with higher error until the
+    * next full rebuild) MEASURABLE instead of assumed: b22's
+    * feature-drift shape applied to the vector index. The vec_id
+    * domain splits into a base epoch plus three arrival epochs at
+    * quartile boundaries (the b32 floor-consistent census); codebooks
+    * train on the BASE epoch only (exactly the artifact an
+    * append-only deployment holds), and the census reports each
+    * epoch's vector count and mean ADC reconstruction error as an
+    * exact-integer e6 mean — the number an operator alerts on: a
+    * later epoch whose mean error pulls away from the base epoch's is
+    * the signal to schedule the rebuild that [[x_annCompact]]'s fold
+    * deliberately does NOT do. Rows-only in the driver gate (PQ
+    * binaries are engine-specific); scalatest pins the census against
+    * a forced-shift fixture (shifted arrivals → error jump) and a
+    * no-shift control.
+    *
+    * Scale (100 TB): training reads the bounded sample; the census is
+    * ONE pure-map corpus scan (assign + decode + three dots fused in
+    * the projection) into a four-row aggregate — the cheapest
+    * observability an index owner can buy, schedulable with every
+    * append at marginal cost.
+    */
+  def x_annDrift(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val empty = spark.range(0).select(col("id").as("epoch"),
+      col("id").as("n_vecs"), col("id").as("mean_err_e6"))
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return empty
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val bounds = (1 to 3).map(i => lo + (hi - lo) * i / 4)
+    val cbs = pqCodebooks(spark,
+      emb.filter(col("vec_id").isNull || col("vec_id") <= bounds(0)))
+    if (cbs.isEmpty) return empty
+    annDriftCensus(emb, cbs, bounds)
   }
 
   /** ANN via random-hyperplane LSH bucketing (no oracle — probabilistic;
@@ -915,6 +1051,8 @@ object VectorOps {
     "x_ann_ivfpq"        -> x_annIvfPq _,
     "x_ann_from_index"   -> x_annFromIndex _,
     "x_ann_append"       -> x_annAppend _,
+    "x_ann_compact"      -> x_annCompact _,
+    "x_ann_drift"        -> x_annDrift _,
     "x_semantic_dedup"   -> x_semanticDedup _,
     "x_semantic_ann"     -> x_semanticAnn _,
   )

@@ -101,6 +101,26 @@ object ProfileMaintenance {
           println(f"[maint] ann dir=$d base_build=$tAnnBuild%.1f " +
             f"append=$tAppend%.2f rebuild=$tRebuild%.1f " +
             f"ratio=${tAppend / tRebuild}%.3f")
+          // ---- 2b. ANN small-file compaction ----
+          // the grown index holds base + one file-set per append; the
+          // fold must be byte-invisible to search and collapse the sets
+          def codeFiles(): Long = {
+            val s = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$p/codes.parquet"))
+            try s.filter(_.getFileName.toString.startsWith("part-")).count()
+            finally s.close()
+          }
+          val (preRows, tSearchPre) = timed(
+            VectorOps.annFromIndex(spark, d, p).collect().toSeq)
+          val fPre = codeFiles()
+          val (_, tAnnCompact) = timed(VectorOps.annCompact(spark, p))
+          val (postRows, tSearchPost) = timed(
+            VectorOps.annFromIndex(spark, d, p).collect().toSeq)
+          require(preRows == postRows,
+            "ann compaction identity broken: search rows differ")
+          println(f"[maint] ann-compact dir=$d files_pre=$fPre " +
+            f"files_post=${codeFiles()} compact=$tAnnCompact%.2f " +
+            f"search_pre=$tSearchPre%.2f search_post=$tSearchPost%.2f")
       }
     }
 

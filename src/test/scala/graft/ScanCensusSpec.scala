@@ -206,6 +206,11 @@ class ScanCensusSpec extends SparkSpec {
     // x_ann_append: the returned search plan is x_ann_from_index's
     // (codes + probe scans); build + append ran as earlier jobs
     "x_ann_append" -> ((2, 0)),
+    // x_ann_compact: same search plan; the fold ran as earlier jobs
+    "x_ann_compact" -> ((2, 0)),
+    // x_ann_drift: ONE pure-map corpus scan into the four-row census;
+    // codebook training ran eagerly on the bounded sample
+    "x_ann_drift" -> ((1, 0)),
     // x_ann_from_index: the consumer plan reads codes.parquet + the
     // probe slice of embeddings — training/build ran as earlier jobs
     "x_ann_from_index" -> ((2, 0)),

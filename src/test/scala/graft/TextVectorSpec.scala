@@ -288,6 +288,74 @@ class TextVectorSpec extends SparkSpec {
       "appended vectors must be searchable")
   }
 
+  test("x_ann_compact: the fold is invisible to search and collapses the appended file sets") {
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val dir = VectorOps.buildAnnIndexOf(spark,
+      emb.filter(col("vec_id").isNull || col("vec_id") <= mid),
+      Tables.scratchDir("anncomp_t", sf0001)).get
+    VectorOps.annIndexAppend(spark, emb.filter(col("vec_id") > mid), dir)
+    def partFiles(): Int = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/codes.parquet"))
+      try s.filter(p => p.getFileName.toString.startsWith("part-")).count().toInt
+      finally s.close()
+    }
+    val pre = VectorOps.annFromIndex(spark, sf0001, dir).collect().map(_.toSeq).toSeq
+    val filesPre = partFiles()
+    VectorOps.annCompact(spark, dir)
+    val post = VectorOps.annFromIndex(spark, sf0001, dir).collect().map(_.toSeq).toSeq
+    assert(post === pre, "compaction must be byte-invisible to search")
+    assert(partFiles() < filesPre,
+      s"the fold must collapse the appended file sets (pre=$filesPre)")
+    // the registered lifecycle twins agree end-to-end
+    val viaCompact = VectorOps.x_annCompact(spark, sf0001).collect().map(_.toSeq).toSeq
+    val viaAppend = VectorOps.x_annAppend(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(viaCompact === viaAppend)
+    assert(viaCompact.nonEmpty)
+  }
+
+  test("x_ann_drift: a shifted arrival epoch shows the error jump; an unshifted control stays flat") {
+    import graft.ops.{Tables, VectorOps}
+    import spark.implicits._
+    // deterministic pseudo-random 64-dim vectors in [0,1); the shifted
+    // corpus displaces its LAST epoch (vec_id > 95 of 0..127) by +4 —
+    // far outside the base-trained codebooks' domain, the
+    // distribution-shift case the census exists to expose
+    def vec(id: Long, shift: Float): Seq[Float] =
+      Seq.tabulate(64)(i => (((id * 64 + i) * 2654435761L % 1000) / 1000.0f) + shift)
+    def corpus(dir: String, shiftLast: Boolean): String = {
+      Tables.rmrf(dir)
+      (0L to 127L).map(id =>
+          (id, vec(id, if (shiftLast && id > 95) 4.0f else 0.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val shifted = corpus(s"${Tables.scratch}/ann_drift_shift", shiftLast = true)
+    val control = corpus(s"${Tables.scratch}/ann_drift_ctl", shiftLast = false)
+    val ds = VectorOps.x_annDrift(spark, shifted).collect()
+    assert(ds.length === 4, "four epoch rows")
+    assert(ds.map(_.getAs[Long]("n_vecs")).sum === 128L)
+    val errS = ds.map(r => r.getAs[Long]("epoch") -> r.getAs[Long]("mean_err_e6")).toMap
+    val errC = VectorOps.x_annDrift(spark, control).collect()
+      .map(r => r.getAs[Long]("epoch") -> r.getAs[Long]("mean_err_e6")).toMap
+    // the two corpora differ ONLY in the last epoch and the codebooks
+    // train on the (identical) base — so drift is the SAME-epoch
+    // counterfactual: epochs 0-2 census byte-equal, the shifted
+    // arrival epoch's mean error pulls far away from its unshifted
+    // twin's. (Comparing epochs of ONE corpus would conflate drift
+    // with the train/held-out generalization gap — with 256 codewords
+    // over a 32-vector base the codebooks memorize the base, so even
+    // an unshifted later epoch reads higher than epoch 0.)
+    for (e <- 0L to 2L)
+      assert(errS(e) === errC(e), s"epoch $e must be shift-invariant")
+    assert(errS(3L) > 2L * math.max(errC(3L), 1L),
+      s"shifted epoch must pull away from its unshifted twin: S=$errS C=$errC")
+  }
+
   test("x_ann_append: the append plan holds no Lloyd and never re-scans the base") {
     import graft.ops.{Tables, VectorOps}
     val emb = Tables.embeddings(spark, sf0001)
