@@ -281,13 +281,35 @@ object CorpusOps {
     * exactly these rows per micro-batch), so the keep rule cannot
     * drift between the twins. Pure per-row work.
     */
-  private[graft] def sizedDigest(docs: DataFrame): DataFrame = {
+  /** The sized+digest column set — ONE definition under both
+    * [[sizedDigest]] and [[corpusArrivalState]] so the batch pipeline
+    * and the arrival sink cannot drift.
+    */
+  private def sizedDigestCols: Seq[org.apache.spark.sql.Column] = {
     val ntok = when(col("text").isNull, lit(0L))
       .otherwise(size(split(col("text"), " ")).cast("long"))
-    docs.select(col("doc_id"), col("source"), ntok.as("n_tok"),
+    Seq(col("doc_id"), col("source"), ntok.as("n_tok"),
       md5(col("doc_id").cast("string")).as("order_key"),
       sha2(lower(col("text")), 256).as("digest"))
   }
+
+  private[graft] def sizedDigest(docs: DataFrame): DataFrame =
+    docs.select(sizedDigestCols: _*)
+
+  /** The WHOLE per-document arrival state in ONE projection —
+    * [[sizedDigest]]'s columns plus the doc's distinct shingle-hash
+    * array ([[graft.ops.TextOps.docShinglesCol]]; null for docs that
+    * emit no shingles). s19 sinks exactly these rows per micro-batch:
+    * one pass over the text, ONE write job, no caching — a
+    * two-sink/persist form would pay a second write job per trigger
+    * and hold the batch's TEXT in executor memory, pure per-trigger
+    * overhead at arrival scale. The cut re-derives each stage's view
+    * by column pruning (sized columns; explode(hs) for the pair
+    * machinery).
+    */
+  private[graft] def corpusArrivalState(docs: DataFrame): DataFrame =
+    docs.select(sizedDigestCols :+ TextOps.docShinglesCol.as("hs"): _*)
+
 
   /** The manifest CUT — c16's resolution + gate + packing over the
     * slim per-document state and the resolved cluster table: exact

@@ -133,15 +133,25 @@ object TextOps {
     * work with NO exchange in the streaming plan at all.
     */
   private[graft] def docShingles(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), expr(
-        "filter(array_distinct(transform(sequence(0, size(t)-3), " +
-          "i -> xxhash64(t[i], t[i+1], t[i+2]))), x -> x IS NOT NULL)").as("hs"))
+    docs.select(col("doc_id"), docShinglesCol.as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
         explode(col("hs")).as("h"))
       .select(col("doc_id"), col("h"), col("n"))
+
+  /** [[docShingles]]' array as a single COLUMN over (doc_id, text) —
+    * the doc's distinct shingle-hash set, or null when the doc emits
+    * none (null id, or under 3 tokens; explode then drops it exactly
+    * like the row form's filters). This is what lets s19's arrival
+    * sink carry the whole per-document state in ONE projection. The
+    * repeated split() calls collapse under Project subexpression
+    * elimination in codegen.
+    */
+  private[graft] def docShinglesCol: org.apache.spark.sql.Column =
+    when(col("doc_id").isNotNull && size(split(col("text"), " ")) >= 3,
+      expr("filter(array_distinct(transform(" +
+        "sequence(0, size(split(text, ' ')) - 3), " +
+        "i -> xxhash64(split(text, ' ')[i], split(text, ' ')[i + 1], " +
+        "split(text, ' ')[i + 2]))), x -> x IS NOT NULL)"))
 
   /** Shared-shingle pair counts → exact Jaccard ≥ 0.5, deterministic
     * order — the common tail of c2 and x_minhash's verification.

@@ -1203,14 +1203,16 @@ object StreamOps {
     * each stage needs, touching document TEXT exactly once, in the
     * micro-batch that delivered it:
     *
-    *   - the sized+digest row ([[graft.ops.CorpusOps.sizedDigest]] —
-    *     the dedup keep key, the token gate's count, the packer's
+    *   - the sized+digest columns ([[graft.ops.CorpusOps.sizedDigest]]
+    *     — the dedup keep key, the token gate's count, the packer's
     *     order key), and
-    *   - the doc's distinct shingle set with its cardinality
-    *     ([[graft.ops.TextOps.docShingles]] — c2's state, computed
-    *     ROW-LOCALLY so the streaming plans hold no exchange at all),
+    *   - the doc's distinct shingle-hash array with its cardinality
+    *     ([[graft.ops.TextOps.docShinglesCol]] — c2's state, computed
+    *     ROW-LOCALLY so the streaming plan holds no exchange at all),
     *
-    * each sunk into its own `bid=N` overwrite partition (the s14
+    * together in ONE projection ([[graft.ops.CorpusOps
+    * .corpusArrivalState]] — one row per doc, one write job per
+    * trigger) sunk into a `bid=N` overwrite partition (the s14
     * replay-idempotence convention). The manifest CUT then runs at
     * drain close over arrived state only — and that placement is
     * SEMANTIC, not convenience: under c16's contract every resolution
@@ -1229,48 +1231,59 @@ object StreamOps {
     * (driver-hash-checked; StreamingSpec pins a forced multi-batch
     * arrival row-for-row).
     *
-    * Scale (100 TB): per batch, two pure per-row projections over the
-    * delta — no joins, no aggs, no state in the stream; the close-time
-    * cut consumes ~72-byte sized rows and 16-byte shingle postings,
-    * never text, with c16's own economics (map-side-combined digest
-    * agg, df-banded pair join, label-state CC, one pack shuffle).
+    * Scale (100 TB): per batch, ONE pure per-row projection over the
+    * delta — no joins, no aggs, no caching, no state in the stream;
+    * the close-time cut consumes slim state rows (sized columns + the
+    * shingle array), never text, with c16's own economics
+    * (map-side-combined digest agg, df-banded pair join, label-state
+    * CC, one pack shuffle).
     */
-  def s19_streamCorpusPipeline(spark: SparkSession, d: String): DataFrame = {
+  def s19_streamCorpusPipeline(spark: SparkSession, d: String): DataFrame =
+    s19At(spark, d, maxFilesPerTrigger = None)
+
+  /** The trigger-cadence-parameterized form: the registered query
+    * drains with AvailableNow's natural batching — the extraction is
+    * STATELESS per row, so batch size is semantics-free and forcing
+    * 1-file triggers would only multiply the per-trigger floor (32×
+    * at the decade layout's file count) for no semantic coverage; the
+    * tiling spec passes Some(1) HERE to force a genuinely multi-batch
+    * drain and pin that the cut is batch-tiling-invariant.
+    */
+  private[graft] def s19At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     import graft.ops.{CorpusOps, TextOps}
     val (_, chk, base) = sinkDirsWithBase("s19", d)
-    val sized = s"$base/sized"
-    val shingles = s"$base/shingles"
-    val arriving = stagedFileStream(spark, d, "documents", maxFilesPerTrigger = Some(1))
+    val state = s"$base/state"
+    val arriving = stagedFileStream(spark, d, "documents", maxFilesPerTrigger)
     val q = arriving.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", chk)
-      // batchId-keyed overwrite sinks: replay-idempotent (see s1); the
-      // batch is persisted because TWO state extractions consume it —
-      // without the persist each write would re-read and re-decode the
-      // batch's files
+      // batchId-keyed overwrite sink: replay-idempotent (see s1); ONE
+      // projection computes the whole per-document state, so the
+      // batch's text is read once and the trigger pays one write job
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val b = batch.persist()
-        try {
-          CorpusOps.sizedDigest(b)
-            .write.mode("overwrite").parquet(s"$sized/bid=$bid")
-          TextOps.docShingles(b)
-            .write.mode("overwrite").parquet(s"$shingles/bid=$bid")
-        } finally b.unpersist()
-        ()
+        CorpusOps.corpusArrivalState(batch)
+          .write.mode("overwrite").parquet(s"$state/bid=$bid")
       }
       .start()
     q.awaitTermination()
-    val sizedSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, source STRING, n_tok BIGINT, order_key STRING, digest STRING")
-    val shSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, h BIGINT, n BIGINT")
-    val sizedArr = readSink(spark, sized, sizedSchema)
-      .select(sizedSchema.fieldNames.map(col).toIndexedSeq: _*)
-    val shArr = readSink(spark, shingles, shSchema)
-      .select(shSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val stateSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, n_tok BIGINT, order_key STRING, " +
+        "digest STRING, hs ARRAY<BIGINT>")
+    val arrived = readSink(spark, state, stateSchema)
+      .select(stateSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val sized = arrived.select(col("doc_id"), col("source"), col("n_tok"),
+      col("order_key"), col("digest"))
+    // the shingle view: explode the per-doc array back into the
+    // (doc_id, h, n) rows the band + pair machinery consumes (explode
+    // drops the null-array docs exactly like docShingles' filters)
+    val sh = arrived
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("h"), col("n"))
     val clusters = TextOps.clustersOf(
-      TextOps.jaccardPairsOf(TextOps.capBand(shArr)))
-    CorpusOps.manifestFrom(sizedArr, clusters)
+      TextOps.jaccardPairsOf(TextOps.capBand(sh)))
+    CorpusOps.manifestFrom(sized, clusters)
   }
 
   /** The valid-side read-back of the s7 split (test hook, not a

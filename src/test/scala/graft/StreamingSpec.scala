@@ -521,7 +521,11 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Tables.documents(spark, sf0001)
       .repartition(3)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val streamed = graft.streaming.StreamOps.s19_streamCorpusPipeline(spark, dir).collect()
+    // maxFilesPerTrigger=1 forces one batch per part file — the
+    // registered query drains with natural batching (the extraction
+    // is stateless, so the cadence is semantics-free; this pins it)
+    val streamed = graft.streaming.StreamOps
+      .s19At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
     val oneShot = graft.ops.CorpusOps.c16_corpusPipeline(spark, dir).collect()
     assert(streamed.nonEmpty)
     assert(streamed.toSeq === oneShot.toSeq,
