@@ -1122,6 +1122,33 @@ object TextOps {
       java.nio.file.Paths.get(s"$dir/df.parquet"))
   }
 
+  /** POSTING PRUNE — the index maintenance the s14 stop list reads
+    * out on the fly, materialized: a fingerprint whose standing df has
+    * crossed [[WinnowDfCap]] can never pair again (df only GROWS, and
+    * the band excludes everything above the cap), so its posting rows
+    * are dead weight every future ingest scans, Bloom-probes and
+    * semi-joins for nothing — on a boilerplate-heavy corpus that is
+    * the bulk of the index. The prune drops exactly those rows from
+    * the posting table while the df census keeps the full counts (the
+    * census IS what proves the fp stays over-cap; pruning it too
+    * would un-cap the fp when the count re-accumulated from zero).
+    * RESULT-IDENTICAL FOREVER by the monotonicity argument — pinned
+    * in scalatest on an over-cap corpus and end-to-end by
+    * [[x_neardupPrune]]'s oracle. Same write-new → rm-old → rename
+    * swap as [[neardupCompact]].
+    */
+  private[graft] def neardupPrunePostings(spark: SparkSession, dir: String): Unit = {
+    val hot = spark.read.parquet(s"$dir/df.parquet")
+      .filter(col("df_old") > WinnowDfCap).select(col("fp"))
+    spark.read.parquet(s"$dir/postings.parquet")
+      .join(hot, Seq("fp"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/postings_next.parquet")
+    Tables.rmrf(s"$dir/postings.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/postings_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/postings.parquet"))
+  }
+
   /** Ingest-day count for [[x_neardupLifecycle]]. */
   val LifecycleDays = 3
 
@@ -1317,6 +1344,39 @@ object TextOps {
       (dir, from, until, day) => neardupEpochIngest(spark, d, dir, from, until, day))(
       // compact after day 2: day 3 must ingest against the FOLDED base
       (dir, day) => if (day == LifecycleDays - 1) neardupCompact(spark, dir))
+
+  /** x_neardup_prune: the ingest lifecycle WITH a mid-stream posting
+    * prune — [[x_neardupLifecycle]]'s cadence, with
+    * [[neardupPrunePostings]] dropping the over-cap fingerprints'
+    * posting rows after day 1's fold, so days 2 and 3 ingest against
+    * the PRUNED table. Completes the posting index's maintenance
+    * pair the way the LM has fold+prune: [[neardupCompact]] keeps the
+    * read path O(base + recent) in FILES, this keeps it lean in ROWS
+    * — and unlike the LM's prune (which changes scores and ships its
+    * own oracle), the posting prune is RESULT-IDENTICAL by df
+    * monotonicity, so the query carries the lifecycle's tiling-union
+    * oracle VERBATIM and is driver-hash-checked. The driver fixture's
+    * max df sits far under the cap (the prune is a no-op there — the
+    * gate proves the plumbing); the semantics where the prune BITES
+    * is pinned in scalatest on a boilerplate-heavy over-cap corpus,
+    * where the pruned and unpruned lifecycles emit identical audits
+    * over a posting table that actually shrank.
+    *
+    * Scale (100 TB): the prune is one anti-join rewrite of slim
+    * posting rows against the KB-scale over-cap census slice, off the
+    * ingest path — and it is exactly what caps the index-side cost of
+    * every future ingest on boilerplate-heavy corpora (the stop list
+    * s14 derives per drain becomes physical).
+    */
+  def x_neardupPrune(spark: SparkSession, d: String): DataFrame =
+    lifecycleDriver(spark, d, "prunelc")(
+      (dir, from, until, _) => neardupIngest(spark, d, dir, from, until))(
+      (dir, day) => if (day < LifecycleDays) {
+        neardupIndexAppend(spark, dir)
+        // prune once the first fold has landed: days 2..N ingest
+        // against the lean table
+        if (day == 1) neardupPrunePostings(spark, dir)
+      })
 
   /** BPE-ish pre-tokenizer regex (c26) — the GPT-2-family shape:
     * contractions, space-prefixed letter runs, space-prefixed digit
@@ -1565,6 +1625,9 @@ object TextOps {
     // compaction identity (scalatest-pinned), so it shares the oracle
     // STRING by reference — one definition, no drift
     "x_neardup_compact" -> LifecycleOracle,
+    // x_neardup_prune: result-identical by df monotonicity (over-cap
+    // fps never pair again) — the lifecycle's oracle verbatim
+    "x_neardup_prune" -> LifecycleOracle,
     "c1_dedup_exact" ->
       """SELECT sha256(lower(text)) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY sha256(lower(text)) ORDER BY keep_id""".stripMargin,
@@ -1679,6 +1742,7 @@ object TextOps {
     "x_neardup_incremental" -> x_neardupIncremental _,
     "x_neardup_lifecycle" -> x_neardupLifecycle _,
     "x_neardup_compact" -> x_neardupCompact _,
+    "x_neardup_prune" -> x_neardupPrune _,
     "c26_bpe_token_stats" -> c26_bpeTokenStats _,
     "c27_contamination" -> c27_contamination _,
     "x_contain_from_postings" -> x_containFromPostings _,

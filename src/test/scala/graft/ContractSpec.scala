@@ -93,6 +93,9 @@ class ContractSpec extends AnyFunSuite {
       "s17_stream_lm_heldout" -> "x_lm_heldout",
       // compact-mid-lifecycle ≡ the lifecycle (the compaction identity)
       "x_neardup_compact" -> "x_neardup_lifecycle",
+      // prune-mid-lifecycle ≡ the lifecycle (df monotonicity: over-cap
+      // fps never pair again, so dropping their postings is invisible)
+      "x_neardup_prune" -> "x_neardup_lifecycle",
       // fold-then-score ≡ retrain-then-score (bigram-census additivity)
       "x_lm_update" -> "c35_lm_score",
       // fold-on-arrival ≡ retrain, however batches tile (additivity)
@@ -105,9 +108,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 135 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 135)
-    assert(SparkEntry.oracleSql.size === 117)
+  test("the inventory holds all 136 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 136)
+    assert(SparkEntry.oracleSql.size === 118)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

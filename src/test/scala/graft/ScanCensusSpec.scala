@@ -278,6 +278,9 @@ class ScanCensusSpec extends SparkSpec {
     // x_neardup_compact: same three-audit union; the compaction fold
     // ran as earlier jobs
     "x_neardup_compact" -> ((3, 0)),
+    // x_neardup_prune: same three-audit union; the prune rewrite ran
+    // as earlier jobs
+    "x_neardup_prune" -> ((3, 0)),
     // x_bpe_train: the merge table is driver model state parallelized
     // back out — the census scan ran as an earlier job
     "x_bpe_train" -> ((0, 0)),

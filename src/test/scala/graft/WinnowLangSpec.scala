@@ -439,6 +439,55 @@ class WinnowLangSpec extends SparkSpec {
       "compact-mid-lifecycle must emit the lifecycle's exact rows")
   }
 
+  test("posting prune: over-cap rows leave the table, the census survives, audits stay byte-identical") {
+    import spark.implicits._
+    // a boilerplate-heavy corpus where the prune BITES (the driver
+    // fixture's max df sits far under the cap, so there the prune is
+    // plumbing-only): 70 identical docs across base + day 1 push
+    // their fps over WinnowDfCap before the day-1 fold, unique day-1
+    // docs gain day-2 near-dup copies, day 3 is more boilerplate
+    val dir = s"${graft.ops.Tables.scratch}/prune_overcap"
+    graft.ops.Tables.rmrf(dir)
+    val boiler = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    def uniq(i: Int) = (1 to 16).map(j => s"w${i}x$j").mkString(" ")
+    val rows =
+      (1 to 70).map(i => (i.toLong, boiler, "en", "src0")) ++
+      (71 to 100).map(i => (i.toLong, uniq(i), "en", "src0")) ++
+      (101 to 130).map(i => (i.toLong, uniq(i - 30), "en", "src1")) ++
+      (131 to 200).map(i => (i.toLong, boiler, "en", "src1"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the registered lifecycles agree row-for-row where the prune bites
+    val viaPrune = TextOps.x_neardupPrune(spark, dir).collect().map(_.toSeq).toSeq
+    val viaLifecycle = TextOps.x_neardupLifecycle(spark, dir).collect().map(_.toSeq).toSeq
+    assert(viaPrune.nonEmpty)
+    assert(viaPrune === viaLifecycle,
+      "the pruned lifecycle must emit the unpruned lifecycle's exact rows")
+    // ...and on the driver fixture (no-op prune) too
+    val fixPrune = TextOps.x_neardupPrune(spark, sf0001).collect().map(_.toSeq).toSeq
+    val fixLife = TextOps.x_neardupLifecycle(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(fixPrune === fixLife && fixPrune.nonEmpty)
+    // the machinery probe: the prune drops exactly the over-cap rows
+    // while the census keeps proving the fp is over-cap
+    val idir = graft.ops.Tables.scratchDir("prune_probe", dir)
+    TextOps.neardupIndexBuild(spark, dir, idir, 100L)
+    val hotFps = spark.read.parquet(s"$idir/df.parquet")
+      .filter(col("df_old") > TextOps.WinnowDfCap).select(col("fp"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hotFps.nonEmpty, "the base must hold over-cap fingerprints")
+    val pre = spark.read.parquet(s"$idir/postings.parquet").count()
+    TextOps.neardupPrunePostings(spark, idir)
+    val postings = spark.read.parquet(s"$idir/postings.parquet")
+    assert(postings.count() < pre, "the prune must drop rows")
+    assert(postings.filter(col("fp").isin(hotFps.toSeq: _*)).count() === 0L,
+      "no over-cap posting survives the prune")
+    val censusHot = spark.read.parquet(s"$idir/df.parquet")
+      .filter(col("df_old") > TextOps.WinnowDfCap).count()
+    assert(censusHot === hotFps.size.toLong,
+      "the census must keep the over-cap counts (it proves the cap)")
+  }
+
   test("x_neardup_bucketed is byte-equal to c25 on both fixture scales") {
     Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
       val direct = TextOps.c25_winnowNeardup(spark, d).collect().map(_.toSeq).toSeq
