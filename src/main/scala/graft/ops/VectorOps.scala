@@ -437,10 +437,20 @@ object VectorOps {
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val (cents, cbs) = readAnnModel(spark, dir)
-    delta.select(col("vec_id"),
+    delta.select(annAssignCols(cents, cbs): _*)
+  }
+
+  /** The assignment projection under a GIVEN model — one TopCells +
+    * PqAssign map, the codebooks riding the plan as reference objects.
+    * Shared by the batch append path and s20's per-batch arrival
+    * assignment (which reads the model ONCE per drain, not per
+    * trigger — the s17 standing-state lesson).
+    */
+  private[graft] def annAssignCols(cents: Array[Array[Float]],
+      cbs: Array[Array[Array[Float]]]): Seq[Column] =
+    Seq(col("vec_id"),
       Extras.topCellsCol(cents, 1).getItem(0).as("cell"),
       pqCol(cbs, codes = true).as("codes"))
-  }
 
   /** INDEX APPEND — the vector analog of the posting index's
     * [[graft.ops.TextOps.neardupIndexAppend]], closing the lifecycle
@@ -473,7 +483,18 @@ object VectorOps {
   private[graft] def annFromIndex(spark: SparkSession, d: String, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val (cents, cbs) = readAnnModel(spark, dir)
-    val corpus = spark.read.parquet(s"$dir/codes.parquet")
+    annSearchCodes(spark, d, spark.read.parquet(s"$dir/codes.parquet"), cents, cbs)
+  }
+
+  /** The search tail over ANY (vec_id, cell, codes) frame under a
+    * given model — annFromIndex feeds it one materialized table, s20
+    * feeds it the standing base ∪ the drain's arrived epochs; ONE
+    * body so the consumers cannot drift.
+    */
+  private[graft] def annSearchCodes(spark: SparkSession, d: String,
+      codesDf: DataFrame, cents: Array[Array[Float]],
+      cbs: Array[Array[Array[Float]]]): DataFrame = {
+    val corpus = codesDf
       .select(col("vec_id").as("neighbor_id"),
         ColumnBridge.column(graft.functions.PqDecode(
           UnresolvedAttribute("codes"), cbs)).as("ce"),
@@ -551,17 +572,15 @@ object VectorOps {
     * it wholesale — mutations act on the clone's namespace, never the
     * memo's immutable files ([[Tables.linkTree]]).
     */
-  private def annIngest(spark: SparkSession, d: String,
-      compact: Boolean): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, d)
-    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
-    if (r.isNullAt(0)) return cosineTopK(emb.filter(lit(false)))
-    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
-    // null-id vectors belong to the standing epoch ("already there"),
-    // the x_neardup_incremental convention. An untrainable base leaves
-    // a marker instead of throwing so the memo records the outcome
-    // deterministically (memoDir unwinds on exceptions).
+  /** The MEMOIZED standing index for a dataset (base epoch ≤ mid,
+    * null-id vectors included — the x_neardup_incremental convention),
+    * or None for an untrainable base. Shared by the ingest lifecycles
+    * and the s20 arrival drain. An untrainable base leaves a marker
+    * file instead of throwing so the memo records the outcome
+    * deterministically (memoDir unwinds on exceptions).
+    */
+  private[graft] def standingAnnIndex(spark: SparkSession, d: String,
+      emb: DataFrame, mid: Long): Option[String] = {
     val memo = Tables.memoDir("ann_base", d) { p =>
       if (buildAnnIndexOf(spark,
           emb.filter(col("vec_id").isNull || col("vec_id") <= mid), p).isEmpty)
@@ -569,8 +588,21 @@ object VectorOps {
           java.nio.file.Paths.get(s"$p/UNTRAINABLE"))
     }
     if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$memo/UNTRAINABLE")))
-      return cosineTopK(emb.filter(lit(false)))
+        java.nio.file.Paths.get(s"$memo/UNTRAINABLE"))) None
+    else Some(memo)
+  }
+
+  private def annIngest(spark: SparkSession, d: String,
+      compact: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return cosineTopK(emb.filter(lit(false)))
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = standingAnnIndex(spark, d, emb, mid) match {
+      case None => return cosineTopK(emb.filter(lit(false)))
+      case Some(p) => p
+    }
     val dir = Tables.scratchDir(if (compact) "ann_compact" else "ann_append", d)
     Tables.linkTree(s"$memo/codes.parquet", s"$dir/codes.parquet")
     Tables.linkTree(s"$memo/model.parquet", s"$dir/model.parquet")

@@ -1286,6 +1286,78 @@ object StreamOps {
     CorpusOps.manifestFrom(sized, clusters)
   }
 
+  /** s20: vector-index INGEST on arrival — x_ann_append's streaming
+    * twin, giving the vector index the same arrival rung the posting
+    * index has in s15/s14 (and completing the family this round's
+    * batch work closed: build / append / compact / drift / ARRIVAL):
+    * delta vectors stream in (the `vec_id > mid` epoch, the
+    * x_neardup_incremental boundary convention), and every micro-batch
+    * is assigned cells + PQ codes with the STANDING codebooks — one
+    * TopCells + PqAssign map in the batch plan, the model read ONCE
+    * per drain as KB driver state (the s17 standing-state lesson), no
+    * Lloyd anywhere — each batch's code rows landing in their own
+    * `epochs/bid=N` overwrite partition (the s14 replay-idempotence
+    * convention). Post-drain, search runs over base ∪ arrived epochs
+    * through the SAME ivfPqSearch tail as every batch consumer.
+    *
+    * Assignment is a deterministic per-row function of (vector,
+    * model), so the arrived code rows equal [[graft.ops.VectorOps
+    * .annIndexAppend]]'s however the source tiles the delta into
+    * batches — s20's search is byte-equal to x_ann_append's (pinned
+    * in scalatest, single- and forced multi-batch). Rows-only in the
+    * driver gate like the rest of the ANN family.
+    *
+    * Scale (100 TB): per batch, one pure-map assignment over the
+    * delta + one slim write (1 B cell + M B codes per vector — the
+    * stream never holds state, never re-reads the base corpus or its
+    * codes); the standing index is memoized per dataset and consumed
+    * READ-ONLY (epochs live under the drain's own allocation, so no
+    * clone is needed — unlike the mutating batch lifecycles).
+    */
+  def s20_streamAnnIngest(spark: SparkSession, d: String): DataFrame =
+    s20At(spark, d, maxFilesPerTrigger = None)
+
+  /** Trigger-cadence-parameterized form (the s19At convention): the
+    * assignment is stateless per row, so the registered query drains
+    * with natural batching; the tiling spec passes Some(1).
+    */
+  private[graft] def s20At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.{Tables, VectorOps}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val empty = spark.range(0).select(col("id").as("probe_id"),
+      col("id").as("neighbor_id"), col("id").as("sim_e6"), col("id").as("rnk"))
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return empty
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.standingAnnIndex(spark, d, emb, mid) match {
+      case None => return empty
+      case Some(p) => p
+    }
+    val (_, chk, base) = sinkDirsWithBase("s20", d)
+    val epochs = s"$base/epochs"
+    // the standing model, read once per drain (KB driver state)
+    val (cents, cbs) = VectorOps.readAnnModel(spark, memo)
+    val arriving = stagedFileStream(spark, d, "embeddings", maxFilesPerTrigger)
+      .filter(col("vec_id") > mid)
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.select(VectorOps.annAssignCols(cents, cbs): _*)
+          .write.mode("overwrite").parquet(s"$epochs/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val baseCodes = spark.read.parquet(s"$memo/codes.parquet")
+    val arrived = readSink(spark, epochs, baseCodes.schema)
+      .select(baseCodes.schema.fieldNames.map(col).toIndexedSeq: _*)
+    VectorOps.annSearchCodes(spark, d,
+      baseCodes.unionByName(arrived), cents, cbs)
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
@@ -1413,5 +1485,6 @@ object StreamOps {
     "s17_stream_lm_heldout" -> s17_streamLmHeldout _,
     "s18_stream_lm_update"  -> s18_streamLmUpdate _,
     "s19_stream_corpus_pipeline" -> s19_streamCorpusPipeline _,
+    "s20_stream_ann_ingest" -> s20_streamAnnIngest _,
   )
 }

@@ -255,6 +255,9 @@ class ScanCensusSpec extends SparkSpec {
     // s18: per-batch census partials ran inside the drain; the returned
     // scoring plan is c35's shape (merged LM checkpointed to RDD state)
     "s18_stream_lm_update" -> ((1, 0)),
+    // s20: the search plan reads the memoized base codes + the arrived
+    // epoch sink + the pushed-filter probe slice of embeddings
+    "s20_stream_ann_ingest" -> ((3, 0)),
     // s19: the close-time cut reads the sized-state sink twice (the
     // digest-keeps census + the survivor projection — c16's two-scan
     // shape over the slim sink instead of the corpus); the drop list

@@ -288,6 +288,30 @@ class TextVectorSpec extends SparkSpec {
       "appended vectors must be searchable")
   }
 
+  test("s20: assignment-on-arrival search ≡ x_ann_append, single- and multi-batch") {
+    import graft.ops.{Tables, VectorOps}
+    import graft.streaming.StreamOps
+    // single-batch (the fixture is one file)
+    val streamed = StreamOps.s20_streamAnnIngest(spark, sf0001).collect().map(_.toSeq).toSeq
+    val batch = VectorOps.x_annAppend(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "arrival assignment must search byte-equal to the batch append")
+    // forced multi-batch: a 3-file delta arriving file-by-file still
+    // assigns the same codes (deterministic per-row function of
+    // (vector, model)) — the union searches identically
+    val dir = s"${Tables.scratch}/s20_multifile"
+    Tables.rmrf(dir)
+    Tables.embeddings(spark, sf0001).repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val streamedMulti = StreamOps.s20At(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batchMulti = VectorOps.x_annAppend(spark, dir).collect().map(_.toSeq).toSeq
+    assert(streamedMulti.nonEmpty)
+    assert(streamedMulti === batchMulti,
+      "multi-batch arrival must tile the one-shot append exactly")
+  }
+
   test("x_ann_compact: the fold is invisible to search and collapses the appended file sets") {
     import graft.ops.{Tables, VectorOps}
     val emb = Tables.embeddings(spark, sf0001)
