@@ -6,7 +6,7 @@ import graft.ops._
 import graft.streaming.StreamOps
 
 /** Driver-contract consistency pins. SparkEntry assembles its maps by
-  * `++` over fourteen per-module maps — which silently OVERWRITES on a
+  * `++` over fifteen per-module maps — which silently OVERWRITES on a
   * duplicate name (one operator would shadow another and the shadowed
   * one would vanish from the gate without any failure), and an oracle
   * whose name doesn't match a query is silently never compared. Both
