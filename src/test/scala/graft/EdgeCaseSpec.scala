@@ -74,23 +74,35 @@ class EdgeCaseSpec extends SparkSpec {
     "c23_lang_id", "c24_winnow_fingerprint", "c25_winnow_neardup",
     "c26_bpe_token_stats", "c27_contamination", "x_contain_from_postings",
     "c28_pack_bpe", "x_neardup_bucketed", "x_neardup_incremental",
-    "x_neardup_lifecycle", "x_neardup_compact", "x_bpe_train", "x_bpe_coverage",
+    "x_neardup_lifecycle", "x_neardup_compact", "x_neardup_prune",
+    "x_bpe_train", "x_bpe_coverage",
     "c29_repetition_stats", "c30_quality_gate", "c31_pii_redact",
     "c32_domain_stats", "c33_rarity_score", "c34_encoding_stats",
     "x_semantic_dedup", "x_semantic_ann", "x_select_by_rarity",
-    "x_ann_append",
+    "x_ann_append", "x_ann_compact", "x_ann_drift",
     // the LM family's held-out/update forms: the dirty corpus has NO
     // src0 shard, so the standing LM is EMPTY — held-out scoring must
     // take the OOV fallback on every bigram, and the update fold must
     // degrade to fold(∅, delta) ≡ retrain (additivity's empty-base arm)
     "x_lm_heldout", "x_lm_update",
+    // x_lm_prune over the no-src0 corpus: the standing LM is empty, the
+    // prune of an empty table is empty, every transition is OOV with
+    // n_tot = 0 (cost length(bin(0)) = 1 bit) — totality of the
+    // degenerate pruned model
+    "x_lm_prune",
     // s9/s10 read documents, not events — the streaming queries that
     // belong in the corpus sweep (dirty text through the classifier /
     // audit stream; empty corpus must drain to an empty sink)
     "s9_stream_lang_id", "s10_stream_contamination",
     "s11_stream_quality_gate", "s12_stream_pii", "s13_stream_funnel",
     "s14_stream_neardup", "s15_stream_fingerprint", "s16_stream_lm_score",
-    "s17_stream_lm_heldout", "s18_stream_lm_update")
+    "s17_stream_lm_heldout", "s18_stream_lm_update",
+    // the round-17 arrival forms: the composed corpus build and the
+    // vector-index ingest must drain dirty/empty corpora to sane
+    // manifests/searches (s19's cut over a corpus where near-dups,
+    // null text and sub-shingle docs all occur; s20's assignment over
+    // ragged/NaN/zero-norm vectors)
+    "s19_stream_corpus_pipeline", "s20_stream_ann_ingest")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {
