@@ -538,7 +538,20 @@ object VectorOps {
       try s.filter(java.nio.file.Files.isRegularFile(_))
         .mapToLong(java.nio.file.Files.size(_)).sum()
       finally s.close()
-    val parts = math.max(1L, (bytes + AnnCompactFileBytes - 1) / AnnCompactFileBytes).toInt
+    val byTarget = (bytes + AnnCompactFileBytes - 1) / AnnCompactFileBytes
+    // parallelism floor: PQ decode is CPU-bound (~8 B of codes become
+    // 64 floats + three dots per row), so the scan's task count — which
+    // Spark's openCost packing ties to the FILE count for a small table
+    // — matters far more than file size. Folding a mid-sized index to
+    // ceil(bytes/64MB) files collapsed the decode stage to 2-3 tasks
+    // (measured at the x1000 decade index: search 3.9 s → 25 s, a 6×
+    // regression). While the index is smaller than parallelism×target,
+    // keep one file per core instead — capped by ceil(bytes/64KB) so a
+    // truly tiny index still folds to one file; once the index outgrows
+    // the cluster, byTarget dominates and files are target-sized.
+    val floor = math.min(spark.sparkContext.defaultParallelism.toLong,
+      (bytes + (64L << 10) - 1) / (64L << 10))
+    val parts = math.max(1L, math.max(byTarget, floor)).toInt
     spark.read.parquet(s"$dir/codes.parquet").coalesce(parts)
       .write.mode("overwrite").parquet(s"$dir/codes_next.parquet")
     Tables.rmrf(s"$dir/codes.parquet")

@@ -74,6 +74,65 @@ object ProfileMaintenance {
       f"epoch_ingests_total=$accum%.1f probe_pre=$tPre%.2f " +
       f"compact=$tCompact%.2f probe_post=$tPost%.2f rows=$rowsPre")
 
+    // ---- 1b. posting prune ----
+    // identity over the decade corpus first: its replicas PERTURB every
+    // token (CorpusDecade preserves the df distribution by design), so
+    // no fp crosses the cap and the prune must be a no-op — the probe
+    // re-run is byte-identical either way
+    val postingsPre = spark.read.parquet(s"$dir/postings.parquet").count()
+    val (_, tPrune) = timed(TextOps.neardupPrunePostings(spark, dir))
+    val postingsPost = spark.read.parquet(s"$dir/postings.parquet").count()
+    val (rowsPruned, tProbePruned) = timed(
+      TextOps.neardupEpochIngest(spark, d, dir, probeFrom, None, probeBid).count())
+    Tables.rmrf(s"$dir/epochs/bid=$probeBid")
+    require(rowsPruned == rowsPre,
+      s"prune identity broken: $rowsPre pre vs $rowsPruned post")
+    println(f"[maint] neardup-prune dir=$d postings_pre=$postingsPre " +
+      f"postings_post=$postingsPost prune=$tPrune%.2f " +
+      f"probe_pruned=$tProbePruned%.2f rows=$rowsPruned")
+    // ...then the corpus the prune EXISTS for: a boilerplate-heavy lake
+    // shard (30% of base docs share one template → their fps' df ≫
+    // cap). Measures the shrink and what the lean table buys the SAME
+    // delta-day ingest.
+    locally {
+      import spark.implicits._
+      val nBoiler = 15000L * epochs / 8
+      val nUniq = 35000L * epochs / 8
+      val bdir = s"${Tables.scratch}/maint_boiler_corpus"
+      Tables.rmrf(bdir)
+      val boiler = (1 to 24).map(i => s"tmpl$i").mkString(" ")
+      val n = nBoiler + nUniq
+      val bmid = n / 2
+      // delta docs past bmid re-use base-unique seeds, so the probe
+      // ingest emits real near-dup pairs (a vacuous 0-pair identity
+      // would prove nothing)
+      spark.range(n)
+        .select(col("id").as("doc_id"),
+          when(col("id") < nBoiler, lit(boiler))
+            .otherwise(expr(
+              s"concat_ws(' ', transform(sequence(1, 24), i -> concat('u', " +
+                s"CAST(CASE WHEN id >= $bmid THEN id - $bmid + $nBoiler ELSE id END AS STRING), " +
+                "'x', CAST(i AS STRING))))"))
+            .as("text"),
+          lit("en").as("lang"), lit("src0").as("source"),
+          lit(100L).as("n_chars"))
+        .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
+      val idirA = Tables.scratchDir("maint_prune_a", bdir)
+      TextOps.neardupIndexBuild(spark, bdir, idirA, bmid)
+      val pPre = spark.read.parquet(s"$idirA/postings.parquet").count()
+      val (ingPreRows, tIngPre) = timed(
+        TextOps.neardupIngest(spark, bdir, idirA, bmid).count())
+      val (_, tPruneB) = timed(TextOps.neardupPrunePostings(spark, idirA))
+      val pPost = spark.read.parquet(s"$idirA/postings.parquet").count()
+      val (ingPostRows, tIngPost) = timed(
+        TextOps.neardupIngest(spark, bdir, idirA, bmid).count())
+      require(ingPreRows == ingPostRows,
+        s"boiler prune identity broken: $ingPreRows vs $ingPostRows")
+      println(f"[maint] neardup-prune-boiler docs=$n postings_pre=$pPre " +
+        f"postings_post=$pPost prune=$tPruneB%.2f " +
+        f"ingest_pre=$tIngPre%.2f ingest_post=$tIngPost%.2f rows=$ingPreRows")
+    }
+
     // ---- 2. ANN append vs rebuild ----
     // skipped (not returned from) when embeddings are empty: the LM
     // section below needs only documents, and a documents-only dataset
