@@ -133,8 +133,16 @@ object TextOps {
     * work with NO exchange in the streaming plan at all.
     */
   private[graft] def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), docShinglesCol.as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+    shingleRows(docs.select(col("doc_id"), docShinglesCol.as("hs")))
+
+  /** (doc_id, hs array) → the carded (doc_id, h, n) rows [[capBand]]
+    * consumes — ONE definition for the batch row form and s19's
+    * arrived-state explode (explode drops null-array docs, matching
+    * the row form's filters; a convention change applied to one copy
+    * but not the other would silently break the s19 ≡ c16 identity).
+    */
+  private[graft] def shingleRows(state: DataFrame): DataFrame =
+    state.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
         explode(col("hs")).as("h"))
       .select(col("doc_id"), col("h"), col("n"))
 

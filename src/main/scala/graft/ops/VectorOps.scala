@@ -552,8 +552,16 @@ object VectorOps {
     val floor = math.min(spark.sparkContext.defaultParallelism.toLong,
       (bytes + (64L << 10) - 1) / (64L << 10))
     val parts = math.max(1L, math.max(byTarget, floor)).toInt
-    spark.read.parquet(s"$dir/codes.parquet").coalesce(parts)
-      .write.mode("overwrite").parquet(s"$dir/codes_next.parquet")
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    // coalesce can only REDUCE partition count — raising to the floor
+    // needs a real repartition (round-17 review: a few bulky appends
+    // read as 3-6 packed partitions, coalesce(32) was a silent no-op
+    // and the fold re-created the low-parallelism layout). The shuffle
+    // moves slim code rows, and only ever fires for an index small
+    // enough that the floor binds.
+    val out = if (parts > codes.rdd.getNumPartitions) codes.repartition(parts)
+              else codes.coalesce(parts)
+    out.write.mode("overwrite").parquet(s"$dir/codes_next.parquet")
     Tables.rmrf(s"$dir/codes.parquet")
     java.nio.file.Files.move(
       java.nio.file.Paths.get(s"$dir/codes_next.parquet"),

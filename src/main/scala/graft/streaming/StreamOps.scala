@@ -1275,12 +1275,10 @@ object StreamOps {
     val sized = arrived.select(col("doc_id"), col("source"), col("n_tok"),
       col("order_key"), col("digest"))
     // the shingle view: explode the per-doc array back into the
-    // (doc_id, h, n) rows the band + pair machinery consumes (explode
-    // drops the null-array docs exactly like docShingles' filters)
-    val sh = arrived
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
-        explode(col("hs")).as("h"))
-      .select(col("doc_id"), col("h"), col("n"))
+    // (doc_id, h, n) rows the band + pair machinery consumes — through
+    // the SAME body as the batch row form (TextOps.shingleRows), so
+    // the array-to-rows convention cannot drift between the twins
+    val sh = TextOps.shingleRows(arrived.select(col("doc_id"), col("hs")))
     val clusters = TextOps.clustersOf(
       TextOps.jaccardPairsOf(TextOps.capBand(sh)))
     CorpusOps.manifestFrom(sized, clusters)

@@ -98,8 +98,10 @@ object ProfileMaintenance {
       import spark.implicits._
       val nBoiler = 15000L * epochs / 8
       val nUniq = 35000L * epochs / 8
-      val bdir = s"${Tables.scratch}/maint_boiler_corpus"
-      Tables.rmrf(bdir)
+      // generation-suffixed + dataset-keyed (the scratch-path lint's
+      // rule): two concurrent profiles must not overwrite each other's
+      // synthetic corpus mid-run
+      val bdir = Tables.scratchDir("maint_boiler_corpus", d)
       val boiler = (1 to 24).map(i => s"tmpl$i").mkString(" ")
       val n = nBoiler + nUniq
       val bmid = n / 2
