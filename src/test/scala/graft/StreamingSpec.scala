@@ -507,6 +507,19 @@ class StreamingSpec extends SparkSpec {
       "the arrival-extracted manifest must equal the batch pipeline exactly")
   }
 
+  test("s19's cut consumes arrived state only — no digest/shingle/order-key derivation in the final plan") {
+    // the composition's point: text is touched once, in the drain; the
+    // close-time cut must read the state columns, never recompute them
+    // (a regression that re-derived sha2/md5/xxhash64 over text would
+    // still hash-match — this pins the SCALE property)
+    val df = graft.streaming.StreamOps.s19_streamCorpusPipeline(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    for (fn <- Seq("sha2", "xxhash64", "md5", "winnow_fps"))
+      assert(!p.toLowerCase.contains(fn),
+        s"cut plan re-derives $fn over text:\n${p.take(2000)}")
+  }
+
   test("s19 tiling: a multi-file corpus arriving batch-by-batch still cuts the batch manifest") {
     // several part files → several micro-batches → per-batch sized +
     // shingle state partitions; the close-time cut over their union
