@@ -690,16 +690,36 @@ object CorpusOps {
     * (min-count cut) exactly as the posting index interleaves ingest
     * with compaction.
     */
+  /** The STANDING train-shard LM artifact — counts (w1, w2, n12) +
+    * heads (w1, n1) parquet, trained on the [[LmTrainSource]] shard —
+    * memoized per dataset ([[Tables.memoDir]]): in production it is
+    * the model a PAST training run shipped, and rebuilding it inside
+    * every fold/prune/score invocation double-counts the base train
+    * in BENCH and hides the maintenance step's marginal cost (the
+    * round-15 №6 lesson the lifecycles already apply; extended to the
+    * LM family per round-17 ADVICE). Consumers read it strictly
+    * READ-ONLY — folds and prunes write their next generation into
+    * their own scratch area — so no link-clone is needed.
+    */
+  private[graft] def standingTrainLmDir(spark: SparkSession, d: String): String =
+    Tables.memoDir("lm_train", d) { p =>
+      bigramCensusOf(Tables.documents(spark, d)
+          .filter(col("source") === LmTrainSource))
+        .write.mode("overwrite").parquet(s"$p/counts.parquet")
+      spark.read.parquet(s"$p/counts.parquet")
+        .groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+        .write.mode("overwrite").parquet(s"$p/heads.parquet")
+    }
+
   def x_lmUpdate(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val dir = Tables.scratchDir("lm_update", d)
-    // the standing artifact: trained on the base epoch, persisted
-    bigramCensusOf(docs.filter(col("source") === LmTrainSource))
-      .write.mode("overwrite").parquet(s"$dir/counts.parquet")
+    // the standing artifact: trained on a past epoch, memoized
+    val lmDir = standingTrainLmDir(spark, d)
     // the fold: delta census ⊕ standing table → the NEXT generation,
     // persisted (what production ships to s16/s17-style consumers)
     lmUpdateCounts(
-        spark.read.parquet(s"$dir/counts.parquet"),
+        spark.read.parquet(s"$lmDir/counts.parquet"),
         bigramsOf(docs.filter(!(col("source") <=> lit(LmTrainSource)))))
       .write.mode("overwrite").parquet(s"$dir/counts_v2.parquet")
     // score through the UPDATED artifact — c35's exact tail; the
@@ -751,24 +771,25 @@ object CorpusOps {
   def x_lmPrune(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val dir = Tables.scratchDir("lm_prune", d)
-    // the standing artifact: trained on the base epoch, persisted
-    // (x_lm_update's generation layout)
-    bigramCensusOf(docs.filter(col("source") === LmTrainSource))
-      .write.mode("overwrite").parquet(s"$dir/counts.parquet")
-    val full = spark.read.parquet(s"$dir/counts.parquet")
+    // the standing artifact: trained on a past epoch, memoized
+    // ([[standingTrainLmDir]] — per round-17 ADVICE the base train is
+    // standing state, not per-invocation work; BENCH now measures the
+    // prune + scoring, the maintenance job's real recurring cost). The
+    // memo already ships the pre-prune head census, which IS the
+    // marginal the pruned artifact keeps.
+    val lmDir = standingTrainLmDir(spark, d)
+    val full = spark.read.parquet(s"$lmDir/counts.parquet")
     // the PRUNE: min-count cut over the pair table, persisted as the
     // next generation; heads + total stay the pre-prune marginals
     full.filter(col("n12") >= LmPruneMin)
       .write.mode("overwrite").parquet(s"$dir/counts_v2.parquet")
-    full.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-      .write.mode("overwrite").parquet(s"$dir/heads.parquet")
     // scoring consumes the persisted generation as checkpointed slim
     // state (the x_lm_update idiom — one documents scan in the final
     // plan) and the 1-scalar total as a collected broadcast (the s17
     // pattern: an un-materialized agg would re-scan the census inside
     // the scoring plan)
     val counts = spark.read.parquet(s"$dir/counts_v2.parquet").localCheckpoint()
-    val heads = spark.read.parquet(s"$dir/heads.parquet").localCheckpoint()
+    val heads = spark.read.parquet(s"$lmDir/heads.parquet").localCheckpoint()
     val nTot = full.agg(coalesce(sum(col("n12")), lit(0L))).head().getLong(0)
     import spark.implicits._
     val tot = Seq(nTot).toDF("n_tot")

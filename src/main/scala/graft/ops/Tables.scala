@@ -176,14 +176,51 @@ object Tables {
     // allocates one more generation of the shared prefix and after
     // ScratchLag+1 of them the reaper would delete generation 1 while
     // this memo still serves its path for the JVM's life (round-16
-    // ADVICE). String.hashCode is specified arithmetic — stable across
-    // JVMs — so the prefix stays deterministic per raw path.
+    // ADVICE). The fold is the first 16 hex chars of the raw path's
+    // SHA-256 — deterministic across JVMs like the old 32-bit
+    // String.hashCode, but wide enough (64 bits) that two raw paths
+    // colliding on BOTH sanitize(d) and the digest — the double
+    // collision that would share a generation sequence and re-create
+    // the reaper-deletes-live-memo bug — is out of reach rather than
+    // merely unlikely (round-17 ADVICE).
     memoDirs.computeIfAbsent(s"$tag $d", _ => {
-      val dir = scratchDir(s"${tag}_${Integer.toHexString(d.hashCode)}", d)
+      val dir = scratchDir(s"${tag}_${pathDigest(d)}", d)
       try build(dir)
       catch { case e: Throwable => scala.util.Try(rmrf(dir)); throw e }
+      // freeze the artifact: every consumer convention here treats data
+      // files as immutable (mutations are unlink + rename at the
+      // DIRECTORY level, which POSIX permits on read-only files), so an
+      // in-place write — the one access pattern that would silently
+      // corrupt the shared memo AND every hard-link clone of it for the
+      // JVM's life — now fails fast with AccessDenied instead of
+      // corrupting (round-17 ADVICE).
+      freezeFiles(dir)
       dir
     })
+
+  /** First 16 hex chars of the raw path's SHA-256 — [[memoDir]]'s
+    * prefix disambiguator.
+    */
+  private def pathDigest(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** Set every regular file under `dir` read-only ([[memoDir]]'s
+    * freeze). Directories stay writable — epoch appends and the
+    * unlink+rename swaps are DIRECTORY mutations and must keep working
+    * in hard-link clones of a frozen memo.
+    */
+  private def freezeFiles(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(dir)
+    if (Files.isDirectory(p)) {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).forEach { f =>
+        scala.util.Try(f.toFile.setWritable(false, false))
+      } finally s.close()
+    }
+  }
 
   /** Hard-link clone of a memoized artifact directory into a
     * per-invocation scratch area (falls back to copy where links are

@@ -1145,11 +1145,26 @@ object TextOps {
     * [[x_neardupPrune]]'s oracle. Same write-new → rm-old → rename
     * swap as [[neardupCompact]].
     */
-  private[graft] def neardupPrunePostings(spark: SparkSession, dir: String): Unit = {
-    val hot = spark.read.parquet(s"$dir/df.parquet")
-      .filter(col("df_old") > WinnowDfCap).select(col("fp"))
+  /** The prune's rewrite frame — split from the write so PlanSpec can
+    * pin its executed plan shuffle-free on the posting side.
+    */
+  private[graft] def neardupPruneFrame(spark: SparkSession, dir: String): DataFrame = {
+    // broadcast the over-cap slice explicitly (the s14 stop-list fix,
+    // one layer down): it is provably ≤ postings/WinnowDfCap rows —
+    // each surviving fp row stands for > WinnowDfCap posting rows —
+    // but the planner's size estimate for it is the UNFILTERED census
+    // file, so at a lake-sized index an unhinted anti-join can pick
+    // sort-merge and shuffle the ENTIRE posting table for a
+    // maintenance prune (round-17 verdict). PlanSpec pins the rewrite
+    // plan free of posting-side shuffle exchanges.
+    val hot = broadcast(spark.read.parquet(s"$dir/df.parquet")
+      .filter(col("df_old") > WinnowDfCap).select(col("fp")))
     spark.read.parquet(s"$dir/postings.parquet")
       .join(hot, Seq("fp"), "left_anti")
+  }
+
+  private[graft] def neardupPrunePostings(spark: SparkSession, dir: String): Unit = {
+    neardupPruneFrame(spark, dir)
       .write.mode("overwrite").parquet(s"$dir/postings_next.parquet")
     Tables.rmrf(s"$dir/postings.parquet")
     java.nio.file.Files.move(

@@ -1084,14 +1084,11 @@ object StreamOps {
     * Consumed by s17 (held-out scoring) and s18 (the fold's base).
     */
   private def standingLmDir(spark: SparkSession, d: String): String =
-    Tables.memoDir("s17_lm", d) { p =>
-      graft.ops.CorpusOps.bigramCensusOf(Tables.documents(spark, d)
-          .filter(col("source") === graft.ops.CorpusOps.LmTrainSource))
-        .write.mode("overwrite").parquet(s"$p/counts.parquet")
-      spark.read.parquet(s"$p/counts.parquet")
-        .groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-        .write.mode("overwrite").parquet(s"$p/heads.parquet")
-    }
+    // ONE memoized artifact per dataset, shared with the batch LM
+    // maintenance rungs (x_lm_update's base, x_lm_prune's pre-cut
+    // census) — the production picture exactly: one shipped model,
+    // many consumers (round-17 ADVICE hoisted it to CorpusOps)
+    graft.ops.CorpusOps.standingTrainLmDir(spark, d)
 
   def s17_streamLmHeldout(spark: SparkSession, d: String): DataFrame = {
     import graft.ops.CorpusOps

@@ -89,6 +89,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x_neardup_prune: the rewrite anti-join broadcasts the over-cap slice — postings never shuffle") {
+    // the prune's whole point is dropping dead posting rows CHEAPLY;
+    // an unhinted anti-join against the filtered df census (whose size
+    // estimate is the unfiltered file) can pick sort-merge at lake
+    // scale and shuffle the ENTIRE posting table for a maintenance job
+    // (round-17 verdict). Build a tiny real index and pin the rewrite
+    // plan: broadcast join, zero posting-side hash exchanges.
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    val r = docs.agg(fmin(col("doc_id")), fmax(col("doc_id"))).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val dir = graft.ops.Tables.scratchDir("prune_plan", sf0001)
+    TextOps.neardupIndexBuild(spark, sf0001, dir, mid)
+    val p = plan(TextOps.neardupPruneFrame(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the over-cap slice must broadcast into the anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      s"the posting table must not shuffle for its own prune:\n$p")
+  }
+
   test("c2: candidate generation is an equi-join on the shingle hash, no nested loop") {
     val p = plan(TextOps.c2_dedupJaccard(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"c2 must not nested-loop:\n$p")
