@@ -514,7 +514,7 @@ object VectorOps {
     * unchanged from x_ann_from_index's shape).
     */
   def x_annAppend(spark: SparkSession, d: String): DataFrame =
-    annIngest(spark, d, compact = false)
+    annIngest(spark, d, "ann_append")((_, _) => ())
 
   /** INDEX COMPACTION — the vector analog of the posting index's
     * [[graft.ops.TextOps.neardupCompact]]: [[annIndexAppend]] lands
@@ -582,16 +582,83 @@ object VectorOps {
     * like the rest of the ANN family.
     */
   def x_annCompact(spark: SparkSession, d: String): DataFrame =
-    annIngest(spark, d, compact = true)
+    annIngest(spark, d, "ann_compact")((_, dir) => annCompact(spark, dir))
 
-  /** The shared ingest lifecycle behind [[x_annAppend]] and
-    * [[x_annCompact]]: memoized base build (the lifecycleDriver
+  /** INDEX REBUILD — the drift-triggered codebook RETRAIN, the action
+    * [[x_annDrift]]'s alert exists to schedule and the one rung the
+    * index ladder was missing (build/append/compact/drift/arrival all
+    * existed; the loop closes here): when an arrival epoch's mean ADC
+    * error pulls away from the base band, appending with the stale
+    * base-trained codebooks keeps paying that error forever —
+    * compaction's fold deliberately does NOT fix it (same codes, fewer
+    * files). The rebuild retrains BOTH quantizers over the index's
+    * CURRENT corpus (base ∪ every appended epoch) through the same
+    * bounded-sample hash-seeded trainers as the build — cost ∝ the
+    * sample, never the corpus — then reassigns every vector its new
+    * cell + codes in ONE TopCells + PqAssign map pass (the one
+    * corpus-sized read the rebuild pays; assignment is a deterministic
+    * per-row function of (vector, model), so the result is byte-equal
+    * to a from-scratch [[buildAnnIndexOf]] over the same corpus —
+    * pinned in scalatest), and swaps BOTH generations with the
+    * write-new → rm-old → rename convention ([[annCompact]]'s swap,
+    * applied to codes AND model — a mid-swap crash leaves the old
+    * generation's files intact plus a reconstructible _next dir,
+    * exactly the recovery story a table format gives the same
+    * OPTIMIZE).
+    *
+    * Scale (100 TB): training reads ≤ trainCap cached vectors
+    * (∝ nothing); the reassignment is one pure-map corpus scan + one
+    * slim write (1 B cell + M B codes per vector) — the same cost
+    * profile as the original build, paid on the DRIFT cadence the
+    * monitor measures, not per append. FAISS's retrain-vs-add
+    * tradeoff, made an operator.
+    */
+  private[graft] def annRebuild(spark: SparkSession, emb: DataFrame,
+      dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = Extras.ivfCentroids(spark, emb)
+    val cbs = pqCodebooks(spark, emb)
+    // a trainable BASE (the standing index exists) implies a trainable
+    // union — the sample only grew; fail loudly rather than swap in an
+    // empty model over a live index
+    require(cents.nonEmpty && cbs.nonEmpty,
+      "annRebuild over an untrainable corpus")
+    emb.select(annAssignCols(cents, cbs): _*)
+      .write.mode("overwrite").parquet(s"$dir/codes_next.parquet")
+    import spark.implicits._
+    Seq((cents.map(_.toSeq).toSeq, cbs.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("cents", "cbs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model_next.parquet")
+    for (t <- Seq("codes", "model")) {
+      Tables.rmrf(s"$dir/$t.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/${t}_next.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    }
+  }
+
+  /** x_ann_rebuild: the ingest lifecycle WITH the drift-triggered
+    * retrain — build-base (memoized standing index) → append-delta
+    * with the stale base codebooks → REBUILD over base ∪ delta →
+    * search. The search output is byte-equal to [[x_annFromIndex]]'s
+    * (a from-scratch build over the full corpus — the rebuild
+    * identity, pinned in scalatest along with the drift-band recovery
+    * on a forced-shift fixture); rows-only in the driver gate like
+    * the rest of the ANN family.
+    */
+  def x_annRebuild(spark: SparkSession, d: String): DataFrame =
+    annIngest(spark, d, "ann_rebuild")((emb, dir) => annRebuild(spark, emb, dir))
+
+  /** The shared ingest lifecycle behind [[x_annAppend]],
+    * [[x_annCompact]] and [[x_annRebuild]] — the variants differ ONLY
+    * in the post-append `maintain` hook (nothing / file fold / retrain
+    * + generation swap): memoized base build (the lifecycleDriver
     * pattern — in production the index exists from past ingests;
     * rebuilding per invocation double-counts build cost in BENCH),
     * link-cloned into the invocation's area because the append
-    * MUTATES codes.parquet (new file-sets) and the compaction swaps
-    * it wholesale — mutations act on the clone's namespace, never the
-    * memo's immutable files ([[Tables.linkTree]]).
+    * MUTATES codes.parquet (new file-sets) and the maintenance hooks
+    * swap tables wholesale — mutations act on the clone's namespace,
+    * never the memo's immutable files ([[Tables.linkTree]]).
     */
   /** The MEMOIZED standing index for a dataset (base epoch ≤ mid,
     * null-id vectors included — the x_neardup_incremental convention),
@@ -613,8 +680,8 @@ object VectorOps {
     else Some(memo)
   }
 
-  private def annIngest(spark: SparkSession, d: String,
-      compact: Boolean): DataFrame = {
+  private def annIngest(spark: SparkSession, d: String, tag: String)(
+      maintain: (DataFrame, String) => Unit): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
     val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
@@ -624,11 +691,11 @@ object VectorOps {
       case None => return cosineTopK(emb.filter(lit(false)))
       case Some(p) => p
     }
-    val dir = Tables.scratchDir(if (compact) "ann_compact" else "ann_append", d)
+    val dir = Tables.scratchDir(tag, d)
     Tables.linkTree(s"$memo/codes.parquet", s"$dir/codes.parquet")
     Tables.linkTree(s"$memo/model.parquet", s"$dir/model.parquet")
     annIndexAppend(spark, emb.filter(col("vec_id") > mid), dir)
-    if (compact) annCompact(spark, dir)
+    maintain(emb, dir)
     annFromIndex(spark, d, dir)
   }
 
@@ -1106,6 +1173,7 @@ object VectorOps {
     "x_ann_append"       -> x_annAppend _,
     "x_ann_compact"      -> x_annCompact _,
     "x_ann_drift"        -> x_annDrift _,
+    "x_ann_rebuild"      -> x_annRebuild _,
     "x_semantic_dedup"   -> x_semanticDedup _,
     "x_semantic_ann"     -> x_semanticAnn _,
   )

@@ -182,6 +182,24 @@ object ProfileMaintenance {
           println(f"[maint] ann-compact dir=$d files_pre=$fPre " +
             f"files_post=${codeFiles()} compact=$tAnnCompact%.2f " +
             f"search_pre=$tSearchPre%.2f search_post=$tSearchPost%.2f")
+          // ---- 2c. in-place REBUILD (x_ann_rebuild's swap) ----
+          // the drift-triggered retrain on the LIVE index: retrain both
+          // quantizers over base ∪ delta, reassign every vector in one
+          // map pass, swap both generations. Identity: the swapped-in
+          // index must search byte-equal to the from-scratch build in
+          // rdir (same deterministic trainers, same corpus). The
+          // rebuild-vs-append crossover: an append costs tAppend every
+          // day at quantization quality frozen at the base; a rebuild
+          // costs tAnnRebuild once per drift alert — the ratio says how
+          // many drift-free days one rebuild buys.
+          val (_, tAnnRebuild) = timed(VectorOps.annRebuild(spark, emb, p))
+          val rebuilt = VectorOps.annFromIndex(spark, d, p).collect().toSeq
+          val scratchRows = VectorOps.annFromIndex(spark, d, rdir).collect().toSeq
+          require(rebuilt == scratchRows,
+            "ann rebuild identity broken: swapped index differs from from-scratch")
+          println(f"[maint] ann-rebuild dir=$d rebuild_inplace=$tAnnRebuild%.1f " +
+            f"append=$tAppend%.2f scratch_build=$tRebuild%.1f " +
+            f"append_per_rebuild=${tAnnRebuild / math.max(tAppend, 1e-9)}%.1f")
       }
     }
 

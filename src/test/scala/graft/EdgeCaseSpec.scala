@@ -80,6 +80,11 @@ class EdgeCaseSpec extends SparkSpec {
     "c32_domain_stats", "c33_rarity_score", "c34_encoding_stats",
     "x_semantic_dedup", "x_semantic_ann", "x_select_by_rarity",
     "x_ann_append", "x_ann_compact", "x_ann_drift",
+    // x_ann_rebuild: a trainable dirty base implies a trainable union
+    // (the sample only grows), so the retrain + generation swap must
+    // survive ragged/NaN vectors; an empty corpus early-returns before
+    // any training
+    "x_ann_rebuild",
     // the LM family's held-out/update forms: the dirty corpus has NO
     // src0 shard, so the standing LM is EMPTY — held-out scoring must
     // take the OOV fallback on every bigram, and the update fold must

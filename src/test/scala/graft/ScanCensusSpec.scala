@@ -208,6 +208,9 @@ class ScanCensusSpec extends SparkSpec {
     "x_ann_append" -> ((2, 0)),
     // x_ann_compact: same search plan; the fold ran as earlier jobs
     "x_ann_compact" -> ((2, 0)),
+    // x_ann_rebuild: same search plan over the swapped-in generation;
+    // the retrain + reassignment ran as earlier jobs
+    "x_ann_rebuild" -> ((2, 0)),
     // x_ann_drift: ONE pure-map corpus scan into the four-row census;
     // codebook training ran eagerly on the bounded sample
     "x_ann_drift" -> ((1, 0)),

@@ -380,6 +380,75 @@ class TextVectorSpec extends SparkSpec {
       s"shifted epoch must pull away from its unshifted twin: S=$errS C=$errC")
   }
 
+  test("x_ann_rebuild: the retrained index is byte-equal to a from-scratch build") {
+    import graft.ops.VectorOps
+    // both trainers are bounded-sample + hash-seeded (deterministic per
+    // corpus) and assignment is a pure function of (vector, model), so
+    // rebuilding an appended index over base ∪ delta must restore
+    // EXACTLY the index a from-scratch build over the full corpus
+    // produces — x_ann_from_index's. Search output pinned byte-equal.
+    val viaRebuild = VectorOps.x_annRebuild(spark, sf0001).collect().map(_.toSeq).toSeq
+    val fromScratch = VectorOps.x_annFromIndex(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(viaRebuild === fromScratch,
+      "rebuild must restore the from-scratch full-corpus index")
+    assert(viaRebuild.nonEmpty)
+  }
+
+  test("x_ann_rebuild: the forced-shift epoch's drift census returns to the base band") {
+    import graft.ops.{Tables, VectorOps}
+    import spark.implicits._
+    // the x_ann_drift fixture: epochs 0-2 in [0,1), the arrival epoch
+    // (id > 95) displaced by +4 — the distribution shift the monitor
+    // alerts on; the rebuild is the action that clears the alert
+    def vec(id: Long, shift: Float): Seq[Float] =
+      Seq.tabulate(64)(i => (((id * 64 + i) * 2654435761L % 1000) / 1000.0f) + shift)
+    val cdir = s"${Tables.scratch}/ann_rebuild_shift"
+    Tables.rmrf(cdir)
+    (0L to 127L).map(id => (id, vec(id, if (id > 95) 4.0f else 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, cdir)
+    val bounds = Seq(31L, 63L, 95L)
+    // the appended deployment: codebooks trained on the pre-shift base,
+    // the shifted epoch absorbed with them (x_ann_append's path)
+    val dir = VectorOps.buildAnnIndexOf(spark, emb.filter(col("vec_id") <= 95),
+      Tables.scratchDir("annrb_t", cdir)).get
+    VectorOps.annIndexAppend(spark, emb.filter(col("vec_id") > 95), dir)
+    val cbsPre = VectorOps.readAnnModel(spark, dir)._2
+    def census(cbs: Array[Array[Array[Float]]]): Map[Long, Long] =
+      VectorOps.annDriftCensus(emb, cbs, bounds).collect()
+        .map(r => r.getAs[Long]("epoch") -> r.getAs[Long]("mean_err_e6")).toMap
+    val pre = census(cbsPre)
+    // the alert fires: the shifted epoch pulls away from the base band
+    assert(pre(3L) > 2L * (0L to 2L).map(e => math.max(pre(e), 1L)).max,
+      s"fixture must show the drift alert pre-rebuild: $pre")
+    VectorOps.annRebuild(spark, emb, dir)
+    val cbsPost = VectorOps.readAnnModel(spark, dir)._2
+    assert(cbsPost.map(_.map(_.toSeq).toSeq).toSeq !==
+        cbsPre.map(_.map(_.toSeq).toSeq).toSeq,
+      "the model generation must actually swap")
+    val post = census(cbsPost)
+    info(s"drift census pre-rebuild: $pre")
+    info(s"drift census post-rebuild: $post")
+    // ...and clears: retrained codebooks cover the shifted region, so
+    // the epoch's mean error collapses by orders of magnitude, back to
+    // the same order as the base epochs (it stays a few × higher — the
+    // 2-iteration Lloyd leaves the 32-vector far cloud slightly
+    // underserved — which is exactly the from-scratch build's own
+    // quality on this corpus, pinned below: a rebuild can never beat
+    // the build it restores)
+    assert(post(3L) < pre(3L) / 100L,
+      s"rebuild must collapse the shifted epoch's error: pre=$pre post=$post")
+    assert(post(3L) <= 16L * (0L to 2L).map(e => math.max(post(e), 1L)).max,
+      s"post-rebuild the shifted epoch must return to the base band's order: $post")
+    // the rebuilt model IS the from-scratch model (deterministic
+    // trainers), so its census equals the best this trainer can do
+    val scratch = VectorOps.buildAnnIndexOf(spark, emb,
+      Tables.scratchDir("annrb_fs", cdir)).get
+    assert(census(VectorOps.readAnnModel(spark, scratch)._2) === post,
+      "rebuild must restore exactly the from-scratch census")
+  }
+
   test("x_ann_append: the append plan holds no Lloyd and never re-scans the base") {
     import graft.ops.{Tables, VectorOps}
     val emb = Tables.embeddings(spark, sf0001)
