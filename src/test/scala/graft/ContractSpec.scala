@@ -102,15 +102,19 @@ class ContractSpec extends AnyFunSuite {
       "s18_stream_lm_update" -> "c35_lm_score",
       // extract-on-arrival + cut-at-close ≡ the batch pipeline (per-doc
       // state lands whole in one batch; reduces run over the union)
-      "s19_stream_corpus_pipeline" -> "c16_corpus_pipeline")
+      "s19_stream_corpus_pipeline" -> "c16_corpus_pipeline",
+      // standing state = the batch backfill's exact base pairs; the
+      // delta net covers every exact delta-touching pair at the gated
+      // scales (SemIncNprobe's margin) — full post-fold state ≡ batch
+      "x_semantic_incremental" -> "x_semantic_dedup")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 138 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 138)
-    assert(SparkEntry.oracleSql.size === 118)
+  test("the inventory holds all 139 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 139)
+    assert(SparkEntry.oracleSql.size === 119)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

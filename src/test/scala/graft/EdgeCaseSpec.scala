@@ -79,6 +79,10 @@ class EdgeCaseSpec extends SparkSpec {
     "c29_repetition_stats", "c30_quality_gate", "c31_pii_redact",
     "c32_domain_stats", "c33_rarity_score", "c34_encoding_stats",
     "x_semantic_dedup", "x_semantic_ann", "x_select_by_rarity",
+    // x_semantic_incremental: ragged/NaN/zero-norm vectors leave the
+    // similarity domain in BOTH the standing build and the delta
+    // postings (finiteNorm); an untrainable/empty base early-returns
+    "x_semantic_incremental",
     "x_ann_append", "x_ann_compact", "x_ann_drift",
     // x_ann_rebuild: a trainable dirty base implies a trainable union
     // (the sample only grows), so the retrain + generation swap must

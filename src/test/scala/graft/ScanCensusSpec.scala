@@ -228,6 +228,10 @@ class ScanCensusSpec extends SparkSpec {
     // x_semantic_dedup: like c15, the final plan reads checkpointed
     // label RDDs — the embeddings scans live in the sweep jobs
     "x_semantic_dedup" -> ((0, 0)),
+    // x_semantic_incremental: same checkpointed cluster tail — the
+    // standing-state build, delta assignment, pair fold and CC sweeps
+    // all ran as earlier jobs
+    "x_semantic_incremental" -> ((0, 0)),
     // x_semantic_ann: same cluster tail — training, assignment and the
     // pair join all run before the checkpointed label state
     "x_semantic_ann" -> ((0, 0)),

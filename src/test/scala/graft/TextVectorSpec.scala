@@ -51,6 +51,71 @@ class TextVectorSpec extends SparkSpec {
     assert(kept === 3) // 1, 5, and the singleton 3
   }
 
+  test("x_semantic_incremental: a delta arrival merges base clusters and extends state retroactively") {
+    import spark.implicits._
+    // base (id ≤ mid=6): {1,2} along e1 (cluster A), {4,5} along e2
+    // (cluster B), 6 along e3 (singleton → absent). delta (> mid):
+    // 11 = the A↔B BRIDGE (cos ≈ 0.7 to both axes — two base clusters
+    // merge RETROACTIVELY), 12 pairs with base-singleton 6 (a standing
+    // non-member gains membership), 13 along e4 (still a singleton —
+    // stays absent)
+    val vecs: Seq[(Long, Seq[Float], String)] = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), "a"),
+      (2L, Seq(0.95f, 0.05f, 0f, 0f), "a"),
+      (4L, Seq(0f, 1f, 0f, 0f), "b"),
+      (5L, Seq(0.05f, 0.95f, 0f, 0f), "b"),
+      (6L, Seq(0f, 0f, 1f, 0f), "c"),
+      (11L, Seq(0.7f, 0.7f, 0f, 0f), "a"),
+      (12L, Seq(0f, 0.05f, 0.95f, 0f), "c"),
+      (13L, Seq(0f, 0f, 0f, 1f), "d"))
+    val d = s"${graft.ops.Tables.scratch}/seminc_tile"
+    graft.ops.Tables.rmrf(d)
+    vecs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = VectorOps.x_semanticIncremental(spark, d).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_canonical"))).toSeq.sortBy(x => (x._2, x._1))
+    // the bridge merges A and B under A's min id; 6 gains cluster {6,12}
+    assert(got === Seq((1L, 1L, true), (2L, 1L, false), (4L, 1L, false),
+      (5L, 1L, false), (11L, 1L, false), (6L, 6L, true), (12L, 6L, false))
+      .sortBy(x => (x._2, x._1)))
+    // and the full post-fold state equals the batch operator's — the
+    // twin identity the shared oracle rides on
+    val batch = VectorOps.x_semanticDedup(spark, d).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_canonical"))).toSeq.sortBy(x => (x._2, x._1))
+    assert(got === batch)
+  }
+
+  test("x_semantic_incremental: the daily pair stage holds no Lloyd and reads only the delta + standing tables") {
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.semanticIndexDir(spark, sf0001, emb, mid).get
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    val frame = VectorOps.semanticIncPairs(spark,
+      spark.read.parquet(s"$memo/postings.parquet"),
+      VectorOps.semPostingsOf(emb.filter(col("vec_id") > mid), cents))
+    val p = frame.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("vectorcentroid"),
+      s"the daily path must hold no Lloyd aggregate:\n$p")
+    // delta-proportionality: every embeddings scan carries the pushed
+    // delta bound — the day never re-reads the base corpus's vectors
+    // (the standing side arrives through the posting table)
+    assert(p.contains("GreaterThan(vec_id"),
+      s"the delta bound must push to the embeddings scan:\n$p")
+    // exactly 3 scans: the standing posting table + the delta's two
+    // branch reads (union arm + join side) — nothing else
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans === 3,
+      s"the day reads postings + delta branches only, saw $scans scans:\n$p")
+  }
+
   test("x_semantic_ann: refines the exact components (precision 1) with recall >= 0.9") {
     // the exact answer: x_semantic_dedup's components over c7's pairs
     val exact = VectorOps.x_semanticDedup(spark, sf0001).collect()
