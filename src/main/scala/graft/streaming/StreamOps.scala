@@ -1264,6 +1264,18 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
+    corpusCutOf(spark, state)
+  }
+
+  /** The manifest CUT over an arrived-state sink — s19's close-time
+    * tail, split out so the multi-epoch form ([[x_corpusEpochs]]) cuts
+    * through the IDENTICAL body after every drain: explode the per-doc
+    * state back into the rows c16's own stages consume (capBand →
+    * jaccardPairsOf → clustersOf → manifestFrom — byte-equal to the
+    * batch pipeline over whatever state has arrived so far).
+    */
+  private[graft] def corpusCutOf(spark: SparkSession, state: String): DataFrame = {
+    import graft.ops.{CorpusOps, TextOps}
     val stateSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, source STRING, n_tok BIGINT, order_key STRING, " +
         "digest STRING, hs ARRAY<BIGINT>")
@@ -1279,6 +1291,91 @@ object StreamOps {
     val clusters = TextOps.clustersOf(
       TextOps.jaccardPairsOf(TextOps.capBand(sh)))
     CorpusOps.manifestFrom(sized, clusters)
+  }
+
+  /** x_corpus_epochs: the MULTI-EPOCH corpus lifecycle — s19's state
+    * sink extended ACROSS drains, the production cadence s19's
+    * scaladoc argues about but exercises within one drain only
+    * (round-17 verdict): epoch 1 arrives, drains, and its manifest is
+    * CUT AND SHIPPED; epoch 2 arrives into the SAME source dir under
+    * the SAME checkpoint (the file source processes only the new
+    * files; batch ids continue — replay idempotence unchanged), and
+    * the close of drain 2 RE-CUTS the manifest over the UNION of all
+    * arrived state. The re-cut is the whole point: c16's resolutions
+    * are retroactive (a later-arriving smaller-id duplicate displaces
+    * its digest group's keeper; a later pair merges two standing
+    * clusters and un-canonicalizes docs; a later order key inserts
+    * BEFORE already-packed docs and shifts every downstream offset),
+    * so the epoch-1 manifest is a consumable artifact that the
+    * epoch-2 cut SUPERSEDES, never patches. Both cuts run through
+    * [[corpusCutOf]] — c16's own bodies — so the final manifest is
+    * byte-equal to the batch pipeline over the full corpus and the
+    * query carries c16's DuckDB oracle VERBATIM, hash-checked.
+    * StreamingSpec pins the retroactivity with an out-of-ID-order
+    * arrival fixture (keeper displacement + cluster merge across the
+    * epoch boundary) and pins that BOTH drains extracted (state spans
+    * multiple bids).
+    *
+    * Scale (100 TB): each epoch pays its own delta extraction (one
+    * text-touch per doc, in its arrival drain) plus a cut over SLIM
+    * state rows — text is never re-scanned at any close; what grows
+    * across epochs is only the state the cut must reduce, exactly the
+    * batch pipeline's own input scale.
+    */
+  def x_corpusEpochs(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    // the epoch split: the b32 floor-consistent boundary (null-id rows
+    // ride epoch 1, the x_neardup_incremental convention)
+    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val epochs: Seq[DataFrame] =
+      if (r.isNullAt(0)) Seq(docs)
+      else {
+        val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+        Seq(docs.filter(col("doc_id").isNull || col("doc_id") <= mid),
+          docs.filter(col("doc_id") > mid))
+      }
+    corpusEpochsOf(spark, d, epochs)._2
+  }
+
+  /** The arrival-ordered machinery behind [[x_corpusEpochs]] — epochs
+    * given as FRAMES so the retroactivity spec can arrive documents
+    * out of id order (a later epoch carrying a smaller-id duplicate /
+    * a cluster-merging bridge, the case the id split cannot produce).
+    * Returns (sink base, final cut) — the base exposes the per-epoch
+    * shipped manifests and the state partitions to tests.
+    */
+  private[graft] def corpusEpochsOf(spark: SparkSession, d: String,
+      epochs: Seq[DataFrame]): (String, DataFrame) = {
+    import graft.ops.CorpusOps
+    val (_, chk, base) = sinkDirsWithBase("xce", d)
+    val state = s"$base/state"
+    val arrivals = s"$base/arrivals"
+    val schema = Tables.documents(spark, d).schema
+    epochs.zipWithIndex.foreach { case (ep, i) =>
+      // the epoch ARRIVES: new part files land in the watched dir; the
+      // checkpoint is shared across drains, so drain i processes only
+      // the files that arrived since drain i-1 (bids keep counting —
+      // the replay-idempotent bid=N overwrite layout is unchanged)
+      ep.write.mode("append").parquet(arrivals)
+      val q = spark.readStream.schema(schema).parquet(arrivals)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          CorpusOps.corpusArrivalState(batch)
+            .write.mode("overwrite").parquet(s"$state/bid=$bid")
+        }
+        .start()
+      q.awaitTermination()
+      // the epoch CLOSES: cut and ship this epoch's manifest — the
+      // artifact consumers read until the next close supersedes it
+      corpusCutOf(spark, state)
+        .write.mode("overwrite").parquet(s"$base/manifest_e$i.parquet")
+    }
+    // the registered output is the LAST close's shipped manifest (its
+    // pack ordering re-applied — parquet read-back order is free)
+    (base, spark.read.parquet(s"$base/manifest_e${epochs.size - 1}.parquet")
+      .orderBy(col("source"), col("seq_id"), col("offset"), col("doc_id")))
   }
 
   /** s20: vector-index INGEST on arrival — x_ann_append's streaming
@@ -1411,6 +1508,10 @@ object StreamOps {
     // state lands whole in one batch; every reduce is over the union):
     // c16's oracle verbatim
     "s19_stream_corpus_pipeline" -> graft.ops.CorpusOps.oracles("c16_corpus_pipeline"),
+    // x_corpus_epochs: the final close's manifest is the batch pipeline
+    // over the full corpus (state extends across drains, the cut is
+    // retroactive) — c16's oracle verbatim, by reference
+    "x_corpus_epochs" -> graft.ops.CorpusOps.oracles("c16_corpus_pipeline"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1480,6 +1581,7 @@ object StreamOps {
     "s17_stream_lm_heldout" -> s17_streamLmHeldout _,
     "s18_stream_lm_update"  -> s18_streamLmUpdate _,
     "s19_stream_corpus_pipeline" -> s19_streamCorpusPipeline _,
+    "x_corpus_epochs" -> x_corpusEpochs _,
     "s20_stream_ann_ingest" -> s20_streamAnnIngest _,
   )
 }

@@ -103,6 +103,9 @@ class ContractSpec extends AnyFunSuite {
       // extract-on-arrival + cut-at-close ≡ the batch pipeline (per-doc
       // state lands whole in one batch; reduces run over the union)
       "s19_stream_corpus_pipeline" -> "c16_corpus_pipeline",
+      // the final multi-epoch close re-cuts over ALL arrived state =
+      // the batch pipeline over the full corpus
+      "x_corpus_epochs" -> "c16_corpus_pipeline",
       // standing state = the batch backfill's exact base pairs; the
       // delta net covers every exact delta-touching pair at the gated
       // scales (SemIncNprobe's margin) — full post-fold state ≡ batch
@@ -112,9 +115,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 139 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 139)
-    assert(SparkEntry.oracleSql.size === 119)
+  test("the inventory holds all 140 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 140)
+    assert(SparkEntry.oracleSql.size === 120)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

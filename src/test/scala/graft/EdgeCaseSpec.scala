@@ -111,7 +111,12 @@ class EdgeCaseSpec extends SparkSpec {
     // manifests/searches (s19's cut over a corpus where near-dups,
     // null text and sub-shingle docs all occur; s20's assignment over
     // ragged/NaN/zero-norm vectors)
-    "s19_stream_corpus_pipeline", "s20_stream_ann_ingest")
+    "s19_stream_corpus_pipeline", "s20_stream_ann_ingest",
+    // x_corpus_epochs: dirty docs split into two arrival epochs; the
+    // final close must re-cut the union to the same manifest c16 makes
+    // of it; an empty corpus drains (possibly zero batches) to an
+    // empty manifest
+    "x_corpus_epochs")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

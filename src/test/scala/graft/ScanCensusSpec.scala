@@ -271,6 +271,10 @@ class ScanCensusSpec extends SparkSpec {
     // is checkpointed label state, the shingle sink was consumed by
     // the cluster jobs before the final plan
     "s19_stream_corpus_pipeline" -> ((2, 0)),
+    // x_corpus_epochs: the registered output is the final close's
+    // SHIPPED manifest read back (one slim scan); the drains and both
+    // cuts ran as earlier jobs
+    "x_corpus_epochs" -> ((1, 0)),
     // x_lm_heldout: one scored-shard scan; the train-shard reduce is
     // checkpointed LM state (the c35 localCheckpoint idiom)
     "x_lm_heldout" -> ((1, 0)),

@@ -545,6 +545,61 @@ class StreamingSpec extends SparkSpec {
       "multi-batch arrival state must cut the one-shot manifest exactly")
   }
 
+  test("x_corpus_epochs: a later drain's arrivals displace keepers and merge clusters retroactively") {
+    import spark.implicits._
+    // epoch 1: two 2-doc near-dup clusters {10,11} and {20,21} (shared
+    // 5-token prefix keeps their cross-Jaccard at 3/9 < 0.5 — separate
+    // components) + unique doc 30. epoch 2 ARRIVES LATER WITH SMALLER
+    // IDS (the case the registered id split cannot produce): doc 5 is
+    // an exact duplicate of 30's text (displaces the digest keeper),
+    // doc 7 is the concatenation of 10's and 20's texts — J(7,10) =
+    // J(7,20) = 6/11 ≥ 0.5, so it BRIDGES the two standing clusters
+    // into one component AND, as the new min id, un-canonicalizes both
+    // former canonicals.
+    val t = "t1 t2 t3 t4 t5 t6"
+    val d10 = "c1 c2 c3 c4 c5 x1 x2 x3"
+    val d20 = "c1 c2 c3 c4 c5 y1 y2 y3"
+    val e1: Seq[(Long, String, String, String, Long)] = Seq(
+      (10L, d10, "en", "web", d10.length.toLong),
+      (11L, "c1 c2 c3 c4 c5 x1 x2 zz", "en", "web", 24L),
+      (20L, d20, "en", "web", d20.length.toLong),
+      (21L, "c1 c2 c3 c4 c5 y1 y2 ww", "en", "web", 24L),
+      (30L, t, "en", "web", t.length.toLong))
+    val e2: Seq[(Long, String, String, String, Long)] = Seq(
+      (5L, t, "en", "web", t.length.toLong),
+      (7L, s"$d10 $d20", "en", "web", (d10.length + d20.length + 1).toLong))
+    val dir = s"${graft.ops.Tables.scratch}/xce_retro"
+    graft.ops.Tables.rmrf(dir)
+    // the union corpus on disk: the batch oracle's input AND the schema
+    // source for the stream reader
+    (e1 ++ e2).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def frame(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (base, finalCut) = graft.streaming.StreamOps
+      .corpusEpochsOf(spark, dir, Seq(frame(e1), frame(e2)))
+    // drain 1's shipped manifest: both canonicals + the unique doc kept
+    val m1 = spark.read.parquet(s"$base/manifest_e0.parquet").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(m1 === Set(10L, 20L, 30L), s"epoch-1 manifest: $m1")
+    // drain 2's re-cut: 5 displaces 30 (smaller-id exact duplicate), 7
+    // bridges and canonicalizes the merged cluster — every epoch-1
+    // keeper is SUPERSEDED, none survives
+    val m2 = finalCut.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(m2 === Set(5L, 7L), s"epoch-2 manifest: $m2")
+    // the final close ≡ the batch pipeline over the union (the oracle
+    // identity the registered query carries)
+    val batch = graft.ops.CorpusOps.c16_corpusPipeline(spark, dir).collect()
+    assert(finalCut.collect().map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // and the state genuinely spans BOTH drains (≥ 2 bid partitions)
+    val bids = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/state"))
+      try s.filter(_.getFileName.toString.startsWith("bid=")).count()
+      finally s.close()
+    }
+    assert(bids >= 2, s"state must span both drains, saw $bids bid partitions")
+  }
+
   test("s17 semantics: streamed held-out scoring ≡ the batch x_lm_heldout, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s17_streamLmHeldout(spark, sf0001).collect()
