@@ -60,14 +60,14 @@ object ProfileSemantic {
       // expensive section (round-16 review)
       val (annIds, annSec) = ToolSession.timed(
         graft.ops.VectorOps.x_semanticAnn(spark, d)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet)
       val annRows = annIds.size
       println(f"[semantic] $d n=$n k=$k candidates=$cand exact_pairs=$exactPairs " +
         f"ann_sec=$annSec%.2f ann_rows=$annRows")
       if (n <= ExactMaxN) {
         val (exactIds, exSec) = ToolSession.timed(
           graft.ops.VectorOps.x_semanticDedup(spark, d)
-            .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet)
         val exRows = exactIds.size
         // membership recall, the TextVectorSpec definition: clustered
         // ids the ANN run keeps ∩ the exact run's — NOT a row-count
@@ -79,6 +79,23 @@ object ProfileSemantic {
         println(f"[semantic] $d exact_sec=$exSec%.2f exact_rows=$exRows " +
           f"rows_ratio=${if (exRows == 0) 1.0 else annRows.toDouble / exRows}%.4f " +
           f"membership_recall=$recall%.4f")
+        // the INGEST form (x_semantic_incremental): first invocation
+        // pays the standing-state build (codebooks + posting fan-out +
+        // the exact backfill over the base half — the batch operator's
+        // own cost, paid ONCE); the second invocation is the memo-warm
+        // DAILY marginal cost a production cadence actually recurs.
+        // Identity vs the exact batch answer asserted here end-to-end.
+        val (inc1Ids, inc1Sec) = ToolSession.timed(
+          graft.ops.VectorOps.x_semanticIncremental(spark, d)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+        val (inc2Ids, inc2Sec) = ToolSession.timed(
+          graft.ops.VectorOps.x_semanticIncremental(spark, d)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+        require(inc1Ids == exactIds && inc2Ids == exactIds,
+          s"incremental identity broken vs exact batch at $d")
+        println(f"[semantic] $d inc_first_sec=$inc1Sec%.2f " +
+          f"inc_day_sec=$inc2Sec%.2f exact_sec=$exSec%.2f " +
+          f"day_vs_exact=${inc2Sec / math.max(exSec, 1e-9)}%.3f")
       }
     }
     spark.stop()
