@@ -1091,13 +1091,30 @@ object VectorOps {
     */
   private[graft] def semPostingsOf(emb: DataFrame,
       cents: Array[Array[Float]]): DataFrame =
-    // nprobe clamps to the cell count (a tiny base can train fewer
-    // cells than the fan-out; probing all of them is exhaustive-exact)
+    semPostingRows(semArrivalState(emb, cents))
+
+  /** The slim per-vector state row behind [[semPostingsOf]] — norm +
+    * the probe-cell ARRAY under the given codebooks. Split out for the
+    * arrival twin (s21): the durable per-batch state stores each delta
+    * vector ONCE with its cell array (the s19 slim-state trick — the
+    * ×nprobe fan-out happens at the close's explode, never on disk).
+    * nprobe clamps to the cell count (a tiny base can train fewer
+    * cells than the fan-out; probing all of them is exhaustive-exact).
+    */
+  private[graft] def semArrivalState(emb: DataFrame,
+      cents: Array[Array[Float]]): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
         sqrt(sumSqOf("embedding")).as("norm"),
-        explode(Extras.topCellsCol(cents,
-          math.min(SemIncNprobe, cents.length))).as("cell"))
+        Extras.topCellsCol(cents,
+          math.min(SemIncNprobe, cents.length)).as("cells"))
       .filter(finiteNorm(col("norm")))
+
+  /** State rows back to the posting layout — ONE body with the batch
+    * form so the cell convention cannot drift between the twins.
+    */
+  private[graft] def semPostingRows(state: DataFrame): DataFrame =
+    state.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(col("cells")).as("cell"))
 
   /** The daily delta-touching pair stage of [[x_semanticIncremental]]
     * — split out so scalatest can pin its plan (no Lloyd anywhere; the

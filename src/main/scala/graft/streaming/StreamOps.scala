@@ -1450,6 +1450,85 @@ object StreamOps {
       baseCodes.unionByName(arrived), cents, cbs)
   }
 
+  /** s21: SEMANTIC-dedup ingest on arrival — x_semantic_incremental's
+    * streaming twin, the arrival rung the embedding dedup family was
+    * missing (lexical: s14; LM: s16-s18; corpus: s19; vector index:
+    * s20): delta vectors stream in (vec_id > mid), and every
+    * micro-batch extracts its slim per-vector state — norm + the
+    * probe-cell ARRAY under the STANDING codebooks (one TopCells map
+    * in the batch plan; the model a KB driver read once per drain; the
+    * ×nprobe fan-out happens at the close's explode, never on disk —
+    * the s19 slim-state argument) — into a `bid=N` overwrite partition.
+    * The pair cut runs at drain close, and that placement is SEMANTIC:
+    * cluster labels are retroactive (a later batch's vector can pair
+    * with an earlier batch's, merge standing components, or displace a
+    * canonical), so no per-batch final clustering exists — extract on
+    * arrival, resolve at close, exactly s19's contract at the
+    * embedding level. The close pairs arrived state against the
+    * standing posting table + itself through [[graft.ops.VectorOps
+    * .semanticIncPairs]] (the batch twin's own body), folds with the
+    * standing backfill pairs, and re-cuts the full cluster state —
+    * byte-equal to [[graft.ops.VectorOps.x_semanticDedup]] however
+    * the source tiles the delta (per-vector state lands whole in one
+    * batch; the pair/label reduces run over the union), so s21 carries
+    * x_semantic_dedup's DuckDB oracle VERBATIM; StreamingSpec pins a
+    * forced multi-batch drain row-for-row.
+    *
+    * Scale (100 TB): per batch, one pure-map assignment + one slim
+    * write; the stream holds no state; the close's join work is the
+    * batch twin's (delta-sized frames against the standing postings).
+    */
+  def s21_streamSemanticIngest(spark: SparkSession, d: String): DataFrame =
+    s21At(spark, d, maxFilesPerTrigger = None)
+
+  /** Trigger-cadence-parameterized form (the s19At convention): the
+    * extraction is stateless per row, so the registered query drains
+    * with natural batching; the tiling spec passes Some(1).
+    */
+  private[graft] def s21At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.{Tables, VectorOps}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val empty = spark.range(0).select(col("id").as("vec_id"),
+      col("id").as("cluster_id"), lit(true).as("is_canonical"))
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return empty
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.semanticIndexDir(spark, d, emb, mid) match {
+      case None => return empty
+      case Some(p) => p
+    }
+    val (_, chk, base) = sinkDirsWithBase("s21", d)
+    val state = s"$base/state"
+    // the standing model, read once per drain (KB driver state)
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    val arriving = stagedFileStream(spark, d, "embeddings", maxFilesPerTrigger)
+      .filter(col("vec_id") > mid)
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        VectorOps.semArrivalState(batch, cents)
+          .write.mode("overwrite").parquet(s"$state/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val stateSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE, cells ARRAY<INT>")
+    val arrived = readSink(spark, state, stateSchema)
+      .select(stateSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val newPairs = VectorOps.semanticIncPairs(spark,
+      spark.read.parquet(s"$memo/postings.parquet"),
+      VectorOps.semPostingRows(arrived))
+    graft.ops.TextOps.clustersOf(
+        spark.read.parquet(s"$memo/pairs.parquet").unionByName(newPairs))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
+
   /** The valid-side read-back of the s7 split (test hook, not a
     * registered query): must equal the a7 validation output. Reads the
     * LAST completed s7 drain for this dataset in this JVM (the
@@ -1512,6 +1591,10 @@ object StreamOps {
     // over the full corpus (state extends across drains, the cut is
     // retroactive) — c16's oracle verbatim, by reference
     "x_corpus_epochs" -> graft.ops.CorpusOps.oracles("c16_corpus_pipeline"),
+    // s21: the close's cluster state ≡ the batch x_semantic_dedup
+    // (extract-on-arrival + resolve-at-close, the s19 contract at the
+    // embedding level) — the twin's oracle verbatim, by reference
+    "s21_stream_semantic_ingest" -> graft.ops.VectorOps.oracles("x_semantic_dedup"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1583,5 +1666,6 @@ object StreamOps {
     "s19_stream_corpus_pipeline" -> s19_streamCorpusPipeline _,
     "x_corpus_epochs" -> x_corpusEpochs _,
     "s20_stream_ann_ingest" -> s20_streamAnnIngest _,
+    "s21_stream_semantic_ingest" -> s21_streamSemanticIngest _,
   )
 }

@@ -109,15 +109,19 @@ class ContractSpec extends AnyFunSuite {
       // standing state = the batch backfill's exact base pairs; the
       // delta net covers every exact delta-touching pair at the gated
       // scales (SemIncNprobe's margin) — full post-fold state ≡ batch
-      "x_semantic_incremental" -> "x_semantic_dedup")
+      "x_semantic_incremental" -> "x_semantic_dedup",
+      // extract-on-arrival + resolve-at-close ≡ the batch dedup (per-
+      // vector state lands whole in one batch; pair/label reduces run
+      // over the union)
+      "s21_stream_semantic_ingest" -> "x_semantic_dedup")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 140 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 140)
-    assert(SparkEntry.oracleSql.size === 120)
+  test("the inventory holds all 141 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 141)
+    assert(SparkEntry.oracleSql.size === 121)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -116,7 +116,11 @@ class EdgeCaseSpec extends SparkSpec {
     // final close must re-cut the union to the same manifest c16 makes
     // of it; an empty corpus drains (possibly zero batches) to an
     // empty manifest
-    "x_corpus_epochs")
+    "x_corpus_epochs",
+    // s21: the semantic ingest's arrival twin — dirty vectors leave the
+    // similarity domain in the state extraction; empty/untrainable
+    // corpora early-return before the drain
+    "s21_stream_semantic_ingest")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

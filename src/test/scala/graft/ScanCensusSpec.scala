@@ -232,6 +232,9 @@ class ScanCensusSpec extends SparkSpec {
     // standing-state build, delta assignment, pair fold and CC sweeps
     // all ran as earlier jobs
     "x_semantic_incremental" -> ((0, 0)),
+    // s21: same checkpointed cluster tail (the drain, the pair cut's
+    // inputs and the CC sweeps all ran as earlier jobs)
+    "s21_stream_semantic_ingest" -> ((0, 0)),
     // x_semantic_ann: same cluster tail — training, assignment and the
     // pair join all run before the checkpointed label state
     "x_semantic_ann" -> ((0, 0)),

@@ -545,6 +545,36 @@ class StreamingSpec extends SparkSpec {
       "multi-batch arrival state must cut the one-shot manifest exactly")
   }
 
+  test("s21 semantics: semantic ingest on arrival ≡ the batch x_semantic_dedup, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s21_streamSemanticIngest(spark, sf0001).collect()
+    val batch = graft.ops.VectorOps.x_semanticDedup(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the close-time cluster state must equal the batch dedup exactly")
+  }
+
+  test("s21 tiling: a multi-file delta arriving batch-by-batch still cuts the batch clusters") {
+    // several part files → several micro-batches → per-batch slim state
+    // partitions; the close-time pair cut + CC over their union must
+    // equal the one-shot batch dedup EXACTLY (per-vector state lands
+    // whole in one batch; pairs and labels are reduces over the union).
+    // This is where cross-batch interactions would break: a pair whose
+    // two vectors arrived in DIFFERENT batches only exists because the
+    // cut runs at close over all arrived state.
+    val dir = s"${graft.ops.Tables.scratch}/s21_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.embeddings(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val streamed = graft.streaming.StreamOps
+      .s21At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
+    val oneShot = graft.ops.VectorOps.x_semanticDedup(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq,
+      "multi-batch arrival state must cut the one-shot clusters exactly")
+  }
+
   test("x_corpus_epochs: a later drain's arrivals displace keepers and merge clusters retroactively") {
     import spark.implicits._
     // epoch 1: two 2-doc near-dup clusters {10,11} and {20,21} (shared
