@@ -1132,9 +1132,19 @@ object VectorOps {
       col("embedding").as(s"${p}e"), col("norm").as(s"${p}_norm"))
     // base ids precede delta ids (the b32 boundary), so a_id < b_id
     // with b on the delta side enumerates EXACTLY the delta-touching
-    // pairs: base↔delta in order, delta↔delta once, base↔base never
+    // pairs: base↔delta in order, delta↔delta once, base↔base never.
+    // The delta side BROADCASTS explicitly (a day's arrivals × nprobe
+    // slim rows, KB-to-MB against a lake-sized standing table): an
+    // unhinted cell equi-join would hash-SHUFFLE the ENTIRE standing
+    // posting table — embeddings included — every day, turning the
+    // daily cost from one posting scan into a corpus-sized exchange
+    // (the neardupPruneFrame lesson at the embedding level; pinned in
+    // scalatest — the pair plan's only hash exchange is the final
+    // slim-pair distinct). A delta too big to broadcast is the signal
+    // to bucket the standing table by cell instead (the b19 layout) —
+    // the join key is already the bucket key.
     side(standingPostings.unionByName(deltaPostings), "a")
-      .join(side(deltaPostings, "b"), Seq("cell"))
+      .join(broadcast(side(deltaPostings, "b")), Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim_e6",
         floor(expr("dot_f32(ae, be)") / (col("a_norm") * col("b_norm")) * 1e6).cast("long"))
@@ -1153,8 +1163,9 @@ object VectorOps {
     *     (s20's machinery), no Lloyd anywhere (pinned);
     *  2. candidates: delta↔index within shared cells + delta↔delta
     *     ([[semanticIncPairs]] — the standing side's nprobe fan-out
-    *     was materialized ONCE at build into the posting table, so the
-    *     day shuffles only delta-sized frames against it);
+    *     was materialized ONCE at build into the posting table, and
+    *     the delta side broadcasts, so the day SCANS the standing
+    *     table and shuffles nothing corpus-sized);
     *  3. verify: the exact e6 cosine at c7's ≥ 0.4 threshold —
     *     approximation affects which pairs are CONSIDERED, never
     *     whether a considered pair is real;
@@ -1178,10 +1189,12 @@ object VectorOps {
     *
     * Scale (100 TB): the standing state is built once and memoized
     * (training reads a √n-bounded sample; the posting fan-out is paid
-    * at build); the day pays one delta assignment map + a cell
-    * equi-join whose buckets hold ~nprobe·n/k ∝ √n rows + CC over
-    * slim pairs — delta-proportional where x_semantic_ann was
-    * corpus-proportional per run.
+    * at build); the day pays one delta assignment map + ONE SCAN of
+    * the standing posting table into a broadcast-hash join (no
+    * standing-side shuffle — pinned; a delta too big to broadcast is
+    * the cue to bucket the standing table by cell, the b19 layout) +
+    * CC over slim pairs — delta-proportional exchange volume where
+    * x_semantic_ann re-pays the corpus-sized shuffle per run.
     */
   def x_semanticIncremental(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -114,6 +114,16 @@ class TextVectorSpec extends SparkSpec {
     val scans = "FileScan".r.findAllIn(p).size
     assert(scans === 3,
       s"the day reads postings + delta branches only, saw $scans scans:\n$p")
+    // the delta side broadcasts: the standing posting table is SCANNED,
+    // never hash-shuffled for the daily join — the only hash exchange
+    // in the pair plan is the final slim-pair distinct
+    assert(p.contains("BroadcastHashJoin"),
+      s"the delta side must broadcast into the cell join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the standing posting table must not shuffle for the daily join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1,
+      s"only the slim-pair distinct may hash-exchange, saw $hashEx:\n$p")
   }
 
   test("x_semantic_ann: refines the exact components (precision 1) with recall >= 0.9") {
