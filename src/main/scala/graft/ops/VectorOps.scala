@@ -1181,7 +1181,7 @@ object VectorOps {
     * state is the batch backfill's (exact over base) and the delta
     * net covers every exact delta-touching pair at the gated scales
     * ([[SemIncNprobe]]) — so it carries x_semantic_dedup's DuckDB
-    * oracle VERBATIM, hash-checked end-to-end (the judge gate doubles
+    * oracle VERBATIM, hash-checked end-to-end (the driver gate doubles
     * as the candidate-recall alarm). Scalatest pins the boundary
     * tiling (base-only pairs survive the fold untouched; a
     * cluster-merging delta arrival re-labels retroactively) and the

@@ -2,7 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Scratch probe for the x_semantic_incremental design: at the fixture
+/** Design probe for the x_semantic_incremental candidate net (the
+  * BENCH_NOTES (bs) evidence generator): at the fixture
   * scales, does cell-candidate generation with STANDING base-trained
   * codebooks cover every exact delta-touching pair (cos ≥ 0.4e6)?
   * Compares (a) home-cell index × nprobe delta probes and (b) the
