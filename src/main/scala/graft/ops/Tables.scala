@@ -222,6 +222,77 @@ object Tables {
     }
   }
 
+  /** Bucketed-CTAS helper: materialize `df` as a generation-suffixed
+    * catalog table `bucketBy(buckets, bucketCol)` / `sortBy(sortCols)`
+    * under a [[scratchDir]] allocation, sweep dead sibling catalog
+    * entries, and return the table name. Extracted from the posting
+    * index's build (round-14/15/16 hardening history preserved below)
+    * so every bucketed standing layout — lexical postings, the
+    * semantic cell index — shares ONE sweep implementation.
+    */
+  def saveBucketed(spark: org.apache.spark.sql.SparkSession, tag: String,
+      d: String, buckets: Int, bucketCol: String, sortCols: Seq[String])(
+      df: org.apache.spark.sql.DataFrame): String = {
+    val dir = scratchDir(tag, d)
+    // catalog table names must be unique per invocation too (the same
+    // race as scratch paths, in the metastore): derive from the
+    // generation-suffixed dir; dots (sf0.001) are not legal in names
+    val tbl = dir.substring(dir.lastIndexOf('/') + 1).replace('.', '_')
+    // catalog sweep (round-14 ADVICE): scratchDir reaps old generation
+    // DIRS, but their catalog entries lingered, pointing at deleted
+    // paths — as do entries left by previous JVMs (whose generation
+    // numbers can even sit ABOVE this process's fresh counter). Any
+    // sibling `<tag>_*_g<N>` table whose backing location no longer
+    // exists is dead by construction (a live generation's dir is
+    // protected by ScratchLag), so drop exactly those.
+    val prefix = tbl.substring(0, tbl.lastIndexOf("_g") + 2)
+    val myGen = tbl.substring(prefix.length).toLong
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n != tbl && n.startsWith(prefix) &&
+        n.substring(prefix.length).forall(_.isDigit) &&
+        // sweep only generations the lag rule already guarantees no
+        // CONCURRENT invocation can hold (round-15 ADVICE: a sibling
+        // whose catalog entry exists a beat before its dir would
+        // otherwise be judged dead in that window). Strays from dead
+        // JVMs with higher numbers are picked up once this counter
+        // advances past them — the sweep is eventually complete either
+        // way, just never early.
+        // toLongOption, not toLong: an all-digit stray suffix longer
+        // than Long range (foreign tool, corrupted run) must be
+        // skipped, not crash the query (round-16 review)
+        n.substring(prefix.length).toLongOption
+          .exists(_ <= myGen - ScratchLag))
+      .foreach { n =>
+        // the metadata lookup races a CONCURRENT invocation's sweep
+        // (both can list the same dead sibling; the loser's lookup
+        // lands after the winner's drop) — a vanished table is simply
+        // already-swept, not an error. The existence probe sits INSIDE
+        // the Try too (round-15 ADVICE): a non-file location URI would
+        // throw in Paths.get and fail the whole query, and only
+        // file-scheme locations are ours to judge dead
+        scala.util.Try {
+          val loc = spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location
+          // Paths.get(URI) REQUIRES a scheme — a scheme-less location
+          // must go through its raw path, or the null arm is dead (the
+          // IllegalArgumentException would be swallowed by the Try and
+          // the dead entry would survive every sweep)
+          (loc.getScheme == null || loc.getScheme == "file") && {
+            val p = if (loc.getScheme == null) java.nio.file.Paths.get(loc.getPath)
+              else java.nio.file.Paths.get(loc)
+            !java.nio.file.Files.exists(p)
+          }
+        }.toOption
+          .filter(identity)
+          .foreach(_ => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    df.write.bucketBy(buckets, bucketCol).sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", s"$dir/${tag}_b").saveAsTable(tbl)
+    tbl
+  }
+
   /** Hard-link clone of a memoized artifact directory into a
     * per-invocation scratch area (falls back to copy where links are
     * unsupported). The lifecycle queries MUTATE their index in place

@@ -814,68 +814,11 @@ object TextOps {
     * build and consumer separately.
     */
   private[graft] def buildBucketedPostings(spark: SparkSession, d: String): String = {
-    val dir = Tables.scratchDir("postings_bkt", d)
-    // catalog table names must be unique per invocation too (the same
-    // race as scratch paths, in the metastore): derive from the
-    // generation-suffixed dir; dots (sf0.001) are not legal in names
-    val tbl = dir.substring(dir.lastIndexOf('/') + 1).replace('.', '_')
-    // catalog sweep (round-14 ADVICE): scratchDir reaps old generation
-    // DIRS, but their catalog entries lingered, pointing at deleted
-    // paths — as do entries left by previous JVMs (whose generation
-    // numbers can even sit ABOVE this process's fresh counter). Any
-    // sibling `postings_bkt_*_g<N>` table whose backing location no
-    // longer exists is dead by construction (a live generation's dir is
-    // protected by ScratchLag), so drop exactly those.
-    val prefix = tbl.substring(0, tbl.lastIndexOf("_g") + 2)
-    val myGen = tbl.substring(prefix.length).toLong
-    spark.catalog.listTables().collect()
-      .map(_.name)
-      .filter(n => n != tbl && n.startsWith(prefix) &&
-        n.substring(prefix.length).forall(_.isDigit) &&
-        // sweep only generations the lag rule already guarantees no
-        // CONCURRENT invocation can hold (round-15 ADVICE: a sibling
-        // whose catalog entry exists a beat before its dir would
-        // otherwise be judged dead in that window). Strays from dead
-        // JVMs with higher numbers are picked up once this counter
-        // advances past them — the sweep is eventually complete either
-        // way, just never early.
-        // toLongOption, not toLong: an all-digit stray suffix longer
-        // than Long range (foreign tool, corrupted run) must be
-        // skipped, not crash the query (round-16 review)
-        n.substring(prefix.length).toLongOption
-          .exists(_ <= myGen - Tables.ScratchLag))
-      .foreach { n =>
-        // the metadata lookup races a CONCURRENT invocation's sweep
-        // (both can list the same dead sibling; the loser's lookup
-        // lands after the winner's drop) — a vanished table is simply
-        // already-swept, not an error. The existence probe sits INSIDE
-        // the Try too (round-15 ADVICE): a non-file location URI would
-        // throw in Paths.get and fail the whole query, and only
-        // file-scheme locations are ours to judge dead
-        scala.util.Try {
-          val loc = spark.sessionState.catalog
-            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n)).location
-          // Paths.get(URI) REQUIRES a scheme — a scheme-less location
-          // must go through its raw path, or the null arm is dead (the
-          // IllegalArgumentException would be swallowed by the Try and
-          // the dead entry would survive every sweep)
-          (loc.getScheme == null || loc.getScheme == "file") && {
-            val p = if (loc.getScheme == null) java.nio.file.Paths.get(loc.getPath)
-              else java.nio.file.Paths.get(loc)
-            !java.nio.file.Files.exists(p)
-          }
-        }.toOption
-          .filter(identity)
-          .foreach(_ => spark.sql(s"DROP TABLE IF EXISTS $n"))
-      }
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
     // bucket count ≥ the session's parallelism: buckets bound every
     // downstream zero-exchange join's task count (see PostingsBuckets)
     val nb = math.max(PostingsBuckets, spark.sparkContext.defaultParallelism)
-    winnowFps(Tables.documents(spark, d))
-      .write.bucketBy(nb, "fp").sortBy("fp")
-      .option("path", s"$dir/postings_b").saveAsTable(tbl)
-    tbl
+    Tables.saveBucketed(spark, "postings_bkt", d, nb, "fp", Seq("fp"))(
+      winnowFps(Tables.documents(spark, d)))
   }
 
   /** x_neardup_incremental: near-dup detection for the DAILY-INGEST

@@ -1125,11 +1125,25 @@ object VectorOps {
     * scored ≤ nprobe² cheap dots and collapsed once — the
     * semanticAnnPairs argument).
     */
+  private def semSide(df: DataFrame, p: String): DataFrame = df.select(
+    col("cell"), col("vec_id").as(s"${p}_id"),
+    col("embedding").as(s"${p}e"), col("norm").as(s"${p}_norm"))
+
+  /** The shared candidate-join + exact-verify tail: a-side × b-side
+    * posting rows meeting in a cell, `a_id < b_id`, the e6 cosine at
+    * c7's threshold. NOT deduped — callers union their join legs and
+    * apply the one slim-pair distinct.
+    */
+  private def semVerifiedPairs(aSide: DataFrame, bSide: DataFrame): DataFrame =
+    aSide.join(bSide, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim_e6",
+        floor(expr("dot_f32(ae, be)") / (col("a_norm") * col("b_norm")) * 1e6).cast("long"))
+      .filter(col("sim_e6") >= 400000)
+      .select(col("a_id"), col("b_id"))
+
   private[graft] def semanticIncPairs(spark: SparkSession,
-      standingPostings: DataFrame, deltaPostings: DataFrame): DataFrame = {
-    def side(df: DataFrame, p: String): DataFrame = df.select(
-      col("cell"), col("vec_id").as(s"${p}_id"),
-      col("embedding").as(s"${p}e"), col("norm").as(s"${p}_norm"))
+      standingPostings: DataFrame, deltaPostings: DataFrame): DataFrame =
     // base ids precede delta ids (the b32 boundary), so a_id < b_id
     // with b on the delta side enumerates EXACTLY the delta-touching
     // pairs: base↔delta in order, delta↔delta once, base↔base never.
@@ -1140,17 +1154,31 @@ object VectorOps {
     // daily cost from one posting scan into a corpus-sized exchange
     // (the neardupPruneFrame lesson at the embedding level; pinned in
     // scalatest — the pair plan's only hash exchange is the final
-    // slim-pair distinct). A delta too big to broadcast is the signal
-    // to bucket the standing table by cell instead (the b19 layout) —
-    // the join key is already the bucket key.
-    side(standingPostings.unionByName(deltaPostings), "a")
-      .join(broadcast(side(deltaPostings, "b")), Seq("cell"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("sim_e6",
-        floor(expr("dot_f32(ae, be)") / (col("a_norm") * col("b_norm")) * 1e6).cast("long"))
-      .filter(col("sim_e6") >= 400000)
-      .select(col("a_id"), col("b_id")).distinct()
-  }
+    // slim-pair distinct). A delta too big to broadcast takes the
+    // bucketed path instead ([[x_semanticBucketed]]).
+    semVerifiedPairs(
+        semSide(standingPostings.unionByName(deltaPostings), "a"),
+        broadcast(semSide(deltaPostings, "b")))
+      .distinct()
+
+  /** The bucketed-layout pair stage behind [[x_semanticBucketed]]:
+    * two join legs instead of the union (a union over a bucketed scan
+    * discards its output partitioning, so the broadcast form's
+    * one-join shape would re-shuffle the standing table — the exact
+    * cost the layout exists to avoid): standing↔delta rides the
+    * bucketed scan shuffle-free on the standing side (only the slim
+    * delta exchanges into the bucketing), delta↔delta is delta-sized
+    * both sides. The legs are disjoint by the id boundary (leg 1's
+    * a ≤ mid, leg 2's a > mid), so the distinct dedups only the
+    * multi-cell sharing within each leg, exactly as the broadcast
+    * form's.
+    */
+  private[graft] def semanticBucketedPairs(standingBucketed: DataFrame,
+      deltaPostings: DataFrame): DataFrame =
+    semVerifiedPairs(semSide(standingBucketed, "a"), semSide(deltaPostings, "b"))
+      .unionByName(
+        semVerifiedPairs(semSide(deltaPostings, "a"), semSide(deltaPostings, "b")))
+      .distinct()
 
   /** x_semantic_incremental: delta-proportional SEMANTIC dedup — the
     * ingest form the embedding family was missing (every lexical
@@ -1196,7 +1224,50 @@ object VectorOps {
     * CC over slim pairs — delta-proportional exchange volume where
     * x_semantic_ann re-pays the corpus-sized shuffle per run.
     */
-  def x_semanticIncremental(spark: SparkSession, d: String): DataFrame = {
+  def x_semanticIncremental(spark: SparkSession, d: String): DataFrame =
+    semanticIngestRun(spark, d, "sem_inc")((memo, deltaPost) =>
+      semanticIncPairs(spark,
+        spark.read.parquet(s"$memo/postings.parquet"), deltaPost))
+
+  /** x_semantic_bucketed: the semantic ingest on the BUCKETED standing
+    * layout — the path [[semanticIncPairs]]' scaladoc names for a
+    * delta too big to broadcast: the standing posting table is
+    * materialized `bucketBy(cell)` ([[Tables.saveBucketed]] — the
+    * b19/x_neardup_bucketed layout; a production lake writes it this
+    * way at index build), so the daily cell join reads the standing
+    * side SHUFFLE-FREE — only the slim delta exchanges into the
+    * bucketing — via the two-leg join ([[semanticBucketedPairs]]).
+    * Everything else is x_semantic_incremental verbatim (same standing
+    * model/pairs, same fold, same cluster re-cut), so the output is
+    * byte-equal and it carries x_semantic_dedup's oracle VERBATIM,
+    * hash-checked; PlanSpec pins the bucketed leg free of
+    * standing-side exchanges under disabled auto-broadcast.
+    *
+    * Scale (100 TB): the broadcast form's daily exchange volume is
+    * O(delta·nprobe) but its LIMIT is the broadcast size; this
+    * layout's daily exchange is the same O(delta·nprobe) rows hashed
+    * into the buckets with NO size ceiling — the standing table never
+    * moves in either form. The CTAS itself is the once-per-build cost
+    * (benched per invocation here, the x_neardup_bucketed convention).
+    */
+  def x_semanticBucketed(spark: SparkSession, d: String): DataFrame =
+    semanticIngestRun(spark, d, "sem_bkt_run")((memo, deltaPost) => {
+      val spark2 = deltaPost.sparkSession
+      val nb = math.max(32, spark2.sparkContext.defaultParallelism)
+      val tbl = Tables.saveBucketed(spark2, "sem_bkt", d, nb, "cell", Seq("cell"))(
+        spark2.read.parquet(s"$memo/postings.parquet"))
+      semanticBucketedPairs(spark2.table(tbl), deltaPost)
+    })
+
+  /** The shared ingest-day skeleton behind [[x_semanticIncremental]]
+    * and [[x_semanticBucketed]] — the variants differ ONLY in how the
+    * day's pair stage consumes the standing posting table (broadcast
+    * delta vs bucketed standing): guards, the memoized standing state,
+    * the KB model read, the delta projection, the pair fold and the
+    * cluster re-cut are one body so the twins cannot drift.
+    */
+  private def semanticIngestRun(spark: SparkSession, d: String, tag: String)(
+      pairsOf: (String, DataFrame) => DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
     val empty = spark.range(0).select(col("id").as("vec_id"),
@@ -1213,11 +1284,10 @@ object VectorOps {
       .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
       .map(_.toArray).toArray
     val deltaPost = semPostingsOf(emb.filter(col("vec_id") > mid), cents)
-    val newPairs = semanticIncPairs(spark,
-      spark.read.parquet(s"$memo/postings.parquet"), deltaPost)
+    val newPairs = pairsOf(memo, deltaPost)
     // the FOLD: next pair generation persisted into the invocation's
     // own area (the memo stays immutable — read-only consumers)
-    val dir = Tables.scratchDir("sem_inc", d)
+    val dir = Tables.scratchDir(tag, d)
     spark.read.parquet(s"$memo/pairs.parquet").unionByName(newPairs)
       .write.mode("overwrite").parquet(s"$dir/pairs_v2.parquet")
     graft.ops.TextOps.clustersOf(spark.read.parquet(s"$dir/pairs_v2.parquet"))
@@ -1355,6 +1425,9 @@ object VectorOps {
     // covers every exact delta-touching pair at the gated scales) —
     // the twin's oracle verbatim, by reference (ContractSpec pins eq)
     "x_semantic_incremental" -> SemanticDedupOracle,
+    // x_semantic_bucketed: byte-equal to the incremental twin (same
+    // candidate set through the bucketed join legs) — same oracle
+    "x_semantic_bucketed" -> SemanticDedupOracle,
     "c7_cosine_neardup" ->
       """WITH un AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1397,5 +1470,6 @@ object VectorOps {
     "x_semantic_dedup"   -> x_semanticDedup _,
     "x_semantic_ann"     -> x_semanticAnn _,
     "x_semantic_incremental" -> x_semanticIncremental _,
+    "x_semantic_bucketed" -> x_semanticBucketed _,
   )
 }

@@ -113,15 +113,17 @@ class ContractSpec extends AnyFunSuite {
       // extract-on-arrival + resolve-at-close ≡ the batch dedup (per-
       // vector state lands whole in one batch; pair/label reduces run
       // over the union)
-      "s21_stream_semantic_ingest" -> "x_semantic_dedup")
+      "s21_stream_semantic_ingest" -> "x_semantic_dedup",
+      // same candidate set through the bucketed join legs
+      "x_semantic_bucketed" -> "x_semantic_dedup")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 141 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 141)
-    assert(SparkEntry.oracleSql.size === 121)
+  test("the inventory holds all 142 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 142)
+    assert(SparkEntry.oracleSql.size === 122)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

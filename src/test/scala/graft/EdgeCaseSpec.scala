@@ -120,7 +120,10 @@ class EdgeCaseSpec extends SparkSpec {
     // s21: the semantic ingest's arrival twin — dirty vectors leave the
     // similarity domain in the state extraction; empty/untrainable
     // corpora early-return before the drain
-    "s21_stream_semantic_ingest")
+    "s21_stream_semantic_ingest",
+    // x_semantic_bucketed: the bucketed-layout twin — same domain
+    // posture as x_semantic_incremental through the CTAS path
+    "x_semantic_bucketed")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

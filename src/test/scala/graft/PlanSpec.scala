@@ -109,6 +109,39 @@ class PlanSpec extends SparkSpec {
       s"the posting table must not shuffle for its own prune:\n$p")
   }
 
+  test("x_semantic_bucketed: the standing↔delta leg reads the bucketed side shuffle-free") {
+    // disable auto-broadcast so the join must rely on bucketing, not on
+    // the delta being tiny at test scale (the b19 pin's discipline)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+      val emb = graft.ops.Tables.embeddings(spark, sf0001)
+      val r = emb.agg(fmin(col("vec_id")), fmax(col("vec_id"))).head()
+      val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+      val memo = VectorOps.semanticIndexDir(spark, sf0001, emb, mid).get
+      val cents = spark.read.parquet(s"$memo/model.parquet").head()
+        .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+        .map(_.toArray).toArray
+      val nb = math.max(32, spark.sparkContext.defaultParallelism)
+      val tbl = graft.ops.Tables.saveBucketed(spark, "sem_bkt_pin", sf0001,
+        nb, "cell", Seq("cell"))(spark.read.parquet(s"$memo/postings.parquet"))
+      val pairs = VectorOps.semanticBucketedPairs(spark.table(tbl),
+        VectorOps.semPostingsOf(emb.filter(col("vec_id") > mid), cents))
+      val p = plan(pairs)
+      // the standing side arrives through the bucketed scan: exchanges
+      // may move only the DELTA (into the bucketing, twice — one per
+      // leg side) and the final slim-pair distinct. The standing table
+      // itself never hash-exchanges: with it, the count would grow by
+      // one corpus-sized exchange.
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= 4,
+        s"bucketed pair legs must not shuffle the standing table, saw $hashEx exchanges:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"the standing side must read through the bucketed scan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("c2: candidate generation is an equi-join on the shingle hash, no nested loop") {
     val p = plan(TextOps.c2_dedupJaccard(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"c2 must not nested-loop:\n$p")

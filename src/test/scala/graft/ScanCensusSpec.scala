@@ -235,6 +235,9 @@ class ScanCensusSpec extends SparkSpec {
     // s21: same checkpointed cluster tail (the drain, the pair cut's
     // inputs and the CC sweeps all ran as earlier jobs)
     "s21_stream_semantic_ingest" -> ((0, 0)),
+    // x_semantic_bucketed: same checkpointed cluster tail (the CTAS,
+    // pair legs and fold all ran as earlier jobs)
+    "x_semantic_bucketed" -> ((0, 0)),
     // x_semantic_ann: same cluster tail — training, assignment and the
     // pair join all run before the checkpointed label state
     "x_semantic_ann" -> ((0, 0)),

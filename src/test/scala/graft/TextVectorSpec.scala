@@ -88,6 +88,13 @@ class TextVectorSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("x_semantic_bucketed ≡ x_semantic_incremental (same candidate set through the bucketed legs)") {
+    val bkt = VectorOps.x_semanticBucketed(spark, sf0001).collect().map(_.toSeq).toSeq
+    val inc = VectorOps.x_semanticIncremental(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(bkt === inc, "the bucketed layout must be result-invisible")
+    assert(bkt.nonEmpty)
+  }
+
   test("x_semantic_incremental: the daily pair stage holds no Lloyd and reads only the delta + standing tables") {
     import graft.ops.{Tables, VectorOps}
     val emb = Tables.embeddings(spark, sf0001)
