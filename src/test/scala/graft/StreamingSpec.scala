@@ -630,6 +630,29 @@ class StreamingSpec extends SparkSpec {
     assert(bids >= 2, s"state must span both drains, saw $bids bid partitions")
   }
 
+  test("x_corpus_epochs machinery: THREE drains over thirds still cut the batch manifest") {
+    // the registered query splits at the midpoint (two drains); the
+    // machinery is N-epoch — pin that a third drain extends the same
+    // state and the final close still equals batch c16 over the union
+    val dir = s"${graft.ops.Tables.scratch}/xce_three"
+    graft.ops.Tables.rmrf(dir)
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = docs.agg(org.apache.spark.sql.functions.min("doc_id"),
+      org.apache.spark.sql.functions.max("doc_id")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val b1 = lo + (hi - lo) / 3
+    val b2 = lo + (hi - lo) * 2 / 3
+    val (_, finalCut) = graft.streaming.StreamOps.corpusEpochsOf(spark, dir, Seq(
+      docs.filter(col("doc_id").isNull || col("doc_id") <= b1),
+      docs.filter(col("doc_id") > b1 && col("doc_id") <= b2),
+      docs.filter(col("doc_id") > b2)))
+    val batch = graft.ops.CorpusOps.c16_corpusPipeline(spark, dir).collect()
+    assert(batch.nonEmpty)
+    assert(finalCut.collect().map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "three-epoch close must equal the batch pipeline over the union")
+  }
+
   test("s17 semantics: streamed held-out scoring ≡ the batch x_lm_heldout, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s17_streamLmHeldout(spark, sf0001).collect()
