@@ -1115,6 +1115,100 @@ object TextOps {
       java.nio.file.Paths.get(s"$dir/postings.parquet"))
   }
 
+  /** Modulus / residue selecting [[x_neardupDelete]]'s deletion slice —
+    * the fixture stand-in for an id-addressed retention/takedown
+    * request list over the standing epoch.
+    */
+  val NdDeleteMod = 7L
+  val NdDeleteRes = 3L
+
+  /** INDEX DELETE — the retention/takedown rung for the posting index
+    * (GDPR erasure, DMCA takedown): remove the requested documents'
+    * posting rows AND decrement the df census by exactly their
+    * contribution, dropping fps whose count reaches zero. Erasure is
+    * EXACT by per-document winnowing + census additivity: fingerprints
+    * are a pure function of one document's text, and df is a sum of
+    * per-document indicators, so the post-delete index is IDENTICAL to
+    * one built over the corpus without the deleted docs — every future
+    * ingest dedups as if they never existed (the hash-checked contract
+    * of [[x_neardupDelete]]). Note the deliberate contrast with
+    * [[neardupPrunePostings]]: the PRUNE keeps full df counts (its
+    * correctness is df monotonicity), while the DELETE decrements them
+    * (its correctness is never-existed semantics) — run deletes before
+    * prunes on a maintenance cadence, because a prune's dropped
+    * over-cap rows cannot be resurrected if later deletions bring the
+    * fp back under the cap.
+    *
+    * The request list broadcasts into both the posting anti-join and
+    * the decrement join (a takedown list is KB against a lake-sized
+    * index); both tables swap via write-new → rm-old → rename. Cost:
+    * one slim posting scan + one census merge — no text is read.
+    */
+  private[graft] def neardupIndexDelete(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val del = broadcast(ids.select(col("doc_id")))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val delCounts = broadcast(postings.join(del, Seq("doc_id"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_del")))
+    // census first (it reads the OLD postings for the decrement), then
+    // the posting rewrite; swaps after both writes landed
+    spark.read.parquet(s"$dir/df.parquet")
+      .join(delCounts, Seq("fp"), "left")
+      .select(col("fp"),
+        (col("df_old") - coalesce(col("n_del"), lit(0L))).as("df_old"))
+      .filter(col("df_old") > 0)
+      .write.mode("overwrite").parquet(s"$dir/df_next.parquet")
+    postings.join(del, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/postings_next.parquet")
+    for (t <- Seq("df", "postings")) {
+      Tables.rmrf(s"$dir/$t.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/${t}_next.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    }
+  }
+
+  /** x_neardup_delete: the daily-ingest lifecycle WITH a retention
+    * request against the standing epoch — build the standing index
+    * (memoized, the lifecycle convention), DELETE the requested slice
+    * (doc_id ≤ mid with doc_id ≡ [[NdDeleteRes]] mod [[NdDeleteMod]]
+    * — id-addressed, so NULL-id docs can never match a request), then
+    * ingest the arriving epoch against the post-delete index. By
+    * [[neardupIndexDelete]]'s never-existed identity the audit equals
+    * x_neardup_incremental over the corpus WITHOUT the deleted docs —
+    * the oracle applies the identical cut to a kept-docs CTE (the one
+    * winnow CTE body, instantiated over it) and is hash-checked
+    * end-to-end, which verifies the ERASURE itself against an
+    * independent engine: any posting row or census count the delete
+    * left behind would surface as a phantom pair or a df-band shift.
+    *
+    * Scale (100 TB): the delete is one slim posting scan + census
+    * merge (broadcast request list, no text); the day's ingest keeps
+    * x_neardup_incremental's delta-proportional economics.
+    */
+  def x_neardupDelete(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    if (r.isNullAt(0))
+      return spark.range(0).select(col("id").as("a_id"), col("id").as("b_id"),
+        col("id").as("n_shared"))
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    // the standing index is memoized per dataset (round-16 lesson: in
+    // production it exists from past ingests); the delete MUTATES both
+    // tables, so the invocation works on a hard-link clone
+    val memo = Tables.memoDir("nd_del_base", d) { p =>
+      neardupIndexBuild(spark, d, p, mid)
+    }
+    val dir = Tables.scratchDir("nd_delete", d)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    Tables.linkTree(s"$memo/df.parquet", s"$dir/df.parquet")
+    neardupIndexDelete(spark, dir,
+      docs.filter(col("doc_id") <= mid &&
+          pmod(col("doc_id"), lit(NdDeleteMod)) === NdDeleteRes)
+        .select(col("doc_id")))
+    neardupIngest(spark, d, dir, mid)
+  }
+
   /** Ingest-day count for [[x_neardupLifecycle]]. */
   val LifecycleDays = 3
 
@@ -1474,8 +1568,14 @@ object TextOps {
   /** Shared DuckDB winnow-fingerprint CTE body (mirrors [[winnowFps]]
     * exactly: K-token grams, 60-bit md5 contract, window-of-W min,
     * distinct; one string so the c24/c25 oracles cannot drift apart). */
-  private val WinnowFpsSql: String =
-    s"""t AS (SELECT doc_id, source, str_split(text, ' ') AS tk FROM documents
+  /** The winnow-fingerprint CTE chain over a NAMED source relation —
+    * one body for every oracle ([[WinnowFpsSql]] instantiates it over
+    * `documents`; x_neardup_delete's oracle over a kept-docs CTE, so
+    * erasure semantics share the exact fingerprint text with every
+    * other winnow oracle instead of a drifting copy).
+    */
+  private def winnowFpsSqlFrom(src: String): String =
+    s"""t AS (SELECT doc_id, source, str_split(text, ' ') AS tk FROM $src
        |       WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= $WinnowK),
        |g AS (SELECT doc_id, source, list_transform(range(1, len(tk) - ${WinnowK - 2}),
        |        i -> CAST('0x' || substr(md5($WinnowGramSql), 1, 15) AS BIGINT)) AS hs
@@ -1484,6 +1584,8 @@ object TextOps {
        |        j -> list_aggregate(hs[j:j+${WinnowW - 1}], 'min'))) AS fps
        |      FROM g),
        |fps AS (SELECT doc_id, source, unnest(fps) AS fp FROM f)""".stripMargin
+
+  private val WinnowFpsSql: String = winnowFpsSqlFrom("documents")
 
   /** c25's oracle — one instance shared with x_neardup_bucketed
     * (byte-equal twin, the ContractSpec `eq` contract). */
@@ -1579,6 +1681,24 @@ object TextOps {
     "x_neardup_incremental" ->
       s"""WITH $WinnowFpsSql,
          |bound AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS mid FROM documents),
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
+         |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_shared FROM pairs, bound
+         |WHERE n_shared >= $WinnowShared AND b_id > bound.mid
+         |ORDER BY a_id, b_id""".stripMargin,
+    // x_neardup_delete: the incremental audit over the corpus WITHOUT
+    // the deleted slice — never-existed semantics verified end-to-end
+    // (the winnow CTE body instantiated over the kept-docs CTE; bound
+    // computed over the FULL table, since the epoch boundary predates
+    // the deletion in production exactly as it does here)
+    "x_neardup_delete" ->
+      s"""WITH bound AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS mid FROM documents),
+         |docs_kept AS (SELECT d.* FROM documents d, bound
+         |              WHERE d.doc_id IS NULL
+         |                 OR NOT (d.doc_id <= bound.mid AND d.doc_id % $NdDeleteMod = $NdDeleteRes)),
+         |${winnowFpsSqlFrom("docs_kept")},
          |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
          |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -1706,6 +1826,7 @@ object TextOps {
     "c25_winnow_neardup" -> c25_winnowNeardup _,
     "x_neardup_bucketed" -> x_neardupBucketed _,
     "x_neardup_incremental" -> x_neardupIncremental _,
+    "x_neardup_delete"    -> x_neardupDelete _,
     "x_neardup_lifecycle" -> x_neardupLifecycle _,
     "x_neardup_compact" -> x_neardupCompact _,
     "x_neardup_prune" -> x_neardupPrune _,

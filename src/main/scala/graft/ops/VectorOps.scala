@@ -637,6 +637,63 @@ object VectorOps {
     }
   }
 
+  /** Modulus / residue selecting the deletion slice for
+    * [[x_annDelete]] — the fixture stand-in for an id-addressed
+    * retention/takedown request list (every 7th vector "requests
+    * deletion").
+    */
+  val AnnDeleteMod = 7L
+  val AnnDeleteRes = 3L
+
+  /** INDEX DELETE — the retention/takedown rung (GDPR erasure, DMCA
+    * takedown, dedup-driven removal): drop the requested vectors' code
+    * rows from the index WITHOUT touching anything else. Deletion is
+    * exact by construction: code rows are per-vector (assignment is a
+    * pure per-row function), so the post-delete index is IDENTICAL to
+    * one holding only the surviving vectors under the same model —
+    * search can never return a deleted id, and ranks re-close over the
+    * survivors exactly as if the deleted vectors had never been
+    * indexed (byte-equal pin in scalatest). The id list arrives as a
+    * DataFrame and BROADCASTS into the anti-join (a request list is
+    * KB-to-MB against a lake-sized codes table — the
+    * neardupPruneFrame lesson); the rewrite swaps generations with
+    * write-new → rm-old → rename. The model table is untouched:
+    * deletion does not retrain (codebooks hold no per-vector state —
+    * the training-sample residue of a deleted vector is a
+    * [[x_annDrift]]/[[annRebuild]] cadence question, not an erasure
+    * one, since codebooks store centroids, not vectors).
+    *
+    * Scale (100 TB): one slim scan-and-rewrite of the codes table
+    * (1 B cell + M B codes per row), no embedding reads, no shuffle
+    * (broadcast anti-join) — the same maintenance economics as
+    * [[graft.ops.TextOps.neardupPrunePostings]].
+    */
+  private[graft] def annIndexDelete(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    spark.read.parquet(s"$dir/codes.parquet")
+      .join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/codes_next.parquet")
+    Tables.rmrf(s"$dir/codes.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/codes_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/codes.parquet"))
+  }
+
+  /** x_ann_delete: the ingest lifecycle WITH a retention request —
+    * build-base (memoized) → append-delta → DELETE the requested slice
+    * (vec_id ≡ [[AnnDeleteRes]] mod [[AnnDeleteMod]]) → search.
+    * Rows-only (ANN-family contract); scalatest pins that the
+    * post-delete search is byte-equal to searching codes assigned
+    * from scratch over ONLY the surviving vectors under the same
+    * standing model, and that no deleted id ever appears as a
+    * neighbor.
+    */
+  def x_annDelete(spark: SparkSession, d: String): DataFrame =
+    annIngest(spark, d, "ann_delete")((emb, dir) =>
+      annIndexDelete(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(AnnDeleteMod)) === AnnDeleteRes)
+          .select(col("vec_id"))))
+
   /** x_ann_rebuild: the ingest lifecycle WITH the drift-triggered
     * retrain — build-base (memoized standing index) → append-delta
     * with the stale base codebooks → REBUILD over base ∪ delta →
@@ -1467,6 +1524,7 @@ object VectorOps {
     "x_ann_compact"      -> x_annCompact _,
     "x_ann_drift"        -> x_annDrift _,
     "x_ann_rebuild"      -> x_annRebuild _,
+    "x_ann_delete"       -> x_annDelete _,
     "x_semantic_dedup"   -> x_semanticDedup _,
     "x_semantic_ann"     -> x_semanticAnn _,
     "x_semantic_incremental" -> x_semanticIncremental _,

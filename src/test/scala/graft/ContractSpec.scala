@@ -37,7 +37,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the twenty declared sketch/ANN/trainer variants") {
+  test("the rows-only set is exactly the twenty-one declared sketch/ANN/trainer variants") {
     // The other four x_* variants (x_asof_bucketed, x_stratified_prefilter,
     // x_corpus_from_clusters, x_pack_twophase) are byte-equal to their
     // oracled twins (scalatest-pinned), so they carry the twin's oracle
@@ -49,7 +49,7 @@ class ContractSpec extends AnyFunSuite {
     assert(rowsOnly === Set("x_approx_distinct", "x_minhash_lsh", "x_ann_lsh",
       "x_ann_ivf", "x_label_centroids", "x_ann_quantized", "x_ann_pq",
       "x_ann_ivfpq", "x_ann_from_index", "x_ann_append", "x_ann_compact",
-      "x_ann_drift", "x_ann_rebuild", "s20_stream_ann_ingest", "x_semantic_ann",
+      "x_ann_drift", "x_ann_rebuild", "x_ann_delete", "s20_stream_ann_ingest", "x_semantic_ann",
       "x_approx_percentiles", "x_hll_rollup", "s8_stream_hll_rollup",
       "x_bpe_train", "x_bpe_coverage"),
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
@@ -121,9 +121,9 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 142 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 142)
-    assert(SparkEntry.oracleSql.size === 122)
+  test("the inventory holds all 144 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 144)
+    assert(SparkEntry.oracleSql.size === 123)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -75,6 +75,9 @@ class EdgeCaseSpec extends SparkSpec {
     "c26_bpe_token_stats", "c27_contamination", "x_contain_from_postings",
     "c28_pack_bpe", "x_neardup_bucketed", "x_neardup_incremental",
     "x_neardup_lifecycle", "x_neardup_compact", "x_neardup_prune",
+    // x_neardup_delete: the retention rewrite over dirty/empty corpora
+    // (id-addressed requests never match null ids; empty early-returns)
+    "x_neardup_delete",
     "x_bpe_train", "x_bpe_coverage",
     "c29_repetition_stats", "c30_quality_gate", "c31_pii_redact",
     "c32_domain_stats", "c33_rarity_score", "c34_encoding_stats",
@@ -89,6 +92,10 @@ class EdgeCaseSpec extends SparkSpec {
     // survive ragged/NaN vectors; an empty corpus early-returns before
     // any training
     "x_ann_rebuild",
+    // x_ann_delete: the retention rewrite must survive dirty vectors
+    // (the delete slice is id-addressed; codes rows are slim) and
+    // early-return on empty/untrainable corpora
+    "x_ann_delete",
     // the LM family's held-out/update forms: the dirty corpus has NO
     // src0 shard, so the standing LM is EMPTY — held-out scoring must
     // take the OOV fallback on every bigram, and the update fold must

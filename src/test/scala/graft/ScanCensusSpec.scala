@@ -211,6 +211,8 @@ class ScanCensusSpec extends SparkSpec {
     // x_ann_rebuild: same search plan over the swapped-in generation;
     // the retrain + reassignment ran as earlier jobs
     "x_ann_rebuild" -> ((2, 0)),
+    // x_ann_delete: same search plan over the post-delete rewrite
+    "x_ann_delete" -> ((2, 0)),
     // x_ann_drift: ONE pure-map corpus scan into the four-row census;
     // codebook training ran eagerly on the bounded sample
     "x_ann_drift" -> ((1, 0)),
@@ -301,6 +303,10 @@ class ScanCensusSpec extends SparkSpec {
     // x_neardup_prune: same three-audit union; the prune rewrite ran
     // as earlier jobs
     "x_neardup_prune" -> ((3, 0)),
+    // x_neardup_delete: the post-delete audit is the incremental
+    // consumer plan verbatim (same posting-table joins over the
+    // rewritten clone)
+    "x_neardup_delete" -> ((4, 4)),
     // x_bpe_train: the merge table is driver model state parallelized
     // back out — the census scan ran as an earlier job
     "x_bpe_train" -> ((0, 0)),

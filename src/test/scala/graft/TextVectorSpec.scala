@@ -462,6 +462,36 @@ class TextVectorSpec extends SparkSpec {
       s"shifted epoch must pull away from its unshifted twin: S=$errS C=$errC")
   }
 
+  test("x_ann_delete: erasure is exact — search ≡ survivors-only assignment; no deleted neighbor") {
+    import graft.ops.{Tables, VectorOps}
+    import org.apache.spark.sql.functions.{pmod, lit}
+    val got = VectorOps.x_annDelete(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // no deleted id ever surfaces as a neighbor
+    val deleted = got.map(_.getAs[Long]("neighbor_id"))
+      .filter(id => id % VectorOps.AnnDeleteMod == VectorOps.AnnDeleteRes)
+    assert(deleted.isEmpty, s"deleted ids returned as neighbors: ${deleted.take(5).toSeq}")
+    // byte-equal to an index holding ONLY the survivors under the same
+    // standing model: assignment is per-row, so dropping code rows ≡
+    // never having indexed those vectors
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.standingAnnIndex(spark, sf0001, emb, mid).get
+    val (cents, cbs) = VectorOps.readAnnModel(spark, memo)
+    // null-id rows survive: the delete list is id-addressed, so a null
+    // id can never match a request (and the broadcast anti-join keeps
+    // null-key rows on the left side too — the semantics agree)
+    val survivors = emb.filter(col("vec_id").isNull ||
+      !(pmod(col("vec_id"), lit(VectorOps.AnnDeleteMod)) === VectorOps.AnnDeleteRes))
+    val expect = VectorOps.annSearchCodes(spark, sf0001,
+      survivors.select(VectorOps.annAssignCols(cents, cbs): _*), cents, cbs)
+      .collect()
+    assert(got.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq,
+      "post-delete search must equal the survivors-only index exactly")
+  }
+
   test("x_ann_rebuild: the retrained index is byte-equal to a from-scratch build") {
     import graft.ops.VectorOps
     // both trainers are bounded-sample + hash-seeded (deterministic per

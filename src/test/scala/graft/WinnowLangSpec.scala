@@ -439,6 +439,36 @@ class WinnowLangSpec extends SparkSpec {
       "compact-mid-lifecycle must emit the lifecycle's exact rows")
   }
 
+  test("index delete: never-existed semantics — audit ≡ the incremental over the physically-removed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    val r = docs.agg(fmin(col("doc_id")), fmax(col("doc_id"))).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    // the ground truth: a corpus from which the deleted slice is
+    // PHYSICALLY absent, audited with the same epoch boundary (the
+    // boundary predates the deletion, so it comes from the full table)
+    val kept = s"${graft.ops.Tables.scratch}/nd_del_kept"
+    graft.ops.Tables.rmrf(kept)
+    docs.filter(col("doc_id").isNull ||
+        !(col("doc_id") <= mid &&
+          org.apache.spark.sql.functions.pmod(col("doc_id"),
+            org.apache.spark.sql.functions.lit(TextOps.NdDeleteMod)) === TextOps.NdDeleteRes))
+      .write.mode("overwrite").parquet(s"$kept/documents.parquet")
+    val viaDelete = TextOps.x_neardupDelete(spark, sf0001).collect().map(_.toSeq).toSeq
+    val groundTruth = TextOps.neardupIncrementalAt(spark, kept, mid)
+      .collect().map(_.toSeq).toSeq
+    assert(viaDelete === groundTruth,
+      "post-delete audit must equal the never-ingested corpus's audit exactly")
+    // and the deletion BITES on the fixture: some standing doc in the
+    // slice was a pair member, so the no-delete audit differs
+    val noDelete = TextOps.neardupIncrementalAt(spark, sf0001, mid)
+      .collect().map(_.toSeq).toSeq
+    assert(viaDelete !== noDelete,
+      "fixture must contain a deleted standing doc that was a pair member")
+    assert(viaDelete.nonEmpty)
+  }
+
   test("posting prune: over-cap rows leave the table, the census survives, audits stay byte-identical") {
     import spark.implicits._
     // a boilerplate-heavy corpus where the prune BITES (the driver
