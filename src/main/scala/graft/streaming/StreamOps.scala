@@ -1450,6 +1450,80 @@ object StreamOps {
       baseCodes.unionByName(arrived), cents, cbs)
   }
 
+  /** s22: RETENTION requests on arrival — x_neardup_delete's streaming
+    * twin, the erasure rung of the arrival ladder: takedown/GDPR
+    * requests arrive as a STREAM (in production they do — a privacy
+    * queue, not a batch file), and every micro-batch logs its request
+    * ids durably into a `bid=N` overwrite partition (the s19
+    * extract-on-arrival pattern — the durable log IS the audit trail
+    * an erasure process must keep). The index rewrite runs ONCE at
+    * drain close over the union of arrived requests: deletion is
+    * order-free and idempotent set removal (anti-join + additive
+    * census decrement), so per-batch rewrites would pay O(index) per
+    * trigger for the same final state — the close-time placement is
+    * the rewrite-cost argument where s19's was a semantic one, and it
+    * matches the compliance reality (requests are logged immediately,
+    * applied on a batch cadence inside the deadline). After the
+    * delete, the arriving epoch ingests against the post-delete index
+    * through [[graft.ops.TextOps.neardupIngest]] — the audit equals
+    * [[graft.ops.TextOps.x_neardupDelete]]'s however the source tiles
+    * the requests (union of batches = the request set), so s22
+    * carries x_neardup_delete's DuckDB oracle VERBATIM, hash-checked;
+    * StreamingSpec pins a forced multi-batch drain row-for-row.
+    *
+    * Scale (100 TB): per batch, one slim id write (the request log);
+    * at close, ONE posting-table rewrite + census merge (broadcast
+    * request list) + the day's delta-proportional ingest.
+    */
+  def s22_streamRetention(spark: SparkSession, d: String): DataFrame =
+    s22At(spark, d, maxFilesPerTrigger = None)
+
+  /** Trigger-cadence-parameterized form (the s19At convention): the
+    * request log is stateless per row, so the registered query drains
+    * with natural batching; the tiling spec passes Some(1).
+    */
+  private[graft] def s22At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.{Tables, TextOps}
+    val docs = Tables.documents(spark, d)
+    val r = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    if (r.isNullAt(0))
+      return spark.range(0).select(col("id").as("a_id"), col("id").as("b_id"),
+        col("id").as("n_shared"))
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = Tables.memoDir("nd_del_base", d) { p =>
+      TextOps.neardupIndexBuild(spark, d, p, mid)
+    }
+    val (_, chk, base) = sinkDirsWithBase("s22", d)
+    val reqLog = s"$base/requests"
+    // the request stream: the standing slice's ids (the x_neardup_delete
+    // request convention — id-addressed, so null ids can never match)
+    val arriving = stagedFileStream(spark, d, "documents", maxFilesPerTrigger)
+      .filter(col("doc_id") <= mid &&
+        pmod(col("doc_id"), lit(TextOps.NdDeleteMod)) === TextOps.NdDeleteRes)
+      .select(col("doc_id"))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1) — and the
+      // durable per-batch request log is the erasure audit trail
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$reqLog/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val reqSchema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
+    val requests = readSink(spark, reqLog, reqSchema)
+      .select(col("doc_id")).distinct()
+    // apply ONCE at close, on the invocation's clone of the standing
+    // index (the memo stays immutable)
+    val dir = Tables.scratchDir("s22_idx", d)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    Tables.linkTree(s"$memo/df.parquet", s"$dir/df.parquet")
+    TextOps.neardupIndexDelete(spark, dir, requests)
+    TextOps.neardupIngest(spark, d, dir, mid)
+  }
+
   /** s21: SEMANTIC-dedup ingest on arrival — x_semantic_incremental's
     * streaming twin, the arrival rung the embedding dedup family was
     * missing (lexical: s14; LM: s16-s18; corpus: s19; vector index:
@@ -1595,6 +1669,10 @@ object StreamOps {
     // (extract-on-arrival + resolve-at-close, the s19 contract at the
     // embedding level) — the twin's oracle verbatim, by reference
     "s21_stream_semantic_ingest" -> graft.ops.VectorOps.oracles("x_semantic_dedup"),
+    // s22: log-on-arrival + apply-at-close ≡ the batch delete (the
+    // request set is the union of its batches; deletion is order-free
+    // idempotent set removal) — the twin's oracle verbatim
+    "s22_stream_retention" -> graft.ops.TextOps.oracles("x_neardup_delete"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1667,5 +1745,6 @@ object StreamOps {
     "x_corpus_epochs" -> x_corpusEpochs _,
     "s20_stream_ann_ingest" -> s20_streamAnnIngest _,
     "s21_stream_semantic_ingest" -> s21_streamSemanticIngest _,
+    "s22_stream_retention" -> s22_streamRetention _,
   )
 }

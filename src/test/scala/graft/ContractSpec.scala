@@ -115,15 +115,18 @@ class ContractSpec extends AnyFunSuite {
       // over the union)
       "s21_stream_semantic_ingest" -> "x_semantic_dedup",
       // same candidate set through the bucketed join legs
-      "x_semantic_bucketed" -> "x_semantic_dedup")
+      "x_semantic_bucketed" -> "x_semantic_dedup",
+      // log-on-arrival + apply-at-close ≡ the batch delete (union of
+      // request batches; deletion is order-free idempotent removal)
+      "s22_stream_retention" -> "x_neardup_delete")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 144 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 144)
-    assert(SparkEntry.oracleSql.size === 123)
+  test("the inventory holds all 145 SURVEY §2 queries") {
+    assert(SparkEntry.queries.size === 145)
+    assert(SparkEntry.oracleSql.size === 124)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

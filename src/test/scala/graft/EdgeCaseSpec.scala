@@ -130,7 +130,11 @@ class EdgeCaseSpec extends SparkSpec {
     "s21_stream_semantic_ingest",
     // x_semantic_bucketed: the bucketed-layout twin — same domain
     // posture as x_semantic_incremental through the CTAS path
-    "x_semantic_bucketed")
+    "x_semantic_bucketed",
+    // s22: the retention stream over dirty/empty corpora — requests
+    // are id-addressed (null ids never match); empty drains to an
+    // empty audit
+    "s22_stream_retention")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

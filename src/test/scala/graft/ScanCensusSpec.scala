@@ -307,6 +307,9 @@ class ScanCensusSpec extends SparkSpec {
     // consumer plan verbatim (same posting-table joins over the
     // rewritten clone)
     "x_neardup_delete" -> ((4, 4)),
+    // s22: the close-time audit is the same incremental consumer plan
+    // over the post-delete clone
+    "s22_stream_retention" -> ((4, 4)),
     // x_bpe_train: the merge table is driver model state parallelized
     // back out — the census scan ran as an earlier job
     "x_bpe_train" -> ((0, 0)),

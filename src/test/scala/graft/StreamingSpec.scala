@@ -545,6 +545,33 @@ class StreamingSpec extends SparkSpec {
       "multi-batch arrival state must cut the one-shot manifest exactly")
   }
 
+  test("s22 semantics: retention on arrival ≡ the batch x_neardup_delete, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s22_streamRetention(spark, sf0001).collect()
+    val batch = graft.ops.TextOps.x_neardupDelete(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the close-time audit must equal the batch delete exactly")
+  }
+
+  test("s22 tiling: requests arriving batch-by-batch apply as one close-time delete") {
+    // several part files → several request batches in the durable log;
+    // the ONE close-time rewrite over their union must equal the batch
+    // delete exactly (deletion is order-free idempotent set removal —
+    // the union of the logged batches IS the request set)
+    val dir = s"${graft.ops.Tables.scratch}/s22_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.documents(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamOps
+      .s22At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
+    val oneShot = graft.ops.TextOps.x_neardupDelete(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq,
+      "multi-batch request logs must apply to the one-shot delete exactly")
+  }
+
   test("s21 semantics: semantic ingest on arrival ≡ the batch x_semantic_dedup, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s21_streamSemanticIngest(spark, sf0001).collect()
