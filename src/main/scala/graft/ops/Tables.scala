@@ -305,6 +305,16 @@ object Tables {
     * few syscalls per file, and unlinking in the clone never touches
     * the memo's data. The production analog is a table-format
     * snapshot/branch over shared immutable data files.
+    *
+    * Commit MARKER files (`_SUCCESS`, `.crc` sidecars) are COPIED
+    * writable, never linked: Spark's append-mode commit rewrites
+    * `_SUCCESS` in place in the clone dir, and through a hard link
+    * that write would reach the frozen memo's shared inode — failing
+    * with AccessDenied for a non-root user, or (as root, where
+    * permission bits don't bind) silently chmod-ing and mutating the
+    * memo the freeze exists to protect (round-18 ADVICE). Data files
+    * stay hard-linked and read-only — they are the bytes that matter
+    * and every mutation convention for them is directory-level.
     */
   def linkTree(src: String, dst: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -317,9 +327,14 @@ object Tables {
       if (Files.isDirectory(p)) Files.createDirectories(q)
       else {
         Files.createDirectories(q.getParent)
-        try Files.createLink(q, p)
-        catch { case _: Exception =>
-          Files.copy(p, q, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+        val name = p.getFileName.toString
+        if (name == "_SUCCESS" || name.endsWith(".crc")) {
+          Files.copy(p, q, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.toFile.setWritable(true, true)
+        } else
+          try Files.createLink(q, p)
+          catch { case _: Exception =>
+            Files.copy(p, q, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
       }
     } finally walk.close()
   }

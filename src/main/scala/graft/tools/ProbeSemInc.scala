@@ -19,6 +19,12 @@ object ProbeSemInc {
     for (d <- args) {
       val emb = Tables.embeddings(spark, d)
       val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+      if (r.isNullAt(0)) {
+        // empty / all-null vec_id table: nothing to probe — skip with a
+        // message instead of throwing on getLong (the registered-query
+        // isNullAt guard convention; round-18 ADVICE)
+        println(s"[seminc] d=$d skipped: embeddings has no non-null vec_id rows")
+      } else {
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val mid = lo + (hi - lo) / 2
       val n = emb.count()
@@ -58,6 +64,7 @@ object ProbeSemInc {
           s"missHome=${missA.size} missSym=${missB.size}" +
           (if (missA.nonEmpty && missA.size <= 5) s" missA=$missA" else "") +
           (if (missB.nonEmpty && missB.size <= 5) s" missB=$missB" else ""))
+      }
       }
     }
     spark.stop()

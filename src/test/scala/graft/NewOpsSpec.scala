@@ -1080,4 +1080,35 @@ class NewOpsSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 0L),
       (2L, 1L, 255L), (2L, 2L, 0L), (2L, 3L, 0L)))
   }
+
+  test("linkTree: commit markers are copied writable, data files share the inode") {
+    // round-18 ADVICE: Spark's append commit rewrites _SUCCESS in place
+    // in a clone dir; a hard link would carry that write (or its chmod)
+    // through to the frozen memo's shared inode. Markers must be
+    // independent copies; data files stay linked (same inode).
+    import java.nio.file.{Files, Paths}
+    val src = s"${Tables.scratch}/lt_src/t.parquet"
+    Tables.rmrf(s"${Tables.scratch}/lt_src")
+    Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(s"$src/part-0"), "data".getBytes)
+    Files.write(Paths.get(s"$src/_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$src/.part-0.crc"), "crc".getBytes)
+    // the memo freeze would have made these read-only
+    Paths.get(s"$src/_SUCCESS").toFile.setWritable(false, false)
+    Paths.get(s"$src/part-0").toFile.setWritable(false, false)
+    val dst = s"${Tables.scratch}/lt_dst/t.parquet"
+    Tables.linkTree(src, dst)
+    def ino(p: String) = Files.getAttribute(Paths.get(p), "unix:ino")
+    assert(ino(s"$dst/part-0") === ino(s"$src/part-0"),
+      "data files must stay hard-linked")
+    assert(ino(s"$dst/_SUCCESS") !== ino(s"$src/_SUCCESS"),
+      "_SUCCESS must be an independent copy, never a link to the memo inode")
+    assert(ino(s"$dst/.part-0.crc") !== ino(s"$src/.part-0.crc"),
+      ".crc sidecars must be independent copies")
+    assert(Files.isWritable(Paths.get(s"$dst/_SUCCESS")),
+      "the clone's _SUCCESS must be writable (append-mode commit rewrites it)")
+    assert(!Files.isWritable(Paths.get(s"$src/_SUCCESS")) ||
+      System.getProperty("user.name") == "root",
+      "the memo's marker stays frozen")
+  }
 }
