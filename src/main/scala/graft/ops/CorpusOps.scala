@@ -730,6 +730,93 @@ object CorpusOps {
     lmScoreOf(bigramsOf(docs), counts, heads).orderBy(col("doc_id"))
   }
 
+  /** Modulus / residue selecting [[x_lmDelete]]'s erasure slice — the
+    * fixture stand-in for an id-addressed retention request list over
+    * the train shard (the [[TextOps.NdDeleteMod]] convention at the LM
+    * level; null-id docs can never match an id-addressed request).
+    */
+  val LmDeleteMod = 7L
+  val LmDeleteRes = 3L
+
+  /** The LM-delete DECREMENT: the standing artifact's (w1,w2)→n12
+    * census minus the deleted documents' own census, zero rows
+    * dropped — [[lmUpdateCounts]]' fold run BACKWARDS. Bigram counts
+    * are additive over any row partition of the corpus, so
+    * delete(train(base), census(deleted)) ≡ train(base ∖ deleted)
+    * EXACTLY — erasure is never-ingested semantics, not a tombstone
+    * (the identity NewOpsSpec pins both ways: decrement ≡ retrain on
+    * survivors, and fold(decrement) round-trips to the standing
+    * census). A left join suffices — the deleted docs were ingested,
+    * so their bigrams are a subset of the standing vocabulary — and
+    * the deleted census BROADCASTS (a request slice's vocabulary
+    * against the full artifact, the neardupIndexDelete convention).
+    */
+  private[graft] def lmDeleteCounts(base: DataFrame, deleted: DataFrame): DataFrame =
+    base.join(
+        broadcast(deleted.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12d"))),
+        Seq("w1", "w2"), "left")
+      .select(col("w1"), col("w2"),
+        (col("n12") - coalesce(col("n12d"), lit(0L))).as("n12"))
+      .filter(col("n12") > 0)
+
+  /** x_lm_delete: the LM artifact's ERASURE rung — the decrement the
+    * round-18 retention ladder was missing at the LM level: the
+    * posting index ([[TextOps.neardupIndexDelete]]) and the vector
+    * index ([[VectorOps.annIndexDelete]]) both erase with
+    * never-existed semantics, but the standing bigram LM only had
+    * fold ([[x_lmUpdate]]) and prune ([[x_lmPrune]]) — a deleted
+    * document's bigram counts survived erasure forever. Here a
+    * retention request (train-shard docs with doc_id ≡ [[LmDeleteRes]]
+    * mod [[LmDeleteMod]] — id-addressed, so null-id docs never match)
+    * is erased by ONE delta scan + a vocabulary-sized decrement merge
+    * ([[lmDeleteCounts]]): census the deleted docs' bigrams, subtract
+    * from the standing pair table, drop zeros, persist as the next
+    * artifact generation.
+    *
+    * Erasure REPRICES scoring (the x_lm_prune lesson — a maintenance
+    * step that changes scores ships as its own oracled query): unlike
+    * the prune, which keeps pre-prune marginals by backoff semantics,
+    * the delete re-derives heads (w1→n1) and the total mass from the
+    * DECREMENTED table — never-ingested means the marginals too are
+    * as if the docs never arrived. Held-out text then scores through
+    * the post-delete model via [[lmHeldoutScoreOf]] — and the DuckDB
+    * twin trains on the surviving train docs directly, so the
+    * hash-check verifies the ERASURE itself against an independent
+    * engine: any count the decrement left behind (or over-subtracted)
+    * shifts a score through n12/n1/n_tot and breaks the hash.
+    *
+    * Scale (100 TB): the request slice's census is one scan of the
+    * DELETED docs only (map-side combined); the decrement is a
+    * vocabulary-sized broadcast merge + artifact write; scoring has
+    * x_lm_heldout's economics. The corpus is never re-scanned — the
+    * x_lm_update argument run backwards, which is exactly why the
+    * census-additive LM design pays off at erasure time.
+    */
+  def x_lmDelete(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val dir = Tables.scratchDir("lm_delete", d)
+    // the standing artifact: trained on a past epoch, memoized
+    val lmDir = standingTrainLmDir(spark, d)
+    val deleted = docs.filter(col("source") === LmTrainSource &&
+      pmod(col("doc_id"), lit(LmDeleteMod)) === LmDeleteRes)
+    // the DECREMENT: standing census ⊖ deleted census → the next
+    // generation, persisted (the memo stays immutable — read-only
+    // consumers; the write-new convention of every delete rung)
+    lmDeleteCounts(spark.read.parquet(s"$lmDir/counts.parquet"), bigramsOf(deleted))
+      .write.mode("overwrite").parquet(s"$dir/counts_v2.parquet")
+    val counts = spark.read.parquet(s"$dir/counts_v2.parquet").localCheckpoint()
+    // never-ingested marginals: heads + total from the DECREMENTED
+    // table (deliberate contrast with x_lmPrune's pre-prune marginals)
+    val heads = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val nTot = counts.agg(coalesce(sum(col("n12")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    val tot = Seq(nTot).toDF("n_tot")
+    lmHeldoutScoreOf(
+        bigramsOf(docs.filter(!(col("source") <=> lit(LmTrainSource)))),
+        counts, heads, tot)
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum surviving pair count for [[x_lmPrune]]'s cut — bigrams
     * seen fewer times than this leave the pair table. 2 is the
     * classic singleton cut; on the fixture it prunes ~40% of the
@@ -1011,6 +1098,10 @@ object CorpusOps {
     // x_lm_prune: the identical min-count cut in SQL — pair table
     // pruned, heads/total stay the pre-prune marginals (see x_lmPrune)
     "x_lm_prune" -> LmPruneSql,
+    // x_lm_delete: decrement ≡ retrain on survivors (census
+    // additivity run backwards), so the twin trains on the kept train
+    // docs directly — never-ingested marginals included (see x_lmDelete)
+    "x_lm_delete" -> LmDeleteSql,
     "c20_bigram_stats" ->
       s"""WITH toks AS (
          |  SELECT str_split(text, ' ') AS t FROM documents
@@ -1097,6 +1188,35 @@ object CorpusOps {
        |c0 AS (SELECT w1, w2, COUNT(*) AS n12 FROM tb GROUP BY 1, 2),
        |c AS (SELECT * FROM c0 WHERE n12 >= $LmPruneMin),
        |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c0 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tb),
+       |eb AS (SELECT doc_id, w1, w2 FROM bi WHERE source IS DISTINCT FROM '$LmTrainSource'),
+       |s AS (SELECT eb.doc_id,
+       |        CASE WHEN c.n12 IS NOT NULL
+       |             THEN CAST(length(bin(h.n1)) - length(bin(c.n12)) AS BIGINT)
+       |             ELSE CAST(length(bin(tot.n_tot)) AS BIGINT) END AS s,
+       |        CASE WHEN c.n12 IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM eb LEFT JOIN c USING (w1, w2) LEFT JOIN h USING (w1), tot)
+       |SELECT doc_id, COUNT(*) AS n_bi, CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  CAST(SUM(s) AS BIGINT) AS bits_sum,
+       |  CAST(SUM(s) * 1000000 // COUNT(*) AS BIGINT) AS avg_bits_e6
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // x_lm_delete's DuckDB twin — LmHeldoutSql's shape with the train
+  // census built over the SURVIVING train docs only (never-ingested
+  // semantics: c, h, and tot all derive from the kept set; null-id
+  // docs are kept — an id-addressed request cannot match them)
+  private[graft] lazy val LmDeleteSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+       |  WHERE len(str_split(text, ' ')) >= 2),
+       |bi AS (
+       |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) r(i)),
+       |tb AS (SELECT w1, w2 FROM bi
+       |       WHERE source = '$LmTrainSource'
+       |         AND (doc_id IS NULL OR NOT (doc_id % $LmDeleteMod = $LmDeleteRes))),
+       |c AS (SELECT w1, w2, COUNT(*) AS n12 FROM tb GROUP BY 1, 2),
+       |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tb),
        |eb AS (SELECT doc_id, w1, w2 FROM bi WHERE source IS DISTINCT FROM '$LmTrainSource'),
        |s AS (SELECT eb.doc_id,
@@ -1235,6 +1355,7 @@ object CorpusOps {
     "x_lm_heldout"        -> x_lmHeldout _,
     "x_lm_update"         -> x_lmUpdate _,
     "x_lm_prune"          -> x_lmPrune _,
+    "x_lm_delete"         -> x_lmDelete _,
     "c22_vocab_coverage"  -> c22_vocabCoverage _,
     "c33_rarity_score"    -> c33_rarityScore _,
     "x_select_by_rarity"  -> x_selectByRarity _,

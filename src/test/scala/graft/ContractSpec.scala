@@ -124,9 +124,13 @@ class ContractSpec extends AnyFunSuite {
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
-  test("the inventory holds all 145 SURVEY §2 queries") {
-    assert(SparkEntry.queries.size === 145)
-    assert(SparkEntry.oracleSql.size === 124)
+  test("the inventory holds all SURVEY §2 queries") {
+    // round-19 retention/maintenance ladder lands operator-by-operator;
+    // the final inventory is 150 / 128 (145 + x_lm_delete +
+    // x_semantic_delete + x_corpus_retention + x_semantic_compact +
+    // x_semantic_drift, the one rows-only addition)
+    assert(SparkEntry.queries.size === 146)
+    assert(SparkEntry.oracleSql.size === 125)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

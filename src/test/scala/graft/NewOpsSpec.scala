@@ -1081,6 +1081,26 @@ class NewOpsSpec extends SparkSpec {
       (2L, 1L, 255L), (2L, 2L, 0L), (2L, 3L, 0L)))
   }
 
+  test("x_lm_delete: decrement ≡ retrain on survivors, and the fold inverts it") {
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter(col("source") === CorpusOps.LmTrainSource)
+    val deleted = train.filter(
+      pmod(col("doc_id"), lit(CorpusOps.LmDeleteMod)) === CorpusOps.LmDeleteRes)
+    val kept = train.filter(col("doc_id").isNull ||
+      pmod(col("doc_id"), lit(CorpusOps.LmDeleteMod)) =!= CorpusOps.LmDeleteRes)
+    assert(deleted.count() > 0, "fixture must exercise the erasure slice")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val standing = CorpusOps.bigramCensusOf(train)
+    // never-ingested semantics: decrement ≡ retrain over the survivors
+    val dec = CorpusOps.lmDeleteCounts(standing, CorpusOps.bigramsOf(deleted))
+    assert(m(dec) === m(CorpusOps.bigramCensusOf(kept)))
+    // and the fold is its exact inverse: fold(decrement, deleted) round-
+    // trips to the standing census (census additivity, both directions)
+    assert(m(CorpusOps.lmUpdateCounts(dec, CorpusOps.bigramsOf(deleted)))
+      === m(standing))
+  }
+
   test("linkTree: commit markers are copied writable, data files share the inode") {
     // round-18 ADVICE: Spark's append commit rewrites _SUCCESS in place
     // in a clone dir; a hard link would carry that write (or its chmod)

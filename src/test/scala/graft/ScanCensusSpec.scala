@@ -294,6 +294,10 @@ class ScanCensusSpec extends SparkSpec {
     // the returned scoring plan is c35's shape — one documents scan,
     // the updated artifact checkpointed to RDD state
     "x_lm_update" -> ((1, 0)),
+    // x_lm_delete: the decrement/persist ran as earlier jobs; the
+    // scoring plan is x_lm_heldout's shape — one scored-shard scan,
+    // the decremented artifact checkpointed, the total collected
+    "x_lm_delete" -> ((1, 0)),
     // x_neardup_lifecycle: the final plan unions the three days'
     // materialized audits — one scan each; ingest/append ran earlier
     "x_neardup_lifecycle" -> ((3, 0)),
