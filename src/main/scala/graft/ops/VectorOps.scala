@@ -1316,14 +1316,135 @@ object VectorOps {
       semanticBucketedPairs(spark2.table(tbl), deltaPost)
     })
 
-  /** The shared ingest-day skeleton behind [[x_semanticIncremental]]
-    * and [[x_semanticBucketed]] — the variants differ ONLY in how the
-    * day's pair stage consumes the standing posting table (broadcast
-    * delta vs bucketed standing): guards, the memoized standing state,
-    * the KB model read, the delta projection, the pair fold and the
-    * cluster re-cut are one body so the twins cannot drift.
+  /** Modulus / residue selecting [[x_semanticDelete]]'s erasure slice
+    * — the fixture stand-in for an id-addressed retention/takedown
+    * request list over the standing epoch (the
+    * [[graft.ops.TextOps.NdDeleteMod]] convention at the embedding
+    * level; null-id vectors can never match an id-addressed request).
     */
-  private def semanticIngestRun(spark: SparkSession, d: String, tag: String)(
+  val SemDeleteMod = 7L
+  val SemDeleteRes = 3L
+
+  /** INDEX DELETE for the SEMANTIC standing state — the erasure rung
+    * the round-18 retention ladder was missing at the embedding level:
+    * [[graft.ops.TextOps.neardupIndexDelete]] erases posting rows +
+    * census and [[annIndexDelete]] erases code rows, but
+    * [[semanticIndexDir]]'s standing postings, pair state and (through
+    * them) cluster labels had no request path — a deleted vector's
+    * pairs kept influencing cluster membership forever. Erasure is
+    * EXACT by construction at both tables:
+    *
+    *  - posting rows are a pure per-vector function of (vector, model)
+    *    — dropping the requested vec_ids' rows (all nprobe replicas)
+    *    leaves exactly the postings a build over the survivors would
+    *    emit under the same model (the x_ann_delete argument);
+    *  - pairs are pairwise facts — a vector's erasure removes exactly
+    *    the pairs touching it, and the surviving pair set IS the exact
+    *    pair set over the surviving vectors (no transitive residue:
+    *    clusters that were bridged only through a deleted vector SPLIT
+    *    at the next re-cut, because labels re-derive from pairs).
+    *
+    * Cluster labels hold no rows of their own here — they are re-cut
+    * from the pair state by every consumer ([[graft.ops.TextOps
+    * .clustersOf]] is retroactive), so pairs gone ⇒ influence gone:
+    * never-existed semantics, pinned in scalatest (post-delete state ≡
+    * state built without the vectors) and hash-verified end-to-end by
+    * the driver gate (the DuckDB twin dedups the kept corpus
+    * directly). The model is untouched: codebooks store centroids, not
+    * vectors — a deleted vector's training-sample residue is a
+    * drift/rebuild-cadence question ([[x_semanticDrift]]), not an
+    * erasure one.
+    *
+    * The request list BROADCASTS into all three anti-joins (a takedown
+    * list is KB against a lake-sized index — the neardupPruneFrame
+    * lesson); both tables swap via write-new → rm-old → rename. Cost:
+    * one slim posting scan + one slim pair scan — embeddings are never
+    * read.
+    */
+  /** The delete's two rewrite frames — split from the write (the
+    * neardupPruneFrame convention) so PlanSpec can pin each plan:
+    * broadcast anti-joins only, zero standing-side hash exchanges.
+    */
+  private[graft] def semDeleteFrames(spark: SparkSession, dir: String,
+      ids: DataFrame): (DataFrame, DataFrame) = {
+    val del = broadcast(ids.select(col("vec_id")))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .join(del, Seq("vec_id"), "left_anti")
+    val pairs = spark.read.parquet(s"$dir/pairs.parquet")
+      .join(del.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(del.select(col("vec_id").as("b_id")), Seq("b_id"), "left_anti")
+      .select(col("a_id"), col("b_id"))
+    (postings, pairs)
+  }
+
+  private[graft] def semanticIndexDelete(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val (postings, pairs) = semDeleteFrames(spark, dir, ids)
+    postings.write.mode("overwrite").parquet(s"$dir/postings_next.parquet")
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs_next.parquet")
+    for (t <- Seq("postings", "pairs")) {
+      Tables.rmrf(s"$dir/$t.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/${t}_next.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    }
+  }
+
+  /** x_semantic_delete: the semantic ingest lifecycle WITH a retention
+    * request against the standing epoch — GDPR erasure applies to
+    * EMBEDDINGS of user content exactly as to its text, and this rung
+    * extends [[graft.ops.TextOps.x_neardupDelete]]'s never-existed
+    * contract to the semantic index: build the standing state
+    * (memoized — in production it exists from past ingests), DELETE
+    * the requested slice (vec_id ≤ mid with vec_id ≡ [[SemDeleteRes]]
+    * mod [[SemDeleteMod]]) from the cloned postings + pair state
+    * ([[semanticIndexDelete]]), then run the day's ingest against the
+    * post-delete state through the shared skeleton — delta assignment
+    * under the standing codebooks, candidate join, exact verify, pair
+    * fold, full cluster re-cut.
+    *
+    * By the never-existed identity the output equals
+    * [[x_semanticDedup]] over the corpus WITHOUT the deleted vectors —
+    * the oracle applies the identical cut to a kept-vectors CTE (the
+    * x_neardup_delete kept-docs pattern) and is hash-checked
+    * end-to-end, which verifies the ERASURE itself against an
+    * independent engine: any posting or pair row the delete left
+    * behind would surface as a phantom pair, a wrong canonical, or a
+    * cluster that should have split.
+    *
+    * Scale (100 TB): the delete is two slim broadcast anti-join
+    * rewrites (no embedding reads, no shuffle); the day keeps
+    * x_semantic_incremental's delta-proportional economics.
+    */
+  def x_semanticDelete(spark: SparkSession, d: String): DataFrame =
+    semanticIngestRun(spark, d, "sem_delete", prepare = (memo, dir, mid) => {
+      Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+      Tables.linkTree(s"$memo/pairs.parquet", s"$dir/pairs.parquet")
+      semanticIndexDelete(spark, dir,
+        Tables.embeddings(spark, d)
+          .filter(col("vec_id") <= mid &&
+            pmod(col("vec_id"), lit(SemDeleteMod)) === SemDeleteRes)
+          .select(col("vec_id")))
+      dir
+    })((state, deltaPost) =>
+      semanticIncPairs(spark,
+        spark.read.parquet(s"$state/postings.parquet"), deltaPost))
+
+  /** The shared ingest-day skeleton behind [[x_semanticIncremental]],
+    * [[x_semanticBucketed]] and [[x_semanticDelete]] — the variants
+    * differ ONLY in how the day's pair stage consumes the standing
+    * posting table (broadcast delta vs bucketed standing) and in the
+    * optional `prepare` step applied to the standing state BEFORE the
+    * day runs (identity for the ingest twins; the retention rung
+    * clones and erases): guards, the memoized standing state, the KB
+    * model read, the delta projection, the pair fold and the cluster
+    * re-cut are one body so the variants cannot drift.
+    *
+    * `prepare(memo, dir, mid)` returns the state dir the day consumes
+    * — `memo` itself (read-only) or a mutated clone under `dir`.
+    */
+  private def semanticIngestRun(spark: SparkSession, d: String, tag: String,
+      prepare: (String, String, Long) => String = (memo, _, _) => memo)(
       pairsOf: (String, DataFrame) => DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
@@ -1336,16 +1457,20 @@ object VectorOps {
       case None => return empty
       case Some(p) => p
     }
+    val dir = Tables.scratchDir(tag, d)
+    val state = prepare(memo, dir, mid)
     // the standing model: k×64 floats of KB driver state, read once
+    // (erasure never retrains — codebooks hold no per-vector state,
+    // the x_ann_delete argument — so the model always reads from the
+    // memo)
     val cents = spark.read.parquet(s"$memo/model.parquet").head()
       .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
       .map(_.toArray).toArray
     val deltaPost = semPostingsOf(emb.filter(col("vec_id") > mid), cents)
-    val newPairs = pairsOf(memo, deltaPost)
+    val newPairs = pairsOf(state, deltaPost)
     // the FOLD: next pair generation persisted into the invocation's
     // own area (the memo stays immutable — read-only consumers)
-    val dir = Tables.scratchDir(tag, d)
-    spark.read.parquet(s"$memo/pairs.parquet").unionByName(newPairs)
+    spark.read.parquet(s"$state/pairs.parquet").unionByName(newPairs)
       .write.mode("overwrite").parquet(s"$dir/pairs_v2.parquet")
     graft.ops.TextOps.clustersOf(spark.read.parquet(s"$dir/pairs_v2.parquet"))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
@@ -1441,7 +1566,46 @@ object VectorOps {
         |  id = MIN(r) AS is_canonical
         |FROM reach GROUP BY id ORDER BY cluster_id, vec_id""".stripMargin
 
+  /** x_semantic_delete's oracle — [[SemanticDedupOracle]] restricted
+    * to a kept-vectors CTE (the x_neardup_delete kept-docs pattern):
+    * never-existed semantics mean the post-delete cluster state equals
+    * the one-shot dedup over the corpus WITHOUT the deleted slice.
+    * `bound` mirrors the Spark census (floor-consistent b32 form,
+    * computed over the FULL table — the epoch boundary predates the
+    * deletion in production exactly as it does here); null-id vectors
+    * are kept (an id-addressed request cannot match them) and are
+    * invisible to the pair join either way.
+    */
+  private val SemanticDeleteOracle: String =
+    s"""WITH RECURSIVE bound AS (
+        |  SELECT MIN(vec_id) + (MAX(vec_id) - MIN(vec_id)) // 2 AS mid FROM embeddings),
+        |kept AS (SELECT e.* FROM embeddings e, bound
+        |         WHERE e.vec_id IS NULL
+        |            OR NOT (e.vec_id <= bound.mid AND e.vec_id % $SemDeleteMod = $SemDeleteRes)),
+        |un AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS dot,
+        |    SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(a.embedding, i) AS DOUBLE)) AS na,
+        |    SUM(CAST(list_extract(b.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS nb
+        |  FROM kept a JOIN kept b ON a.vec_id < b.vec_id,
+        |       unnest(range(1, 65)) AS r(i)
+        |  GROUP BY 1, 2),
+        |verified AS (SELECT a_id, b_id FROM un
+        |  WHERE FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6) >= 400000),
+        |e AS (SELECT a_id, b_id FROM verified
+        |      UNION SELECT b_id AS a_id, a_id AS b_id FROM verified),
+        |reach(id, r) AS (
+        |  SELECT a_id, b_id FROM e
+        |  UNION
+        |  SELECT reach.id, e.b_id FROM reach JOIN e ON reach.r = e.a_id)
+        |SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+        |  id = MIN(r) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY cluster_id, vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // x_semantic_delete: never-existed erasure of the standing
+    // semantic state — the one-shot dedup over the kept vectors
+    "x_semantic_delete" -> SemanticDeleteOracle,
     "c21_embedding_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, i, CAST(list_extract(embedding, i) AS DOUBLE) AS x
@@ -1529,5 +1693,6 @@ object VectorOps {
     "x_semantic_ann"     -> x_semanticAnn _,
     "x_semantic_incremental" -> x_semanticIncremental _,
     "x_semantic_bucketed" -> x_semanticBucketed _,
+    "x_semantic_delete"  -> x_semanticDelete _,
   )
 }

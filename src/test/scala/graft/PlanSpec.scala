@@ -109,6 +109,33 @@ class PlanSpec extends SparkSpec {
       s"the posting table must not shuffle for its own prune:\n$p")
   }
 
+  test("x_semantic_delete: both rewrite frames broadcast the request — standing tables never shuffle") {
+    // the erasure's whole point is cost: two slim rewrites against a
+    // KB request list. An unhinted anti-join could sort-merge and
+    // shuffle the corpus-sized posting/pair tables for a maintenance
+    // delete (the neardupPruneFrame lesson at the embedding level).
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax, lit, pmod}
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(fmin(col("vec_id")), fmax(col("vec_id"))).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.semanticIndexDir(spark, sf0001, emb, mid).get
+    val dir = Tables.scratchDir("semdel_plan", sf0001)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    Tables.linkTree(s"$memo/pairs.parquet", s"$dir/pairs.parquet")
+    val req = emb.filter(col("vec_id") <= mid &&
+        pmod(col("vec_id"), lit(VectorOps.SemDeleteMod)) === VectorOps.SemDeleteRes)
+      .select(col("vec_id"))
+    val (postings, pairs) = VectorOps.semDeleteFrames(spark, dir, req)
+    for ((name, f) <- Seq("postings" -> postings, "pairs" -> pairs)) {
+      val p = plan(f)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name rewrite: the request list must broadcast into the anti-join:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+        s"$name rewrite: the standing table must not shuffle for its own erasure:\n$p")
+    }
+  }
+
   test("x_semantic_bucketed: the standing↔delta leg reads the bucketed side shuffle-free") {
     // disable auto-broadcast so the join must rely on bucketing, not on
     // the delta being tiny at test scale (the b19 pin's discipline)

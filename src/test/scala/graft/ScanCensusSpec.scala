@@ -240,6 +240,10 @@ class ScanCensusSpec extends SparkSpec {
     // x_semantic_bucketed: same checkpointed cluster tail (the CTAS,
     // pair legs and fold all ran as earlier jobs)
     "x_semantic_bucketed" -> ((0, 0)),
+    // x_semantic_delete: same checkpointed cluster tail (the clone,
+    // the two erasure rewrites, the day's pairs and the fold all ran
+    // as earlier jobs)
+    "x_semantic_delete" -> ((0, 0)),
     // x_semantic_ann: same cluster tail — training, assignment and the
     // pair join all run before the checkpointed label state
     "x_semantic_ann" -> ((0, 0)),

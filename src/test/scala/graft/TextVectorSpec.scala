@@ -133,6 +133,48 @@ class TextVectorSpec extends SparkSpec {
       s"only the slim-pair distinct may hash-exchange, saw $hashEx:\n$p")
   }
 
+  test("x_semantic_delete: never-existed — post-delete state ≡ state built without the vectors") {
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.semanticIndexDir(spark, sf0001, emb, mid).get
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    val req = emb.filter(col("vec_id") <= mid &&
+        pmod(col("vec_id"), lit(VectorOps.SemDeleteMod)) === VectorOps.SemDeleteRes)
+      .select(col("vec_id"))
+    assert(req.count() > 0, "fixture must exercise the erasure slice")
+    val dir = Tables.scratchDir("semdel_spec", sf0001)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    Tables.linkTree(s"$memo/pairs.parquet", s"$dir/pairs.parquet")
+    VectorOps.semanticIndexDelete(spark, dir, req)
+    // the surviving base under the SAME standing model (x_ann_delete's
+    // contract scope: erasure never retrains)
+    val keptBase = emb.filter(col("vec_id").isNull || (col("vec_id") <= mid &&
+      pmod(col("vec_id"), lit(VectorOps.SemDeleteMod)) =!= VectorOps.SemDeleteRes))
+    // postings: row set ≡ a from-scratch posting build over the kept base
+    def postSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell")).collect()
+      .map(x => (x.getAs[Any](0), x.getAs[Any](1))).toSet
+    assert(postSet(spark.read.parquet(s"$dir/postings.parquet"))
+      === postSet(VectorOps.semPostingsOf(keptBase, cents)))
+    // pair state: ≡ the exact backfill over the kept base (pairs are
+    // pairwise facts — erasure removes exactly the pairs touching the
+    // deleted vectors, nothing more, nothing less)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a_id"), col("b_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val standing = pairSet(spark.read.parquet(s"$dir/pairs.parquet"))
+    assert(standing === pairSet(VectorOps.cosineNeardupPairsOf(spark, keptBase)))
+    // the delete actually bit: the full-base backfill had more pairs
+    assert(pairSet(VectorOps.cosineNeardupPairsOf(spark,
+      emb.filter(col("vec_id").isNull || col("vec_id") <= mid))) !== standing,
+      "fixture's deleted slice must touch at least one standing pair")
+  }
+
   test("x_semantic_ann: refines the exact components (precision 1) with recall >= 0.9") {
     // the exact answer: x_semantic_dedup's components over c7's pairs
     val exact = VectorOps.x_semanticDedup(spark, sf0001).collect()
