@@ -311,6 +311,28 @@ object CorpusOps {
     docs.select(sizedDigestCols :+ TextOps.docShinglesCol.as("hs"): _*)
 
 
+  /** The manifest CUT over an arrived-state FRAME — the close-time
+    * tail shared by s19/x_corpus_epochs (which read it back from their
+    * bid-partitioned sinks) and [[x_corpusRetention]] (which reads the
+    * post-erasure standing state): explode the per-doc state back into
+    * the rows c16's own stages consume (capBand → jaccardPairsOf →
+    * clustersOf → manifestFrom — byte-equal to the batch pipeline over
+    * whatever state is passed). ONE body so the arrival twins and the
+    * retention rung cannot drift from the batch pipeline.
+    */
+  private[graft] def corpusCutFrame(arrived: DataFrame): DataFrame = {
+    val sized = arrived.select(col("doc_id"), col("source"), col("n_tok"),
+      col("order_key"), col("digest"))
+    // the shingle view: explode the per-doc array back into the
+    // (doc_id, h, n) rows the band + pair machinery consumes — through
+    // the SAME body as the batch row form (TextOps.shingleRows), so
+    // the array-to-rows convention cannot drift between the twins
+    val sh = TextOps.shingleRows(arrived.select(col("doc_id"), col("hs")))
+    val clusters = TextOps.clustersOf(
+      TextOps.jaccardPairsOf(TextOps.capBand(sh)))
+    manifestFrom(sized, clusters)
+  }
+
   /** The manifest CUT — c16's resolution + gate + packing over the
     * slim per-document state and the resolved cluster table: exact
     * dedup keeps the min-id doc per digest, near-dup resolution drops
@@ -335,6 +357,78 @@ object CorpusOps {
       .join(drops, Seq("doc_id"), "left_anti")
       .filter(col("n_tok").between(MinTok, MaxTok))
     packSized(survivors)
+  }
+
+  /** Modulus / residue selecting [[x_corpusRetention]]'s erasure slice
+    * — the fixture stand-in for an id-addressed retention request list
+    * over the corpus (the [[TextOps.NdDeleteMod]] convention; null-id
+    * docs can never match an id-addressed request).
+    */
+  val CorpusDeleteMod = 7L
+  val CorpusDeleteRes = 3L
+
+  /** The MEMOIZED standing corpus-build state for a dataset — the slim
+    * per-document rows ([[corpusArrivalState]]: sized + digest +
+    * shingle array, ~72 B/doc) that s19-style arrival extraction
+    * accumulates and every manifest cut consumes. In production this
+    * is the state the ingest drains materialized over past epochs;
+    * rebuilding it per invocation would double-count the one
+    * text-touch per document in BENCH (the standing-state convention).
+    * Consumers read it strictly READ-ONLY; the retention rung works on
+    * a link-clone.
+    */
+  private[graft] def corpusStateDir(spark: SparkSession, d: String): String =
+    Tables.memoDir("corpus_state", d) { p =>
+      corpusArrivalState(Tables.documents(spark, d))
+        .write.mode("overwrite").parquet(s"$p/state.parquet")
+    }
+
+  /** x_corpus_retention: ERASURE from the corpus lifecycle's standing
+    * state — the request path the manifest machinery was missing:
+    * s22 erases from the posting index only, while the slim state the
+    * corpus cut consumes (s19/x_corpus_epochs partitions, or this
+    * memo's batch equivalent) kept a deleted document's row forever —
+    * and with it the doc's digest keepership, its cluster membership,
+    * its packed offsets. The rung deletes the requested docs' state
+    * rows (ONE broadcast anti-join rewrite of ~72 B rows — text is
+    * never read; write-new → rm-old → rename) and RE-CUTS the
+    * manifest over the survivors through [[corpusCutFrame]] — c16's
+    * own bodies, where every resolution is already retroactive:
+    * a deleted digest-group keeper PROMOTES the group's next min-id
+    * doc, a deleted canonical re-resolves its cluster, and a deleted
+    * doc's packed tokens vanish, un-packing every downstream offset in
+    * its source shard (the NewOpsSpec keeper-displacement pin).
+    *
+    * By construction the post-delete state is exactly
+    * [[corpusArrivalState]] over the kept docs (state rows are pure
+    * per-row projections), so the re-cut manifest EQUALS
+    * [[c16_corpusPipeline]] over the corpus without the deleted docs —
+    * that restriction IS the oracle (the x_neardup_delete kept-docs
+    * pattern), hash-checked end-to-end: a state row the delete left
+    * behind would surface as a phantom manifest row, a wrong keeper,
+    * or a shifted offset.
+    *
+    * Scale (100 TB): the rewrite touches slim state rows only
+    * (broadcast request list, no shuffle); the cut has c16's own
+    * economics over state that never includes text. The one full-cut
+    * cost per erasure batch is the compliance cadence s22 documents —
+    * log requests immediately, apply at close.
+    */
+  def x_corpusRetention(spark: SparkSession, d: String): DataFrame = {
+    val dir = Tables.scratchDir("corpus_ret", d)
+    val memo = corpusStateDir(spark, d)
+    Tables.linkTree(s"$memo/state.parquet", s"$dir/state.parquet")
+    val req = broadcast(Tables.documents(spark, d)
+      .filter(pmod(col("doc_id"), lit(CorpusDeleteMod)) === CorpusDeleteRes)
+      .select(col("doc_id")))
+    spark.read.parquet(s"$dir/state.parquet")
+      .join(req, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/state_next.parquet")
+    Tables.rmrf(s"$dir/state.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/state_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/state.parquet"))
+    corpusCutFrame(spark.read.parquet(s"$dir/state.parquet"))
   }
 
   /** x: c16 with the cluster table MATERIALIZED — writes c15's labels
@@ -1151,6 +1245,9 @@ object CorpusOps {
     "x_pack_twophase" -> C14Sql,
     "c16_corpus_pipeline" -> C16Sql,
     "x_corpus_from_clusters" -> C16Sql,
+    // x_corpus_retention: the identical pipeline over the kept docs —
+    // the restriction IS the oracle (the x_neardup_delete pattern)
+    "x_corpus_retention" -> C16RetentionSql,
   )
 
   // c35's DuckDB twin — shared by c35, its streaming twin s16, and the
@@ -1303,8 +1400,13 @@ object CorpusOps {
         |  CAST((tok_end - n_bpe) % $SeqBudget AS BIGINT) AS offset
         |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin
 
-  private lazy val C16Sql =
-      """WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3),
+  /** c16's oracle body over a parameterized docs relation — one string
+    * for the batch pipeline / its arrival twins (over `documents`) and
+    * the retention rung (over a kept-docs CTE), so the pipeline SQL
+    * cannot drift between them.
+    */
+  private def c16SqlOver(docs: String): String =
+      s"""toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM $docs WHERE len(str_split(text, ' ')) >= 3),
         |sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
         |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1321,12 +1423,12 @@ object CorpusOps {
         |  UNION
         |  SELECT reach.id, e.b_id FROM reach JOIN e ON reach.r = e.a_id),
         |drops AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(r)),
-        |keeps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(lower(text))),
+        |keeps AS (SELECT MIN(doc_id) AS doc_id FROM $docs GROUP BY sha256(lower(text))),
         |surv AS (SELECT d.doc_id, d.source,
         |    CASE WHEN d.text IS NULL THEN 0
         |         ELSE CAST(len(str_split(d.text, ' ')) AS BIGINT) END AS n_tok,
         |    md5(CAST(d.doc_id AS VARCHAR)) AS order_key
-        |  FROM documents d
+        |  FROM $docs d
         |  JOIN keeps USING (doc_id)
         |  LEFT JOIN drops ON drops.doc_id = d.doc_id
         |  WHERE drops.doc_id IS NULL),
@@ -1339,6 +1441,18 @@ object CorpusOps {
         |  CAST((tok_end - n_tok) % 256 AS BIGINT) AS offset
         |FROM cum ORDER BY source, seq_id, "offset", doc_id""".stripMargin
 
+  private lazy val C16Sql = "WITH RECURSIVE " + c16SqlOver("documents")
+
+  // x_corpus_retention's twin: the identical pipeline over the
+  // kept-docs CTE — never-existed semantics verified end-to-end (a
+  // leftover state row would surface as a phantom manifest row, a
+  // wrong keeper, or a shifted offset)
+  private lazy val C16RetentionSql =
+    s"""WITH RECURSIVE docs_kept AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id IS NULL OR NOT (doc_id % $CorpusDeleteMod = $CorpusDeleteRes)),
+       |""".stripMargin + c16SqlOver("docs_kept")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_stopword_filter" -> c10_stopwordFilter _,
     "c11_hash_sample"     -> c11_hashSample _,
@@ -1349,6 +1463,7 @@ object CorpusOps {
     "c16_corpus_pipeline" -> c16_corpusPipeline _,
     "x_stratified_prefilter" -> x_stratifiedPrefilter _,
     "x_corpus_from_clusters" -> x_corpusFromClusters _,
+    "x_corpus_retention"  -> x_corpusRetention _,
     "x_pack_twophase"     -> x_packTwophase _,
     "c20_bigram_stats"    -> c20_bigramStats _,
     "c35_lm_score"        -> c35_lmScore _,

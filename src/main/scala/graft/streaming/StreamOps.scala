@@ -1275,22 +1275,12 @@ object StreamOps {
     * batch pipeline over whatever state has arrived so far).
     */
   private[graft] def corpusCutOf(spark: SparkSession, state: String): DataFrame = {
-    import graft.ops.{CorpusOps, TextOps}
+    import graft.ops.CorpusOps
     val stateSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, source STRING, n_tok BIGINT, order_key STRING, " +
         "digest STRING, hs ARRAY<BIGINT>")
-    val arrived = readSink(spark, state, stateSchema)
-      .select(stateSchema.fieldNames.map(col).toIndexedSeq: _*)
-    val sized = arrived.select(col("doc_id"), col("source"), col("n_tok"),
-      col("order_key"), col("digest"))
-    // the shingle view: explode the per-doc array back into the
-    // (doc_id, h, n) rows the band + pair machinery consumes — through
-    // the SAME body as the batch row form (TextOps.shingleRows), so
-    // the array-to-rows convention cannot drift between the twins
-    val sh = TextOps.shingleRows(arrived.select(col("doc_id"), col("hs")))
-    val clusters = TextOps.clustersOf(
-      TextOps.jaccardPairsOf(TextOps.capBand(sh)))
-    CorpusOps.manifestFrom(sized, clusters)
+    CorpusOps.corpusCutFrame(readSink(spark, state, stateSchema)
+      .select(stateSchema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
   /** x_corpus_epochs: the MULTI-EPOCH corpus lifecycle — s19's state

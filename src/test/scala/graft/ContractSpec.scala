@@ -129,8 +129,8 @@ class ContractSpec extends AnyFunSuite {
     // the final inventory is 150 / 128 (145 + x_lm_delete +
     // x_semantic_delete + x_corpus_retention + x_semantic_compact +
     // x_semantic_drift, the one rows-only addition)
-    assert(SparkEntry.queries.size === 147)
-    assert(SparkEntry.oracleSql.size === 126)
+    assert(SparkEntry.queries.size === 148)
+    assert(SparkEntry.oracleSql.size === 127)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

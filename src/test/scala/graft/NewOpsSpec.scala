@@ -1101,6 +1101,47 @@ class NewOpsSpec extends SparkSpec {
       === m(standing))
   }
 
+  test("x_corpus_retention: a deleted keeper promotes the next min-id and un-packs downstream offsets") {
+    // doc 3 and doc 11 share a digest (exact dups) with keeper = 3;
+    // 3 ≡ 3 (mod 7) is in the erasure slice (11 ≡ 4 is not), so post-
+    // delete the keeper PROMOTES to 11. Docs 5/6/20 are unique keepers outside the
+    // slice; deleting 3's tokens un-packs every later offset in the
+    // shared source shard. All texts ≥ MinTok tokens, no near-dups.
+    val docs = Seq(
+      (3L, "s", "alpha beta gamma delta epsilon zeta"),
+      (11L, "s", "alpha beta gamma delta epsilon zeta"),
+      (5L, "s", "one two three four five six seven"),
+      (6L, "s", "red orange yellow green blue indigo violet"),
+      (20L, "s", "north south east west center middle edge"))
+    val d = s"${Tables.scratch}/corpusret_tile"
+    Tables.rmrf(d)
+    docs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset"))).toSeq
+    val pre = rows(CorpusOps.c16_corpusPipeline(spark, d))
+    assert(pre.exists(_._1 == 3L) && !pre.exists(_._1 == 11L),
+      "pre-delete, the min-id doc 3 is the digest group's keeper")
+    val post = rows(CorpusOps.x_corpusRetention(spark, d))
+    assert(!post.exists(_._1 == 3L), "the deleted doc must vanish")
+    assert(post.exists(_._1 == 11L),
+      "the digest group's next min-id doc must be promoted to keeper")
+    // never-existed: the re-cut manifest equals the batch pipeline over
+    // the kept docs written as their own corpus
+    val kept = s"${Tables.scratch}/corpusret_kept"
+    Tables.rmrf(kept)
+    docs.filter(_._1 % CorpusOps.CorpusDeleteMod != CorpusOps.CorpusDeleteRes)
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$kept/documents.parquet")
+    assert(post === rows(CorpusOps.c16_corpusPipeline(spark, kept)))
+    // the un-pack bit: some surviving doc's offset actually moved
+    val preOff = pre.filter(_._1 != 3L).map(r => r._1 -> (r._4, r._5)).toMap
+    val postOff = post.map(r => r._1 -> (r._4, r._5)).toMap
+    assert(postOff.exists { case (id, off) => preOff.get(id).exists(_ != off) },
+      "deleting a packed doc's tokens must shift at least one downstream offset")
+  }
+
   test("linkTree: commit markers are copied writable, data files share the inode") {
     // round-18 ADVICE: Spark's append commit rewrites _SUCCESS in place
     // in a clone dir; a hard link would carry that write (or its chmod)

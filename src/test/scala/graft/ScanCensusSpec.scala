@@ -283,6 +283,11 @@ class ScanCensusSpec extends SparkSpec {
     // is checkpointed label state, the shingle sink was consumed by
     // the cluster jobs before the final plan
     "s19_stream_corpus_pipeline" -> ((2, 0)),
+    // x_corpus_retention: the same cut shape over the post-delete
+    // standing state — two slim state reads (digest-keeps agg +
+    // survivors join), labels checkpointed, the erasure rewrite ran
+    // as an earlier job
+    "x_corpus_retention" -> ((2, 0)),
     // x_corpus_epochs: the registered output is the final close's
     // SHIPPED manifest read back (one slim scan); the drains and both
     // cuts ran as earlier jobs
