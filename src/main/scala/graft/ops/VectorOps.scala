@@ -1430,6 +1430,139 @@ object VectorOps {
       semanticIncPairs(spark,
         spark.read.parquet(s"$state/postings.parquet"), deltaPost))
 
+  /** The slim epoch state columns, read back from a `day=N` partition
+    * ([[semArrivalState]]'s layout — vector stored once, probe cells
+    * as an array; the s19/s21 slim-state trick).
+    */
+  private def semEpochState(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cells"))
+
+  /** Fold accumulated `epochs/day=N` slim-state partitions into the
+    * standing multi-probe posting table — the [[graft.ops.TextOps
+    * .neardupCompact]] analog at the embedding level, closing the
+    * "epochs accumulate forever" asymmetry for the semantic index:
+    * s21-style arrival (and [[semanticEpochIngest]]'s batch cadence)
+    * leaves one slim partition per drain/day, and every later read of
+    * the standing side pays listing + per-epoch explode over the whole
+    * history. The fold explodes the epochs' cell arrays ONCE through
+    * [[semPostingRows]] — the same body the daily reads use, so the
+    * folded table holds exactly the rows every reader was already
+    * reconstructing per day (readers consume the index only through
+    * the base ∪ explode(epochs) view, which the fold preserves
+    * verbatim — result-identical by construction, pinned in
+    * scalatest) — and swaps generations with write-new → rm-old →
+    * rename, then drops the epoch partitions.
+    *
+    * Scale (100 TB): without compaction, day N pays O(history) in
+    * partition listings and explode work; with a compact-every-K
+    * policy it is O(K), and the fold itself is one sequential rewrite
+    * of slim posting rows (1 vector + nprobe cells per row), off the
+    * ingest path — never an embedding re-read, never a shuffle.
+    */
+  private[graft] def semanticCompact(spark: SparkSession, dir: String): Unit = {
+    val epochs = s"$dir/epochs"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(epochs))) return
+    spark.read.parquet(s"$dir/postings.parquet")
+      .unionByName(semPostingRows(semEpochState(spark, epochs)))
+      .write.mode("overwrite").parquet(s"$dir/postings_next.parquet")
+    Tables.rmrf(s"$dir/postings.parquet")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/postings_next.parquet"),
+      java.nio.file.Paths.get(s"$dir/postings.parquet"))
+    Tables.rmrf(epochs)
+  }
+
+  /** Day ingest over the semantic EPOCH layout (standing postings +
+    * `epochs/day=K` slim partitions — the layout s21's drains leave
+    * behind): the day's delta state lands in its own partition, and
+    * the pair stage views the standing side as base ∪ explode(prior
+    * epochs) — [[semanticIncPairs]]' semantics with the epoch view in
+    * place of the folded table, so the compaction lifecycle can
+    * interleave ingests with [[semanticCompact]] and pin the identity
+    * (the [[graft.ops.TextOps.neardupEpochIngest]] convention).
+    */
+  private[graft] def semanticEpochIngest(spark: SparkSession, emb: DataFrame,
+      dir: String, cents: Array[Array[Float]], from: Long,
+      until: Option[Long], day: Int): DataFrame = {
+    val delta = until.foldLeft(emb.filter(col("vec_id") > from)) {
+      (df, u) => df.filter(col("vec_id") <= u)
+    }
+    semArrivalState(delta, cents)
+      .write.mode("overwrite").parquet(s"$dir/epochs/day=$day")
+    val deltaPost = semPostingRows(semEpochState(spark, s"$dir/epochs/day=$day"))
+    val prior = semPostingRows(
+      spark.read.parquet(s"$dir/epochs").filter(col("day") < day)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cells")))
+    val standing = spark.read.parquet(s"$dir/postings.parquet").unionByName(prior)
+    semanticIncPairs(spark, standing, deltaPost)
+  }
+
+  /** x_semantic_compact: the semantic ingest lifecycle WITH mid-stream
+    * epoch compaction — [[x_semanticIncremental]]'s economics over TWO
+    * ingest days on the epoch layout, with [[semanticCompact]] folding
+    * day 1's slim partition into the standing posting table before
+    * day 2 ingests (the [[graft.ops.TextOps.x_neardupCompact]] cadence
+    * at the embedding level). The delta domain splits at the b32
+    * floor-consistent three-quarter boundary; each day assigns its
+    * shard under the STANDING codebooks (no Lloyd), pairs it against
+    * base ∪ prior epochs, exact-verifies, and folds the pair state
+    * forward — so day 2 reads the COMPACTED table where the
+    * uncompacted cadence would list and re-explode every prior epoch.
+    *
+    * The audits are byte-equal to the one-shot dedup by the compaction
+    * identity (readers consume the standing side only through the
+    * base ∪ explode(epochs) view, which the fold preserves exactly —
+    * scalatest pins folded ≡ viewed row-for-row) plus the tiling
+    * argument (a pair lands in the day of its later-arriving vector;
+    * the candidate criterion — sharing ≥ 1 of the [[SemIncNprobe]]
+    * probe cells — is day-tiling-invariant), so the query carries
+    * x_semantic_dedup's DuckDB oracle VERBATIM, hash-checked.
+    *
+    * Scale (100 TB): each day is delta-proportional (one assignment
+    * map + slim epoch write + broadcast-delta pair join); the fold is
+    * one sequential posting rewrite off the ingest path, and it is
+    * what keeps the daily standing-side read O(base + recent) instead
+    * of O(history).
+    */
+  def x_semanticCompact(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val empty = spark.range(0).select(col("id").as("vec_id"),
+      col("id").as("cluster_id"), lit(true).as("is_canonical"))
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return empty
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val q3 = mid + (hi - mid) / 2
+    val memo = semanticIndexDir(spark, d, emb, mid) match {
+      case None => return empty
+      case Some(p) => p
+    }
+    val dir = Tables.scratchDir("sem_compact", d)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    Tables.linkTree(s"$memo/pairs.parquet", s"$dir/pairs.parquet")
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    for ((from, until, day) <- Seq((mid, Some(q3), 1), (q3, None, 2))) {
+      val newPairs = semanticEpochIngest(spark, emb, dir, cents, from, until, day)
+      // the day's pair fold materializes BEFORE any index mutation
+      // (the lifecycleDriver ordering: the lazy pair plan reads the
+      // pre-fold tables)
+      spark.read.parquet(s"$dir/pairs.parquet").unionByName(newPairs)
+        .write.mode("overwrite").parquet(s"$dir/pairs_next.parquet")
+      Tables.rmrf(s"$dir/pairs.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/pairs_next.parquet"),
+        java.nio.file.Paths.get(s"$dir/pairs.parquet"))
+      // compact after day 1: day 2 ingests against the FOLDED table
+      if (day == 1) semanticCompact(spark, dir)
+    }
+    graft.ops.TextOps.clustersOf(spark.read.parquet(s"$dir/pairs.parquet"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
+
   /** The shared ingest-day skeleton behind [[x_semanticIncremental]],
     * [[x_semanticBucketed]] and [[x_semanticDelete]] — the variants
     * differ ONLY in how the day's pair stage consumes the standing
@@ -1649,6 +1782,9 @@ object VectorOps {
     // x_semantic_bucketed: byte-equal to the incremental twin (same
     // candidate set through the bucketed join legs) — same oracle
     "x_semantic_bucketed" -> SemanticDedupOracle,
+    // x_semantic_compact: byte-equal to the one-shot dedup by the
+    // compaction identity + day tiling — same oracle
+    "x_semantic_compact" -> SemanticDedupOracle,
     "c7_cosine_neardup" ->
       """WITH un AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1694,5 +1830,6 @@ object VectorOps {
     "x_semantic_incremental" -> x_semanticIncremental _,
     "x_semantic_bucketed" -> x_semanticBucketed _,
     "x_semantic_delete"  -> x_semanticDelete _,
+    "x_semantic_compact" -> x_semanticCompact _,
   )
 }

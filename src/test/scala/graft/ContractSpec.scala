@@ -116,6 +116,9 @@ class ContractSpec extends AnyFunSuite {
       "s21_stream_semantic_ingest" -> "x_semantic_dedup",
       // same candidate set through the bucketed join legs
       "x_semantic_bucketed" -> "x_semantic_dedup",
+      // compaction identity (fold preserves the base ∪ explode(epochs)
+      // view) + day tiling — byte-equal to the one-shot dedup
+      "x_semantic_compact" -> "x_semantic_dedup",
       // log-on-arrival + apply-at-close ≡ the batch delete (union of
       // request batches; deletion is order-free idempotent removal)
       "s22_stream_retention" -> "x_neardup_delete")
@@ -129,8 +132,8 @@ class ContractSpec extends AnyFunSuite {
     // the final inventory is 150 / 128 (145 + x_lm_delete +
     // x_semantic_delete + x_corpus_retention + x_semantic_compact +
     // x_semantic_drift, the one rows-only addition)
-    assert(SparkEntry.queries.size === 148)
-    assert(SparkEntry.oracleSql.size === 127)
+    assert(SparkEntry.queries.size === 149)
+    assert(SparkEntry.oracleSql.size === 128)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

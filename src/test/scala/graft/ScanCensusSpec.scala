@@ -244,6 +244,10 @@ class ScanCensusSpec extends SparkSpec {
     // the two erasure rewrites, the day's pairs and the fold all ran
     // as earlier jobs)
     "x_semantic_delete" -> ((0, 0)),
+    // x_semantic_compact: same checkpointed cluster tail (both days'
+    // ingests, the pair folds and the mid-stream posting fold all ran
+    // as earlier jobs)
+    "x_semantic_compact" -> ((0, 0)),
     // x_semantic_ann: same cluster tail — training, assignment and the
     // pair join all run before the checkpointed label state
     "x_semantic_ann" -> ((0, 0)),

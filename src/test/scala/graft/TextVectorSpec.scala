@@ -175,6 +175,44 @@ class TextVectorSpec extends SparkSpec {
       "fixture's deleted slice must touch at least one standing pair")
   }
 
+  test("x_semantic_compact: the fold preserves the base ∪ explode(epochs) view and collapses the layout") {
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val q3 = mid + (r.getLong(1) - mid) / 2
+    val memo = VectorOps.semanticIndexDir(spark, sf0001, emb, mid).get
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    val dir = Tables.scratchDir("semcpt_spec", sf0001)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    // day-1 epoch lands as slim state (vector once, cells as array)
+    VectorOps.semArrivalState(
+        emb.filter(col("vec_id") > mid && col("vec_id") <= q3), cents)
+      .write.mode("overwrite").parquet(s"$dir/epochs/day=1")
+    def postSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell")).collect()
+      .map(x => (x.getAs[Any](0), x.getAs[Any](1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap // multiset — replicas count
+    val viewed = postSet(spark.read.parquet(s"$dir/postings.parquet")
+      .unionByName(VectorOps.semPostingRows(
+        spark.read.parquet(s"$dir/epochs")
+          .select(col("vec_id"), col("embedding"), col("norm"), col("cells")))))
+    VectorOps.semanticCompact(spark, dir)
+    assert(postSet(spark.read.parquet(s"$dir/postings.parquet")) === viewed,
+      "the folded table must hold exactly the rows the epoch view reconstructed")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/epochs")), "epoch partitions must be dropped")
+    // and the registered lifecycle is byte-equal to the one-shot dedup
+    // — the twin identity the shared oracle rides on
+    val cpt = VectorOps.x_semanticCompact(spark, sf0001).collect().map(_.toSeq).toSeq
+    val one = VectorOps.x_semanticDedup(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(cpt === one)
+    assert(cpt.nonEmpty)
+  }
+
   test("x_semantic_ann: refines the exact components (precision 1) with recall >= 0.9") {
     // the exact answer: x_semantic_dedup's components over c7's pairs
     val exact = VectorOps.x_semanticDedup(spark, sf0001).collect()
