@@ -1430,6 +1430,94 @@ object VectorOps {
       semanticIncPairs(spark,
         spark.read.parquet(s"$state/postings.parquet"), deltaPost))
 
+  /** The assignment-quality census over epoch buckets for a COARSE
+    * quantizer — the machinery behind [[x_semanticDrift]],
+    * parameterized on the codebook and epoch boundaries so tests can
+    * force a distribution shift (the [[annDriftCensus]] shape with the
+    * best-cell COSINE GAP in place of the PQ reconstruction error:
+    * the semantic cells have no code decode — their quality is how
+    * well the nearest centroid direction matches the vector). Per
+    * vector (finite norm — the similarity domain the index covers):
+    * gap_e6 = floor((1 − cos(v, c_best))·1e6), with c_best the top-1
+    * cell under the SAME native TopCells ranking the index assigns by,
+    * and the centroid directions joined back from a broadcast k-row
+    * frame. Floored per row BEFORE the epoch mean, so the census is a
+    * sum of per-row integers — partitioning-stable like every e6
+    * census here.
+    */
+  private[graft] def semDriftCensus(spark: SparkSession, emb: DataFrame,
+      cents: Array[Array[Float]], bounds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    // the SAME unit-normalized directions TopCells ranks with — one
+    // normalization body (Extras.unitArr), so the scored gap is the
+    // exact quantity assignment maximized
+    val cfr = broadcast(cents.map(Extras.unitArr).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec"))
+    val epoch = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("vec_id") > b, 1L).otherwise(0L) }
+    emb
+      .withColumn("nrm", sqrt(sumSqOf("embedding")))
+      .filter(finiteNorm(col("nrm")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        Extras.topCellsCol(cents, 1).getItem(0).as("cell"))
+      .join(cfr, Seq("cell"))
+      .withColumn("gap_e6",
+        floor((lit(1.0) - expr("dot_f32(embedding, cvec)") / col("nrm")) * 1e6)
+          .cast("long"))
+      .groupBy(epoch.as("epoch"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(gap_e6) DIV count(1)").as("mean_gap_e6"))
+      .orderBy(col("epoch"))
+  }
+
+  /** x_semantic_drift: the semantic index's REBUILD-CADENCE monitor —
+    * [[x_annDrift]]'s shape applied to the coarse quantizer the
+    * semantic family stands on: the standing cells are trained on the
+    * BASE epoch only ([[semanticIndexDir]]'s artifact — exactly what
+    * an incremental deployment holds), and every arriving epoch is
+    * assigned with them ([[x_semanticIncremental]]/s21 never retrain,
+    * by design and by pin). That staleness has a cost the family
+    * previously had NO operator to see: a drifted epoch's vectors land
+    * in cells whose directions no longer match, the within-cell
+    * candidate net thins, and recall decays — today the oracle gate
+    * doubles as the alarm, which only exists at fixture scale. This
+    * census is the production alarm: per epoch (quartile boundaries,
+    * the b32 floor-consistent census), the vector count and the mean
+    * best-cell cosine gap as an exact-integer e6 mean — a later epoch
+    * whose mean gap pulls away from the base epoch's is the signal to
+    * retrain the coarse quantizer (the [[x_annRebuild]] decision, at
+    * the semantic level). Rows-only in the driver gate (the ANN-family
+    * contract — centroid geometry is engine-specific); scalatest pins
+    * the forced-shift fixture (shifted arrivals → gap jump; a
+    * counterfactual full-corpus retrain restores) and a no-shift
+    * control.
+    *
+    * Scale (100 TB): training reads the bounded √n sample; the census
+    * is ONE pure-map corpus scan (native TopCells + one broadcast
+    * k-row join + one fused dot) into a four-row aggregate — the
+    * cheapest observability the index owner can buy, schedulable with
+    * every ingest at marginal cost.
+    */
+  def x_semanticDrift(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val empty = spark.range(0).select(col("id").as("epoch"),
+      col("id").as("n_vecs"), col("id").as("mean_gap_e6"))
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return empty
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val bounds = (1 to 3).map(i => lo + (hi - lo) * i / 4)
+    val base = emb.filter(col("vec_id").isNull || col("vec_id") <= bounds(0))
+    // k from the BASE census (parquet-footer count — control state)
+    val nBase = base.count()
+    val k = math.max(SemAnnMinCells, math.min(SemAnnMaxCells,
+      (SemAnnCellsPerSqrtN * math.sqrt(nBase.toDouble)).toLong)).toInt
+    val cents = Extras.ivfCentroidsK(spark, base, k, seedByLabel = false,
+      trainCap = math.max(1024, 16 * k), lloydIters = SemAnnLloydIters)
+    if (cents.isEmpty) return empty
+    semDriftCensus(spark, emb, cents, bounds)
+  }
+
   /** The slim epoch state columns, read back from a `day=N` partition
     * ([[semArrivalState]]'s layout — vector stored once, probe cells
     * as an array; the s19/s21 slim-state trick).
@@ -1831,5 +1919,6 @@ object VectorOps {
     "x_semantic_bucketed" -> x_semanticBucketed _,
     "x_semantic_delete"  -> x_semanticDelete _,
     "x_semantic_compact" -> x_semanticCompact _,
+    "x_semantic_drift"   -> x_semanticDrift _,
   )
 }

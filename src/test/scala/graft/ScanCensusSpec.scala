@@ -216,6 +216,9 @@ class ScanCensusSpec extends SparkSpec {
     // x_ann_drift: ONE pure-map corpus scan into the four-row census;
     // codebook training ran eagerly on the bounded sample
     "x_ann_drift" -> ((1, 0)),
+    // x_semantic_drift: the same one-scan census shape (TopCells +
+    // broadcast k-row centroid join); cell training ran eagerly
+    "x_semantic_drift" -> ((1, 0)),
     // x_ann_from_index: the consumer plan reads codes.parquet + the
     // probe slice of embeddings — training/build ran as earlier jobs
     "x_ann_from_index" -> ((2, 0)),

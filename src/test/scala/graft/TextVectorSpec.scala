@@ -542,6 +542,58 @@ class TextVectorSpec extends SparkSpec {
       s"shifted epoch must pull away from its unshifted twin: S=$errS C=$errC")
   }
 
+  test("x_semantic_drift: a shifted epoch's cosine gap pulls away; a full retrain restores it") {
+    import graft.ops.{Tables, VectorOps, Extras}
+    import spark.implicits._
+    // direction-shift fixture (an additive shift would move every
+    // vector toward the positive diagonal — a COSINE census needs a
+    // support change): base epochs live on dims 0-31, the shifted
+    // corpus displaces its LAST epoch (vec_id > 95 of 0..127) onto
+    // dims 32-63 — orthogonal to every base-trained cell direction
+    def vec(id: Long, hiDims: Boolean): Seq[Float] =
+      Seq.tabulate(64) { i =>
+        val r = (((id * 64 + i) * 2654435761L % 1000) / 1000.0f) + 0.05f
+        if (hiDims == (i >= 32)) r else 0.001f * r
+      }
+    def corpus(dir: String, shiftLast: Boolean): String = {
+      Tables.rmrf(dir)
+      (0L to 127L).map(id =>
+          (id, vec(id, hiDims = shiftLast && id > 95), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val shifted = corpus(s"${Tables.scratch}/sem_drift_shift", shiftLast = true)
+    val control = corpus(s"${Tables.scratch}/sem_drift_ctl", shiftLast = false)
+    def censusOf(d: String): Map[Long, Long] =
+      VectorOps.x_semanticDrift(spark, d).collect()
+        .map(r => r.getAs[Long]("epoch") -> r.getAs[Long]("mean_gap_e6")).toMap
+    val gapS = censusOf(shifted)
+    val gapC = censusOf(control)
+    // same-epoch counterfactual (the x_ann_drift discipline): the two
+    // corpora differ only in the last epoch; cells train on the
+    // (identical) base, so epochs 0-2 are shift-invariant and the
+    // shifted arrival epoch pulls far away from its unshifted twin
+    for (e <- 0L to 2L)
+      assert(gapS(e) === gapC(e), s"epoch $e must be shift-invariant")
+    assert(gapS(3L) > 2L * math.max(gapC(3L), 1L),
+      s"shifted epoch must pull away: S=$gapS C=$gapC")
+    // the retrain counterfactual: cells trained on the FULL shifted
+    // corpus (the x_ann_rebuild action at the semantic level) cover
+    // the new region, collapsing the epoch's gap back toward the band
+    val emb = Tables.embeddings(spark, shifted)
+    val n = emb.count()
+    val k = math.max(VectorOps.SemAnnMinCells, math.min(VectorOps.SemAnnMaxCells,
+      (VectorOps.SemAnnCellsPerSqrtN * math.sqrt(n.toDouble)).toLong)).toInt
+    val retrained = Extras.ivfCentroidsK(spark, emb, k, seedByLabel = false,
+      trainCap = math.max(1024, 16 * k), lloydIters = VectorOps.SemAnnLloydIters)
+    val post = VectorOps.semDriftCensus(spark, emb, retrained, Seq(31L, 63L, 95L))
+      .collect().map(r => r.getAs[Long]("epoch") -> r.getAs[Long]("mean_gap_e6")).toMap
+    info(s"gap census base-trained: $gapS; retrained: $post")
+    assert(post(3L) < gapS(3L) / 2L,
+      s"retrain must collapse the shifted epoch's gap: pre=$gapS post=$post")
+  }
+
   test("x_ann_delete: erasure is exact — search ≡ survivors-only assignment; no deleted neighbor") {
     import graft.ops.{Tables, VectorOps}
     import org.apache.spark.sql.functions.{pmod, lit}
