@@ -1,0 +1,101 @@
+package graft.tools
+
+/** REGISTRY-WIDE decade bench — the round-19 scale-evidence rung: run
+  * every SparkEntry query at sf0.1 AND at the x`factor` decade layout
+  * (one JVM, same box, back-to-back) and report each query's measured
+  * growth exponent ln(tBig/tSmall)/ln(factor) against its family's
+  * ledger claim (SURVEY §8). The per-family decade profiles
+  * (ProfileSemantic / ProfileIncremental / ProfileMaintenance) measure
+  * chosen stages deeply; this rung is the BREADTH check — no query in
+  * the registry may grow faster than its family's documented exponent
+  * without being flagged.
+  *
+  * Method notes:
+  *  - two samples per (query, scale), MIN taken: the box's additive
+  *    2-30 s scheduler stalls hit ~30% of samples (BENCH_NOTES), and
+  *    one stalled sample at either scale would corrupt the exponent in
+  *    either direction; min-of-2 also makes memoized standing state
+  *    (semantic/ANN/LM memos, built in sample 1, reused in sample 2)
+  *    measure its RECURRING cost, the committed Bench convention.
+  *  - fixed-overhead-dominated queries read exponents far BELOW 1 —
+  *    that is signal (the overhead amortizes at scale), so only
+  *    exponents ABOVE the ceiling flag.
+  *  - ceilings: 1.30 default (linear work + n log n sorts, with
+  *    headroom for noise); 2.15 for the exact-pair families that are
+  *    quadratic BY DESIGN (c7's all-pairs verify and everything that
+  *    carries its backfill — SURVEY §8 says so explicitly); 1.70 for
+  *    x_semantic_ann (the n^1.5 path, measured 1.51 in
+  *    ProfileSemantic).
+  *
+  * Usage: runMain graft.tools.BenchDecade [factor]   (default 8;
+  * requires target/decade/x<factor> from CorpusDecade — which now
+  * replicates the TPC-H star too, so the b-tier runs at scale).
+  * Writes target/decade_bench_x<factor>.json and prints a markdown
+  * table ready for BENCH_NOTES.
+  */
+object BenchDecade {
+
+  val DefaultCeiling = 1.30
+  val Ceilings: Map[String, Double] = {
+    // quadratic by design: c7's exact all-pairs verify, and every
+    // query that pays it as backfill/one-shot (the semantic family's
+    // exact forms — their standing-state memo builds c7 over base)
+    val quad = Seq("c7_cosine_neardup", "x_semantic_dedup",
+      "x_semantic_incremental", "x_semantic_bucketed", "x_semantic_delete",
+      "x_semantic_compact", "s21_stream_semantic_ingest").map(_ -> 2.15)
+    // the n^1.5 path (measured 1.51 over 32x in ProfileSemantic)
+    val sesqui = Seq("x_semantic_ann" -> 1.70)
+    (quad ++ sesqui).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = s"/root/repo/target/decade/x$factor"
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(big)),
+      s"generate the decade layout first: runMain graft.tools.CorpusDecade $factor")
+    val spark = ToolSession.session(
+      Map("spark.sql.extensions" -> "graft.GraftExtensions"))
+    // the Bench warm-ups: executors, codegen, parquet reader paths
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (d <- Seq(small, big))
+      spark.read.parquet(s"$d/region.parquet").count()
+    // the Bench materialization convention: noop sink consumes every
+    // output column, so the timed plan is the judged plan
+    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, d: String): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, d).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => return Double.PositiveInfinity }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val rows = for ((name, fn) <- names) yield {
+      val tS = math.min(once(fn, small), once(fn, small))
+      val tB = math.min(once(fn, big), once(fn, big))
+      val exp =
+        if (!java.lang.Double.isFinite(tS) || !java.lang.Double.isFinite(tB)) Double.NaN
+        else math.log(tB / tS) / math.log(factor.toDouble)
+      val ceil = Ceilings.getOrElse(name, DefaultCeiling)
+      val flag = exp > ceil
+      println(f"[decade-bench] $name%-28s t$small=$tS%8.2f tX$factor=$tB%8.2f exp=$exp%6.2f ceil=$ceil%4.2f ${if (flag) "FLAG" else ""}")
+      (name, tS, tB, exp, ceil, flag)
+    }
+    def j(x: Double) =
+      if (java.lang.Double.isFinite(x)) "%.4f".formatLocal(java.util.Locale.ROOT, x) else "null"
+    val json = rows.map { case (n, tS, tB, e, c, f) =>
+      s"""  "$n": {"t_sf01": ${j(tS)}, "t_x$factor": ${j(tB)}, "exp": ${j(e)}, "ceil": $c, "flag": $f}"""
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"/root/repo/target/decade_bench_x$factor.json"), json)
+    // markdown digest for BENCH_NOTES: the flagged set (should be
+    // empty) + the ten largest exponents for the audit trail
+    println("#decade-md | query | t(sf0.1) s | t(x" + factor + ") s | exponent | ceiling |")
+    println("#decade-md |---|---|---|---|---|")
+    for ((n, tS, tB, e, c, f) <- rows.sortBy(-_._4).take(12))
+      println(f"#decade-md | $n | $tS%.2f | $tB%.2f | $e%.2f | $c%.2f |")
+    val flagged = rows.filter(_._6)
+    println(s"#decade-flagged ${flagged.size}: ${flagged.map(_._1).mkString(", ")}")
+    spark.stop()
+  }
+}

@@ -116,6 +116,56 @@ object CorpusDecade {
     emb.crossJoin(spark.range(factor).toDF("r")).select(cols.toIndexedSeq: _*)
   }
 
+  /** A TPC-H-ish table with its KEY columns shifted into per-replica
+    * disjoint id spaces (strides shared across tables, so FK joins
+    * match only within a replica — the factor-F join output is exactly
+    * F shifted copies of the source output, the linear-workload
+    * property every replicate* body here preserves). Null keys pass
+    * through null in every replica (null + x = null). Non-key columns
+    * (dates, prices, flags, names) pass through unchanged, so every
+    * filter selectivity and aggregate group structure is preserved.
+    */
+  private def shiftKeys(spark: SparkSession, srcDir: String, name: String,
+      strides: Map[String, Long], factor: Int) = {
+    val t = graft.ops.Tables.t(spark, srcDir, name)
+    val cols = t.columns.map(c => strides.get(c)
+      .map(s => (col(c) + col("r") * s).as(c)).getOrElse(col(c)))
+    t.crossJoin(spark.range(factor).toDF("r")).select(cols.toIndexedSeq: _*)
+  }
+
+  /** Replicate the full TPC-H-ish star (customer/orders/lineitem/
+    * supplier/part) with consistent key strides; nation and region are
+    * fixed dimensions and copy through unchanged — dim joins stay
+    * shared across replicas (each nation simply holds F× the
+    * customers), which is exactly how a bigger SF would look.
+    * Needed so the REGISTRY-WIDE decade bench ([[BenchDecade]]) can
+    * run the b-tier (TPC-H-shaped) queries at x8, not only the
+    * documents/events/embeddings tiers.
+    */
+  def replicateTpch(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    def stride(name: String, key: String): Long =
+      graft.ops.Tables.t(spark, srcDir, name)
+        .agg(max(col(key))).head.getLong(0) + 1
+    val sC = stride("customer", "c_custkey")
+    val sO = stride("orders", "o_orderkey")
+    val sS = stride("supplier", "s_suppkey")
+    val sP = stride("part", "p_partkey")
+    val shifts = Map(
+      "customer" -> Map("c_custkey" -> sC),
+      "orders"   -> Map("o_orderkey" -> sO, "o_custkey" -> sC),
+      "lineitem" -> Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> sS),
+      "supplier" -> Map("s_suppkey" -> sS),
+      "part"     -> Map("p_partkey" -> sP))
+    for ((name, st) <- shifts)
+      shiftKeys(spark, srcDir, name, st, factor)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    for (dim <- Seq("nation"))
+      spark.read.parquet(s"$srcDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args(0).toInt
     val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -144,6 +194,7 @@ object CorpusDecade {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     spark.read.parquet(s"$srcDir/region.parquet")
       .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    replicateTpch(spark, srcDir, outDir, factor)
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/events.parquet").count()
     val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
