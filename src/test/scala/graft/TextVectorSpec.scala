@@ -542,6 +542,42 @@ class TextVectorSpec extends SparkSpec {
       s"shifted epoch must pull away from its unshifted twin: S=$errS C=$errC")
   }
 
+  test("semantic incremental candidate net covers every exact delta-touching pair at the gate fixture") {
+    // round-18 ADVICE: the incremental/arrival semantic forms carry the
+    // EXACT oracle while candidate generation is nprobe-bounded — their
+    // hash-greenness rests on candidate completeness at the gate
+    // fixtures, previously re-measured only by hand (ProbeSemInc). This
+    // makes the requirement CI: any future fixture, trainer, or
+    // cell-sizing change that opens a recall hole fails here with the
+    // missing pairs named, before the driver gate turns it into an
+    // opaque hash mismatch.
+    import graft.ops.{Tables, VectorOps}
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = emb.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.semanticIndexDir(spark, sf0001, emb, mid).get
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    // exact delta-touching pairs: c7's blocked scorer, later id > mid
+    val exact = VectorOps.c7_cosineNeardup(spark, sf0001)
+      .filter(col("b_id") > mid)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty, "gate fixture must contain delta-touching pairs")
+    // the incremental net: standing postings ∪ delta vs delta in a cell
+    val deltaPost = VectorOps.semPostingsOf(emb.filter(col("vec_id") > mid), cents)
+    val got = VectorOps.semanticIncPairs(spark,
+        spark.read.parquet(s"$memo/postings.parquet"), deltaPost)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val missed = exact -- got
+    assert(missed.isEmpty,
+      s"candidate net missed ${missed.size} exact pair(s) at SemIncNprobe=" +
+        s"${VectorOps.SemIncNprobe}: ${missed.take(5)} — widen nprobe or " +
+        "retrain; the driver hash gate would fail opaquely on this")
+  }
+
   test("x_semantic_drift: a shifted epoch's cosine gap pulls away; a full retrain restores it") {
     import graft.ops.{Tables, VectorOps, Extras}
     import spark.implicits._
