@@ -1514,6 +1514,93 @@ object StreamOps {
     TextOps.neardupIngest(spark, d, dir, mid)
   }
 
+  /** s23: SEMANTIC retention requests on arrival — x_semantic_delete's
+    * streaming twin, completing the retention-arrival pair the way s22
+    * did for the lexical index (round-19 closed the batch erasure
+    * ladder at every level; the ARRIVAL form existed only for posting
+    * rows): erasure requests for standing-epoch vec_ids stream in (a
+    * privacy queue), every micro-batch logs its ids durably into a
+    * `bid=N` overwrite partition (the durable log IS the compliance
+    * audit trail), and the TWO index rewrites (postings + pair state,
+    * [[graft.ops.VectorOps.semanticIndexDelete]]) run ONCE at drain
+    * close over the union of arrived requests — the s22 rewrite-cost
+    * placement: deletion is order-free idempotent set removal, so
+    * per-batch rewrites would pay O(index) per trigger for the same
+    * final state. After the delete, the day's ingest runs against the
+    * post-delete state through the batch twin's own bodies
+    * (semanticIncPairs + clustersOf). The union of request batches is
+    * the request set, so s23 is byte-equal to x_semantic_delete
+    * however the source tiles the requests — it carries that
+    * kept-vectors oracle VERBATIM, hash-checked; StreamingSpec pins a
+    * forced multi-batch drain row-for-row.
+    *
+    * Scale (100 TB): per batch, one slim id write; at close, two slim
+    * broadcast anti-join rewrites (embeddings never read) + the
+    * delta-proportional ingest.
+    */
+  def s23_streamSemanticRetention(spark: SparkSession, d: String): DataFrame =
+    s23At(spark, d, maxFilesPerTrigger = None)
+
+  /** Trigger-cadence-parameterized form (the s19At convention): the
+    * request log is stateless per row, so the registered query drains
+    * with natural batching; the tiling spec passes Some(1).
+    */
+  private[graft] def s23At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.{Tables, VectorOps}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val empty = spark.range(0).select(col("id").as("vec_id"),
+      col("id").as("cluster_id"), lit(true).as("is_canonical"))
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return empty
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = VectorOps.semanticIndexDir(spark, d, emb, mid) match {
+      case None => return empty
+      case Some(p) => p
+    }
+    val (_, chk, base) = sinkDirsWithBase("s23", d)
+    val reqLog = s"$base/requests"
+    // the request stream: the standing slice's ids (the
+    // x_semantic_delete request convention — id-addressed, so null ids
+    // can never match)
+    val arriving = stagedFileStream(spark, d, "embeddings", maxFilesPerTrigger)
+      .filter(col("vec_id") <= mid &&
+        pmod(col("vec_id"), lit(VectorOps.SemDeleteMod)) === VectorOps.SemDeleteRes)
+      .select(col("vec_id"))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      // batchId-keyed overwrite: replay-idempotent (see s1) — and the
+      // durable per-batch request log is the erasure audit trail
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$reqLog/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val reqSchema = org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT")
+    val requests = readSink(spark, reqLog, reqSchema)
+      .select(col("vec_id")).distinct()
+    // apply ONCE at close, on the invocation's clone of the standing
+    // state (the memo stays immutable)
+    val dir = Tables.scratchDir("s23_idx", d)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    Tables.linkTree(s"$memo/pairs.parquet", s"$dir/pairs.parquet")
+    VectorOps.semanticIndexDelete(spark, dir, requests)
+    // the day's ingest against the post-delete state — the batch
+    // twin's own bodies (model always reads from the memo: erasure
+    // never retrains)
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
+    val deltaPost = VectorOps.semPostingsOf(emb.filter(col("vec_id") > mid), cents)
+    val newPairs = VectorOps.semanticIncPairs(spark,
+      spark.read.parquet(s"$dir/postings.parquet"), deltaPost)
+    graft.ops.TextOps.clustersOf(
+        spark.read.parquet(s"$dir/pairs.parquet").unionByName(newPairs))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
+
   /** s21: SEMANTIC-dedup ingest on arrival — x_semantic_incremental's
     * streaming twin, the arrival rung the embedding dedup family was
     * missing (lexical: s14; LM: s16-s18; corpus: s19; vector index:
@@ -1663,6 +1750,9 @@ object StreamOps {
     // request set is the union of its batches; deletion is order-free
     // idempotent set removal) — the twin's oracle verbatim
     "s22_stream_retention" -> graft.ops.TextOps.oracles("x_neardup_delete"),
+    // s23: the same log/apply cadence against the SEMANTIC standing
+    // state — x_semantic_delete's kept-vectors oracle verbatim
+    "s23_stream_semantic_retention" -> graft.ops.VectorOps.oracles("x_semantic_delete"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1736,5 +1826,6 @@ object StreamOps {
     "s20_stream_ann_ingest" -> s20_streamAnnIngest _,
     "s21_stream_semantic_ingest" -> s21_streamSemanticIngest _,
     "s22_stream_retention" -> s22_streamRetention _,
+    "s23_stream_semantic_retention" -> s23_streamSemanticRetention _,
   )
 }

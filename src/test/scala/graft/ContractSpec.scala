@@ -122,19 +122,21 @@ class ContractSpec extends AnyFunSuite {
       "x_semantic_compact" -> "x_semantic_dedup",
       // log-on-arrival + apply-at-close ≡ the batch delete (union of
       // request batches; deletion is order-free idempotent removal)
-      "s22_stream_retention" -> "x_neardup_delete")
+      "s22_stream_retention" -> "x_neardup_delete",
+      // the same cadence against the semantic standing state
+      "s23_stream_semantic_retention" -> "x_semantic_delete")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
   }
 
   test("the inventory holds all SURVEY §2 queries") {
-    // round-19 retention/maintenance ladder lands operator-by-operator;
-    // the final inventory is 150 / 128 (145 + x_lm_delete +
+    // round-19 retention/maintenance ladder: 145 + x_lm_delete +
     // x_semantic_delete + x_corpus_retention + x_semantic_compact +
-    // x_semantic_drift, the one rows-only addition)
-    assert(SparkEntry.queries.size === 150)
-    assert(SparkEntry.oracleSql.size === 128)
+    // x_semantic_drift (the one rows-only addition) +
+    // s23_stream_semantic_retention (x_semantic_delete's arrival twin)
+    assert(SparkEntry.queries.size === 151)
+    assert(SparkEntry.oracleSql.size === 129)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -330,6 +330,10 @@ class ScanCensusSpec extends SparkSpec {
     // s22: the close-time audit is the same incremental consumer plan
     // over the post-delete clone
     "s22_stream_retention" -> ((4, 4)),
+    // s23: the semantic retention twin ends in the checkpointed
+    // cluster tail (drain, erasure rewrites, pair cut and fold all
+    // ran as earlier jobs — the x_semantic_delete census shape)
+    "s23_stream_semantic_retention" -> ((0, 0)),
     // x_bpe_train: the merge table is driver model state parallelized
     // back out — the census scan ran as an earlier job
     "x_bpe_train" -> ((0, 0)),

@@ -572,6 +572,33 @@ class StreamingSpec extends SparkSpec {
       "multi-batch request logs must apply to the one-shot delete exactly")
   }
 
+  test("s23 semantics: semantic retention on arrival ≡ the batch x_semantic_delete, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s23_streamSemanticRetention(spark, sf0001).collect()
+    val batch = graft.ops.VectorOps.x_semanticDelete(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the close-time cluster state must equal the batch delete exactly")
+  }
+
+  test("s23 tiling: requests arriving batch-by-batch apply as one close-time semantic delete") {
+    // several part files → several request batches in the durable log;
+    // the close-time postings+pairs rewrites over their union must
+    // equal the batch delete exactly (the s22 argument at the
+    // embedding level: deletion is order-free idempotent set removal)
+    val dir = s"${graft.ops.Tables.scratch}/s23_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.embeddings(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val streamed = graft.streaming.StreamOps
+      .s23At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
+    val oneShot = graft.ops.VectorOps.x_semanticDelete(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq,
+      "multi-batch request logs must apply to the one-shot delete exactly")
+  }
+
   test("s21 semantics: semantic ingest on arrival ≡ the batch x_semantic_dedup, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s21_streamSemanticIngest(spark, sf0001).collect()
