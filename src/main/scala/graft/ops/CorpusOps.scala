@@ -414,15 +414,24 @@ object CorpusOps {
     * cost per erasure batch is the compliance cadence s22 documents —
     * log requests immediately, apply at close.
     */
-  def x_corpusRetention(spark: SparkSession, d: String): DataFrame = {
-    val dir = Tables.scratchDir("corpus_ret", d)
+  def x_corpusRetention(spark: SparkSession, d: String): DataFrame =
+    corpusRetentionRun(spark, d, "corpus_ret")(
+      Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(CorpusDeleteMod)) === CorpusDeleteRes)
+        .select(col("doc_id")))
+
+  /** The erasure body behind [[x_corpusRetention]] and its arrival
+    * twin (s25) — the variants differ ONLY in the request frame (batch
+    * slice vs the drained request log): clone, the state rewrite, the
+    * swap and the re-cut are one body so the twins cannot drift.
+    */
+  private[graft] def corpusRetentionRun(spark: SparkSession, d: String,
+      tag: String)(req: DataFrame): DataFrame = {
+    val dir = Tables.scratchDir(tag, d)
     val memo = corpusStateDir(spark, d)
     Tables.linkTree(s"$memo/state.parquet", s"$dir/state.parquet")
-    val req = broadcast(Tables.documents(spark, d)
-      .filter(pmod(col("doc_id"), lit(CorpusDeleteMod)) === CorpusDeleteRes)
-      .select(col("doc_id")))
     spark.read.parquet(s"$dir/state.parquet")
-      .join(req, Seq("doc_id"), "left_anti")
+      .join(broadcast(req.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$dir/state_next.parquet")
     Tables.rmrf(s"$dir/state.parquet")
     java.nio.file.Files.move(
@@ -886,13 +895,24 @@ object CorpusOps {
     * x_lm_update argument run backwards, which is exactly why the
     * census-additive LM design pays off at erasure time.
     */
-  def x_lmDelete(spark: SparkSession, d: String): DataFrame = {
+  def x_lmDelete(spark: SparkSession, d: String): DataFrame =
+    lmDeleteRun(spark, d, "lm_delete")(
+      Tables.documents(spark, d).filter(col("source") === LmTrainSource &&
+        pmod(col("doc_id"), lit(LmDeleteMod)) === LmDeleteRes))
+
+  /** The erasure body behind [[x_lmDelete]] and its arrival twin
+    * (s24) — the variants differ ONLY in how the deleted-docs frame is
+    * derived (batch slice filter vs the close-time join of the durable
+    * request log back to the store): the decrement, the generation
+    * write, the never-ingested marginals and the scoring tail are one
+    * body so the twins cannot drift.
+    */
+  private[graft] def lmDeleteRun(spark: SparkSession, d: String, tag: String)(
+      deleted: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val dir = Tables.scratchDir("lm_delete", d)
+    val dir = Tables.scratchDir(tag, d)
     // the standing artifact: trained on a past epoch, memoized
     val lmDir = standingTrainLmDir(spark, d)
-    val deleted = docs.filter(col("source") === LmTrainSource &&
-      pmod(col("doc_id"), lit(LmDeleteMod)) === LmDeleteRes)
     // the DECREMENT: standing census ⊖ deleted census → the next
     // generation, persisted (the memo stays immutable — read-only
     // consumers; the write-new convention of every delete rung)

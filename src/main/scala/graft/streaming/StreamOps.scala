@@ -1601,6 +1601,101 @@ object StreamOps {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
   }
 
+  /** s24: LM retention requests on arrival — x_lm_delete's streaming
+    * twin (the s22/s23 log-then-apply cadence at the LM level,
+    * completing the retention-arrival ladder for every oracled erasure
+    * rung): requests for train-shard doc_ids stream in, every
+    * micro-batch logs its ids durably into a `bid=N` overwrite
+    * partition, and the DECREMENT runs ONCE at drain close — the
+    * logged ids join back to the document store (broadcast — a request
+    * list is KB against a lake), their bigram census subtracts from
+    * the standing pair table, marginals re-derive, held-out text
+    * scores through the post-delete model, all through the batch
+    * twin's own body ([[graft.ops.CorpusOps.lmDeleteRun]]). Close-time
+    * placement is the rewrite-cost argument: the decrement is one
+    * vocabulary-sized merge however many requests arrived, and census
+    * additivity makes the union-of-batches decrement ≡ the batch
+    * delete exactly — s24 carries x_lm_delete's kept-train-docs oracle
+    * VERBATIM, hash-checked; StreamingSpec pins a forced multi-batch
+    * drain row-for-row.
+    *
+    * Scale (100 TB): per batch one slim id write; at close one
+    * deleted-docs scan (ids broadcast into the store join) + the
+    * vocabulary-sized decrement + x_lm_heldout's scoring economics.
+    */
+  def s24_streamLmRetention(spark: SparkSession, d: String): DataFrame =
+    s24At(spark, d, maxFilesPerTrigger = None)
+
+  /** Trigger-cadence-parameterized form (the s19At convention). */
+  private[graft] def s24At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.{CorpusOps, Tables}
+    val (_, chk, base) = sinkDirsWithBase("s24", d)
+    val reqLog = s"$base/requests"
+    val arriving = stagedFileStream(spark, d, "documents", maxFilesPerTrigger)
+      .filter(col("source") === CorpusOps.LmTrainSource &&
+        pmod(col("doc_id"), lit(CorpusOps.LmDeleteMod)) === CorpusOps.LmDeleteRes)
+      .select(col("doc_id"))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$reqLog/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val reqSchema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
+    val requests = readSink(spark, reqLog, reqSchema)
+      .select(col("doc_id")).distinct()
+    CorpusOps.lmDeleteRun(spark, d, "s24_lm")(
+      Tables.documents(spark, d).join(broadcast(requests), Seq("doc_id")))
+  }
+
+  /** s25: CORPUS retention requests on arrival — x_corpus_retention's
+    * streaming twin, the last oracled erasure rung without an arrival
+    * form: requests stream in, logged durably per batch, and the ONE
+    * state rewrite + manifest re-cut run at drain close over the union
+    * through the batch twin's own body ([[graft.ops.CorpusOps
+    * .corpusRetentionRun]] — clone, broadcast anti-join, swap,
+    * corpusCutFrame). The close placement is both arguments at once:
+    * the s22 rewrite-cost one (one O(state) rewrite + ONE re-cut per
+    * drain, not per trigger) and s19's semantic one (the cut is
+    * retroactive — keeper promotion and offset un-packing must see the
+    * full request set). Union of batches = the request set, so s25 is
+    * byte-equal to the batch rung and carries its kept-docs c16 oracle
+    * VERBATIM, hash-checked; StreamingSpec pins a forced multi-batch
+    * drain row-for-row.
+    *
+    * Scale (100 TB): per batch one slim id write; at close one ~72 B/
+    * row state rewrite + a cut over slim state — text never read.
+    */
+  def s25_streamCorpusRetention(spark: SparkSession, d: String): DataFrame =
+    s25At(spark, d, maxFilesPerTrigger = None)
+
+  /** Trigger-cadence-parameterized form (the s19At convention). */
+  private[graft] def s25At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.CorpusOps
+    val (_, chk, base) = sinkDirsWithBase("s25", d)
+    val reqLog = s"$base/requests"
+    val arriving = stagedFileStream(spark, d, "documents", maxFilesPerTrigger)
+      .filter(pmod(col("doc_id"), lit(CorpusOps.CorpusDeleteMod)) ===
+        CorpusOps.CorpusDeleteRes)
+      .select(col("doc_id"))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$reqLog/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val reqSchema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
+    val requests = readSink(spark, reqLog, reqSchema)
+      .select(col("doc_id")).distinct()
+    CorpusOps.corpusRetentionRun(spark, d, "s25_ret")(requests)
+  }
+
   /** s21: SEMANTIC-dedup ingest on arrival — x_semantic_incremental's
     * streaming twin, the arrival rung the embedding dedup family was
     * missing (lexical: s14; LM: s16-s18; corpus: s19; vector index:
@@ -1753,6 +1848,12 @@ object StreamOps {
     // s23: the same log/apply cadence against the SEMANTIC standing
     // state — x_semantic_delete's kept-vectors oracle verbatim
     "s23_stream_semantic_retention" -> graft.ops.VectorOps.oracles("x_semantic_delete"),
+    // s24: the decrement over the union of logged requests ≡ the batch
+    // delete (census additivity) — x_lm_delete's oracle verbatim
+    "s24_stream_lm_retention" -> graft.ops.CorpusOps.oracles("x_lm_delete"),
+    // s25: one close-time state rewrite + re-cut over the union ≡ the
+    // batch rung — x_corpus_retention's kept-docs oracle verbatim
+    "s25_stream_corpus_retention" -> graft.ops.CorpusOps.oracles("x_corpus_retention"),
     "s3_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -1827,5 +1928,7 @@ object StreamOps {
     "s21_stream_semantic_ingest" -> s21_streamSemanticIngest _,
     "s22_stream_retention" -> s22_streamRetention _,
     "s23_stream_semantic_retention" -> s23_streamSemanticRetention _,
+    "s24_stream_lm_retention" -> s24_streamLmRetention _,
+    "s25_stream_corpus_retention" -> s25_streamCorpusRetention _,
   )
 }

@@ -124,7 +124,11 @@ class ContractSpec extends AnyFunSuite {
       // request batches; deletion is order-free idempotent removal)
       "s22_stream_retention" -> "x_neardup_delete",
       // the same cadence against the semantic standing state
-      "s23_stream_semantic_retention" -> "x_semantic_delete")
+      "s23_stream_semantic_retention" -> "x_semantic_delete",
+      // union-of-batches decrement ≡ the batch delete (additivity)
+      "s24_stream_lm_retention" -> "x_lm_delete",
+      // one close-time rewrite + re-cut over the union ≡ the batch rung
+      "s25_stream_corpus_retention" -> "x_corpus_retention")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
@@ -135,8 +139,8 @@ class ContractSpec extends AnyFunSuite {
     // x_semantic_delete + x_corpus_retention + x_semantic_compact +
     // x_semantic_drift (the one rows-only addition) +
     // s23_stream_semantic_retention (x_semantic_delete's arrival twin)
-    assert(SparkEntry.queries.size === 151)
-    assert(SparkEntry.oracleSql.size === 129)
+    assert(SparkEntry.queries.size === 153)
+    assert(SparkEntry.oracleSql.size === 131)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

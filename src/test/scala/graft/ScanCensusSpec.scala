@@ -334,6 +334,12 @@ class ScanCensusSpec extends SparkSpec {
     // cluster tail (drain, erasure rewrites, pair cut and fold all
     // ran as earlier jobs — the x_semantic_delete census shape)
     "s23_stream_semantic_retention" -> ((0, 0)),
+    // s24: x_lm_delete's census shape — one scored-shard scan; drain,
+    // request join, decrement and persist ran as earlier jobs
+    "s24_stream_lm_retention" -> ((1, 0)),
+    // s25: x_corpus_retention's cut shape over the post-delete state;
+    // drain and the erasure rewrite ran as earlier jobs
+    "s25_stream_corpus_retention" -> ((2, 0)),
     // x_bpe_train: the merge table is driver model state parallelized
     // back out — the census scan ran as an earlier job
     "x_bpe_train" -> ((0, 0)),

@@ -599,6 +599,52 @@ class StreamingSpec extends SparkSpec {
       "multi-batch request logs must apply to the one-shot delete exactly")
   }
 
+  test("s24 semantics: LM retention on arrival ≡ the batch x_lm_delete, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s24_streamLmRetention(spark, sf0001).collect()
+    val batch = graft.ops.CorpusOps.x_lmDelete(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the close-time decrement + scoring must equal the batch delete exactly")
+  }
+
+  test("s24 tiling: requests arriving batch-by-batch decrement as one close-time delete") {
+    val dir = s"${graft.ops.Tables.scratch}/s24_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.documents(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamOps
+      .s24At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
+    val oneShot = graft.ops.CorpusOps.x_lmDelete(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq,
+      "multi-batch request logs must decrement to the one-shot delete exactly")
+  }
+
+  test("s25 semantics: corpus retention on arrival ≡ the batch x_corpus_retention, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s25_streamCorpusRetention(spark, sf0001).collect()
+    val batch = graft.ops.CorpusOps.x_corpusRetention(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the close-time rewrite + re-cut must equal the batch rung exactly")
+  }
+
+  test("s25 tiling: requests arriving batch-by-batch re-cut as one close-time manifest") {
+    val dir = s"${graft.ops.Tables.scratch}/s25_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.documents(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamOps
+      .s25At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
+    val oneShot = graft.ops.CorpusOps.x_corpusRetention(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq,
+      "multi-batch request logs must re-cut to the one-shot manifest exactly")
+  }
+
   test("s21 semantics: semantic ingest on arrival ≡ the batch x_semantic_dedup, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s21_streamSemanticIngest(spark, sf0001).collect()
