@@ -737,7 +737,7 @@ object VectorOps {
     else Some(memo)
   }
 
-  private def annIngest(spark: SparkSession, d: String, tag: String)(
+  private[graft] def annIngest(spark: SparkSession, d: String, tag: String)(
       maintain: (DataFrame, String) => Unit): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)

@@ -1696,6 +1696,53 @@ object StreamOps {
     CorpusOps.corpusRetentionRun(spark, d, "s25_ret")(requests)
   }
 
+  /** s26: ANN retention requests on arrival — x_ann_delete's streaming
+    * twin, the last delete rung without an arrival form (after s22-s25
+    * every erasure path is reachable from a privacy queue): requests
+    * for indexed vec_ids stream in, logged durably per batch, and the
+    * ONE code-table rewrite runs at drain close over the union inside
+    * the shared ingest lifecycle ([[graft.ops.VectorOps.annIngest]]:
+    * memoized base → append-delta → DELETE the drained set → search) —
+    * deletion is order-free idempotent set removal on per-vector code
+    * rows, so the union of logged batches applies as the batch delete
+    * exactly and the search is byte-equal to [[graft.ops.VectorOps
+    * .x_annDelete]] however the source tiles the requests (pinned in
+    * StreamingSpec, single- and forced multi-batch). Rows-only in the
+    * driver gate (the ANN-family contract).
+    *
+    * Scale (100 TB): per batch one slim id write; at close one slim
+    * codes rewrite (broadcast anti-join — no embedding reads, no
+    * shuffle) inside the lifecycle's usual append + search economics.
+    */
+  def s26_streamAnnRetention(spark: SparkSession, d: String): DataFrame =
+    s26At(spark, d, maxFilesPerTrigger = None)
+
+  /** Trigger-cadence-parameterized form (the s19At convention). */
+  private[graft] def s26At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val (_, chk, base) = sinkDirsWithBase("s26", d)
+    val reqLog = s"$base/requests"
+    val arriving = stagedFileStream(spark, d, "embeddings", maxFilesPerTrigger)
+      .filter(pmod(col("vec_id"), lit(VectorOps.AnnDeleteMod)) ===
+        VectorOps.AnnDeleteRes)
+      .select(col("vec_id"))
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$reqLog/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val reqSchema = org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT")
+    val requests = readSink(spark, reqLog, reqSchema)
+      .select(col("vec_id")).distinct()
+    VectorOps.annIngest(spark, d, "s26_idx")((_, dir) =>
+      VectorOps.annIndexDelete(spark, dir, requests))
+  }
+
   /** s21: SEMANTIC-dedup ingest on arrival — x_semantic_incremental's
     * streaming twin, the arrival rung the embedding dedup family was
     * missing (lexical: s14; LM: s16-s18; corpus: s19; vector index:
@@ -1930,5 +1977,6 @@ object StreamOps {
     "s23_stream_semantic_retention" -> s23_streamSemanticRetention _,
     "s24_stream_lm_retention" -> s24_streamLmRetention _,
     "s25_stream_corpus_retention" -> s25_streamCorpusRetention _,
+    "s26_stream_ann_retention" -> s26_streamAnnRetention _,
   )
 }

@@ -37,7 +37,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the twenty-two declared sketch/ANN/trainer variants") {
+  test("the rows-only set is exactly the twenty-three declared sketch/ANN/trainer variants") {
     // The other four x_* variants (x_asof_bucketed, x_stratified_prefilter,
     // x_corpus_from_clusters, x_pack_twophase) are byte-equal to their
     // oracled twins (scalatest-pinned), so they carry the twin's oracle
@@ -50,7 +50,7 @@ class ContractSpec extends AnyFunSuite {
       "x_ann_ivf", "x_label_centroids", "x_ann_quantized", "x_ann_pq",
       "x_ann_ivfpq", "x_ann_from_index", "x_ann_append", "x_ann_compact",
       "x_ann_drift", "x_ann_rebuild", "x_ann_delete", "s20_stream_ann_ingest", "x_semantic_ann",
-      "x_semantic_drift",
+      "x_semantic_drift", "s26_stream_ann_retention",
       "x_approx_percentiles", "x_hll_rollup", "s8_stream_hll_rollup",
       "x_bpe_train", "x_bpe_coverage"),
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
@@ -139,7 +139,7 @@ class ContractSpec extends AnyFunSuite {
     // x_semantic_delete + x_corpus_retention + x_semantic_compact +
     // x_semantic_drift (the one rows-only addition) +
     // s23_stream_semantic_retention (x_semantic_delete's arrival twin)
-    assert(SparkEntry.queries.size === 153)
+    assert(SparkEntry.queries.size === 154)
     assert(SparkEntry.oracleSql.size === 131)
   }
 

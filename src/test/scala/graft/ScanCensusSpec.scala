@@ -340,6 +340,9 @@ class ScanCensusSpec extends SparkSpec {
     // s25: x_corpus_retention's cut shape over the post-delete state;
     // drain and the erasure rewrite ran as earlier jobs
     "s25_stream_corpus_retention" -> ((2, 0)),
+    // s26: x_ann_delete's search shape — probe + codes reads; drain,
+    // append and the close-time delete rewrite ran as earlier jobs
+    "s26_stream_ann_retention" -> ((2, 0)),
     // x_bpe_train: the merge table is driver model state parallelized
     // back out — the census scan ran as an earlier job
     "x_bpe_train" -> ((0, 0)),

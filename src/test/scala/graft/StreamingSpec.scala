@@ -645,6 +645,29 @@ class StreamingSpec extends SparkSpec {
       "multi-batch request logs must re-cut to the one-shot manifest exactly")
   }
 
+  test("s26 semantics: ANN retention on arrival ≡ the batch x_ann_delete, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s26_streamAnnRetention(spark, sf0001).collect()
+    val batch = graft.ops.VectorOps.x_annDelete(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the close-time code delete + search must equal the batch delete exactly")
+  }
+
+  test("s26 tiling: requests arriving batch-by-batch apply as one close-time code delete") {
+    val dir = s"${graft.ops.Tables.scratch}/s26_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.embeddings(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val streamed = graft.streaming.StreamOps
+      .s26At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
+    val oneShot = graft.ops.VectorOps.x_annDelete(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === oneShot.map(_.toSeq).toSeq,
+      "multi-batch request logs must apply to the one-shot delete exactly")
+  }
+
   test("s21 semantics: semantic ingest on arrival ≡ the batch x_semantic_dedup, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s21_streamSemanticIngest(spark, sf0001).collect()
