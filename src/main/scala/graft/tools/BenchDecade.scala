@@ -42,14 +42,19 @@ object BenchDecade {
     // exact forms — their standing-state memo builds c7 over base)
     val quad = Seq("c7_cosine_neardup", "x_semantic_dedup",
       "x_semantic_incremental", "x_semantic_bucketed", "x_semantic_delete",
-      "x_semantic_compact", "s21_stream_semantic_ingest").map(_ -> 2.15)
+      "x_semantic_compact", "s21_stream_semantic_ingest",
+      "s23_stream_semantic_retention").map(_ -> 2.15)
     // the n^1.5 path (measured 1.51 over 32x in ProfileSemantic)
     val sesqui = Seq("x_semantic_ann" -> 1.70)
     (quad ++ sesqui).toMap
   }
 
   def main(args: Array[String]): Unit = {
+    // first arg: factor; remaining args (optional) restrict to named
+    // queries — the dev loop for measuring a new rung's exponent
+    // without re-running the whole registry
     val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val only = args.drop(1).toSet
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val big = s"/root/repo/target/decade/x$factor"
     require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(big)),
@@ -70,6 +75,7 @@ object BenchDecade {
       (System.nanoTime() - t0) / 1e9
     }
     val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val rows = for ((name, fn) <- names) yield {
       val tS = math.min(once(fn, small), once(fn, small))
       val tB = math.min(once(fn, big), once(fn, big))
@@ -86,8 +92,10 @@ object BenchDecade {
     val json = rows.map { case (n, tS, tB, e, c, f) =>
       s"""  "$n": {"t_sf01": ${j(tS)}, "t_x$factor": ${j(tB)}, "exp": ${j(e)}, "ceil": $c, "flag": $f}"""
     }.mkString("{\n", ",\n", "\n}")
+    val artifact = if (only.isEmpty) s"decade_bench_x$factor.json"
+                   else s"decade_bench_x${factor}_subset.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"/root/repo/target/decade_bench_x$factor.json"), json)
+      java.nio.file.Paths.get(s"/root/repo/target/$artifact"), json)
     // markdown digest for BENCH_NOTES: the flagged set (should be
     // empty) + the ten largest exponents for the audit trail
     println("#decade-md | query | t(sf0.1) s | t(x" + factor + ") s | exponent | ceiling |")
