@@ -1651,6 +1651,116 @@ object VectorOps {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
   }
 
+  /** REBUILD the semantic standing state's coarse quantizer — the
+    * action [[x_semanticDrift]]'s alert schedules ([[annRebuild]]'s
+    * shape at the semantic level): retrain the cells over the corpus
+    * the index currently holds (bounded hash-seeded sample, k re-sized
+    * to the grown corpus), re-replicate EVERY indexed vector's
+    * multi-probe posting rows under the new model in one
+    * [[semPostingsOf]] pass (epoch partitions fold in during the
+    * rewrite — the rebuild subsumes compaction, exactly as
+    * [[annRebuild]]'s reassignment subsumes the file fold), and swap
+    * postings AND model generations with write-new → rm-old → rename.
+    *
+    * The PAIR STATE is deliberately untouched: verified pairs are
+    * exact cosine facts, model-independent — a retrain changes WHICH
+    * candidates future days consider, never whether an already
+    * verified pair is real. That asymmetry is the whole economics:
+    * the rebuild re-pays one assignment scan + a slim rewrite, never
+    * the O(n²)/O(n^1.5) pair backfill.
+    */
+  private[graft] def semanticRebuild(spark: SparkSession, dir: String,
+      indexed: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = indexed.count()
+    val k = math.max(SemAnnMinCells, math.min(SemAnnMaxCells,
+      (SemAnnCellsPerSqrtN * math.sqrt(n.toDouble)).toLong)).toInt
+    val cents = Extras.ivfCentroidsK(spark, indexed, k, seedByLabel = false,
+      trainCap = math.max(1024, 16 * k), lloydIters = SemAnnLloydIters)
+    // a trainable base implies a trainable grown corpus — fail loudly
+    // rather than swap an empty model over a live index (annRebuild)
+    require(cents.nonEmpty, "semanticRebuild over an untrainable corpus")
+    semPostingsOf(indexed, cents)
+      .write.mode("overwrite").parquet(s"$dir/postings_next.parquet")
+    import spark.implicits._
+    Seq(cents.map(_.toSeq).toSeq).toDF("cents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model_next.parquet")
+    for (t <- Seq("postings", "model")) {
+      Tables.rmrf(s"$dir/$t.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/${t}_next.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    }
+    Tables.rmrf(s"$dir/epochs")
+  }
+
+  /** x_semantic_rebuild: the semantic ingest lifecycle WITH the
+    * drift-triggered retrain — closing the monitor → action pair the
+    * ANN ladder already has (x_ann_drift → x_ann_rebuild) at the
+    * semantic level: day 1 ingests its shard under the STALE
+    * base-trained cells (the staleness [[x_semanticDrift]] measures),
+    * then [[semanticRebuild]] retrains over base ∪ day 1 and
+    * re-replicates the posting table, and day 2 ingests under the NEW
+    * model. Pair state carries through the retrain untouched (exact
+    * facts), so the final cluster cut equals the one-shot dedup —
+    * candidate coverage holds each day under that day's model (day 2's
+    * is the RESTORED-recall model, the point of the action), and the
+    * query carries x_semantic_dedup's DuckDB oracle VERBATIM,
+    * hash-checked: the gate verifies the post-rebuild candidate net
+    * end-to-end against an independent engine.
+    *
+    * Scalatest pins the model generation actually swaps, the
+    * lifecycle ≡ the one-shot byte-for-byte, and — on the forced-shift
+    * fixture — that the rebuild collapses the shifted epoch's drift
+    * census back toward the band (the alert-clearing identity).
+    *
+    * Scale (100 TB): training reads the bounded √n sample; the
+    * rebuild is one pure-map assignment scan + a slim posting rewrite
+    * (embedding bytes touched once, pair state NOT re-verified — the
+    * decisive contrast with a from-scratch dedup), paid on the drift
+    * cadence, not per ingest.
+    */
+  def x_semanticRebuild(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val empty = spark.range(0).select(col("id").as("vec_id"),
+      col("id").as("cluster_id"), lit(true).as("is_canonical"))
+    val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    if (r.isNullAt(0)) return empty
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val q3 = mid + (hi - mid) / 2
+    val memo = semanticIndexDir(spark, d, emb, mid) match {
+      case None => return empty
+      case Some(p) => p
+    }
+    val dir = Tables.scratchDir("sem_rebuild", d)
+    Tables.linkTree(s"$memo/postings.parquet", s"$dir/postings.parquet")
+    Tables.linkTree(s"$memo/pairs.parquet", s"$dir/pairs.parquet")
+    Tables.linkTree(s"$memo/model.parquet", s"$dir/model.parquet")
+    def model(): Array[Array[Float]] =
+      spark.read.parquet(s"$dir/model.parquet").head()
+        .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+        .map(_.toArray).toArray
+    def foldPairs(newPairs: DataFrame): Unit = {
+      spark.read.parquet(s"$dir/pairs.parquet").unionByName(newPairs)
+        .write.mode("overwrite").parquet(s"$dir/pairs_next.parquet")
+      Tables.rmrf(s"$dir/pairs.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/pairs_next.parquet"),
+        java.nio.file.Paths.get(s"$dir/pairs.parquet"))
+    }
+    // day 1 under the stale base-trained model
+    foldPairs(semanticEpochIngest(spark, emb, dir, model(), mid, Some(q3), 1))
+    // the REBUILD: retrain over the corpus the index now holds
+    semanticRebuild(spark, dir,
+      emb.filter(col("vec_id").isNull || col("vec_id") <= q3))
+    // day 2 under the retrained model
+    foldPairs(semanticEpochIngest(spark, emb, dir, model(), q3, None, 2))
+    graft.ops.TextOps.clustersOf(spark.read.parquet(s"$dir/pairs.parquet"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
+
   /** The shared ingest-day skeleton behind [[x_semanticIncremental]],
     * [[x_semanticBucketed]] and [[x_semanticDelete]] — the variants
     * differ ONLY in how the day's pair stage consumes the standing
@@ -1873,6 +1983,9 @@ object VectorOps {
     // x_semantic_compact: byte-equal to the one-shot dedup by the
     // compaction identity + day tiling — same oracle
     "x_semantic_compact" -> SemanticDedupOracle,
+    // x_semantic_rebuild: pair state is model-independent exact facts
+    // and coverage holds under each day's model — same oracle
+    "x_semantic_rebuild" -> SemanticDedupOracle,
     "c7_cosine_neardup" ->
       """WITH un AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1920,5 +2033,6 @@ object VectorOps {
     "x_semantic_delete"  -> x_semanticDelete _,
     "x_semantic_compact" -> x_semanticCompact _,
     "x_semantic_drift"   -> x_semanticDrift _,
+    "x_semantic_rebuild" -> x_semanticRebuild _,
   )
 }

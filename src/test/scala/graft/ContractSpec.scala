@@ -120,6 +120,9 @@ class ContractSpec extends AnyFunSuite {
       // compaction identity (fold preserves the base ∪ explode(epochs)
       // view) + day tiling — byte-equal to the one-shot dedup
       "x_semantic_compact" -> "x_semantic_dedup",
+      // pair state survives the retrain (exact facts); coverage holds
+      // under each day's model — byte-equal to the one-shot dedup
+      "x_semantic_rebuild" -> "x_semantic_dedup",
       // log-on-arrival + apply-at-close ≡ the batch delete (union of
       // request batches; deletion is order-free idempotent removal)
       "s22_stream_retention" -> "x_neardup_delete",
@@ -139,8 +142,8 @@ class ContractSpec extends AnyFunSuite {
     // x_semantic_delete + x_corpus_retention + x_semantic_compact +
     // x_semantic_drift (the one rows-only addition) +
     // s23_stream_semantic_retention (x_semantic_delete's arrival twin)
-    assert(SparkEntry.queries.size === 154)
-    assert(SparkEntry.oracleSql.size === 131)
+    assert(SparkEntry.queries.size === 155)
+    assert(SparkEntry.oracleSql.size === 132)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -251,6 +251,9 @@ class ScanCensusSpec extends SparkSpec {
     // ingests, the pair folds and the mid-stream posting fold all ran
     // as earlier jobs)
     "x_semantic_compact" -> ((0, 0)),
+    // x_semantic_rebuild: same checkpointed cluster tail (both days,
+    // the retrain and the posting rewrite all ran as earlier jobs)
+    "x_semantic_rebuild" -> ((0, 0)),
     // x_semantic_ann: same cluster tail — training, assignment and the
     // pair join all run before the checkpointed label state
     "x_semantic_ann" -> ((0, 0)),

@@ -630,6 +630,57 @@ class TextVectorSpec extends SparkSpec {
       s"retrain must collapse the shifted epoch's gap: pre=$gapS post=$post")
   }
 
+  test("x_semantic_rebuild: model generation swaps, lifecycle ≡ one-shot, and the retrain clears the drift alert") {
+    import graft.ops.{Tables, VectorOps}
+    import spark.implicits._
+    // lifecycle ≡ one-shot on the fixture (the twin identity the
+    // shared oracle rides on), with the model provably retrained
+    val emb0 = Tables.embeddings(spark, sf0001)
+    val r0 = emb0.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val mid0 = r0.getLong(0) + (r0.getLong(1) - r0.getLong(0)) / 2
+    val memo = VectorOps.semanticIndexDir(spark, sf0001, emb0, mid0).get
+    def centsOf(dir: String) = spark.read.parquet(s"$dir/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toSeq).toSeq
+    val rb = VectorOps.x_semanticRebuild(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(rb === VectorOps.x_semanticDedup(spark, sf0001).collect().map(_.toSeq).toSeq)
+    assert(rb.nonEmpty)
+    // the drift-clearing identity, on the forced direction-shift
+    // fixture (the x_semantic_drift corpus): rebuild over the full
+    // corpus collapses the shifted epoch's gap back toward the band
+    def vec(id: Long, hiDims: Boolean): Seq[Float] =
+      Seq.tabulate(64) { i =>
+        val rr = (((id * 64 + i) * 2654435761L % 1000) / 1000.0f) + 0.05f
+        if (hiDims == (i >= 32)) rr else 0.001f * rr
+      }
+    val cdir = s"${Tables.scratch}/sem_rebuild_shift"
+    Tables.rmrf(cdir)
+    (0L to 127L).map(id => (id, vec(id, hiDims = id > 95), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, cdir)
+    val shiftMemo = VectorOps.semanticIndexDir(spark, cdir, emb, 63L).get
+    val dir = Tables.scratchDir("semrb_spec", cdir)
+    for (t <- Seq("postings", "pairs", "model"))
+      Tables.linkTree(s"$shiftMemo/$t.parquet", s"$dir/$t.parquet")
+    val stale = centsOf(dir)
+    def census(cents: Seq[Seq[Float]]) =
+      VectorOps.semDriftCensus(spark, emb,
+          cents.map(_.toArray).toArray, Seq(31L, 63L, 95L))
+        .collect().map(x => x.getAs[Long]("epoch") -> x.getAs[Long]("mean_gap_e6")).toMap
+    val pre = census(stale)
+    assert(pre(3L) > 2L * (0L to 2L).map(e => math.max(pre(e), 1L)).max,
+      s"fixture must show the drift alert pre-rebuild: $pre")
+    VectorOps.semanticRebuild(spark, dir, emb)
+    val retrained = centsOf(dir)
+    assert(retrained !== stale, "the model generation must actually swap")
+    val post = census(retrained)
+    info(s"drift census pre-rebuild: $pre post-rebuild: $post")
+    assert(post(3L) < pre(3L) / 2L,
+      s"rebuild must collapse the shifted epoch's gap: pre=$pre post=$post")
+  }
+
   test("x_ann_delete: erasure is exact — search ≡ survivors-only assignment; no deleted neighbor") {
     import graft.ops.{Tables, VectorOps}
     import org.apache.spark.sql.functions.{pmod, lit}
