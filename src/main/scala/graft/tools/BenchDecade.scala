@@ -42,7 +42,7 @@ object BenchDecade {
     // exact forms — their standing-state memo builds c7 over base)
     val quad = Seq("c7_cosine_neardup", "x_semantic_dedup",
       "x_semantic_incremental", "x_semantic_bucketed", "x_semantic_delete",
-      "x_semantic_compact", "s21_stream_semantic_ingest",
+      "x_semantic_compact", "x_semantic_rebuild", "s21_stream_semantic_ingest",
       "s23_stream_semantic_retention").map(_ -> 2.15)
     // the n^1.5 path (measured 1.51 over 32x in ProfileSemantic)
     val sesqui = Seq("x_semantic_ann" -> 1.70)
