@@ -1331,7 +1331,7 @@ object CorpusOps {
        |  FROM toks, unnest(range(1, len(t))) r(i)),
        |tb AS (SELECT w1, w2 FROM bi
        |       WHERE source = '$LmTrainSource'
-       |         AND (doc_id IS NULL OR NOT (doc_id % $LmDeleteMod = $LmDeleteRes))),
+       |         AND (doc_id IS NULL OR NOT (((doc_id % $LmDeleteMod) + $LmDeleteMod) % $LmDeleteMod = $LmDeleteRes))),
        |c AS (SELECT w1, w2, COUNT(*) AS n12 FROM tb GROUP BY 1, 2),
        |h AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tb),
@@ -1470,7 +1470,7 @@ object CorpusOps {
   private lazy val C16RetentionSql =
     s"""WITH RECURSIVE docs_kept AS (
        |  SELECT * FROM documents
-       |  WHERE doc_id IS NULL OR NOT (doc_id % $CorpusDeleteMod = $CorpusDeleteRes)),
+       |  WHERE doc_id IS NULL OR NOT (((doc_id % $CorpusDeleteMod) + $CorpusDeleteMod) % $CorpusDeleteMod = $CorpusDeleteRes)),
        |""".stripMargin + c16SqlOver("docs_kept")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

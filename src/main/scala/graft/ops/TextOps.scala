@@ -1697,7 +1697,7 @@ object TextOps {
       s"""WITH bound AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS mid FROM documents),
          |docs_kept AS (SELECT d.* FROM documents d, bound
          |              WHERE d.doc_id IS NULL
-         |                 OR NOT (d.doc_id <= bound.mid AND d.doc_id % $NdDeleteMod = $NdDeleteRes)),
+         |                 OR NOT (d.doc_id <= bound.mid AND ((d.doc_id % $NdDeleteMod) + $NdDeleteMod) % $NdDeleteMod = $NdDeleteRes)),
          |${winnowFpsSqlFrom("docs_kept")},
          |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowDfCap),
          |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),

@@ -1472,9 +1472,12 @@ object VectorOps {
 
   /** x_semantic_drift: the semantic index's REBUILD-CADENCE monitor —
     * [[x_annDrift]]'s shape applied to the coarse quantizer the
-    * semantic family stands on: the standing cells are trained on the
-    * BASE epoch only ([[semanticIndexDir]]'s artifact — exactly what
-    * an incremental deployment holds), and every arriving epoch is
+    * semantic family stands on: the census reads the MEMOIZED standing
+    * model straight out of [[semanticIndexDir]]'s artifact (trained on
+    * the base half, vec_id ≤ mid — exactly the cells
+    * [[x_semanticIncremental]]/s21 serve with; round-19 ADVICE: a
+    * monitor that retrains its own stand-in measures a model nobody
+    * deploys), and every arriving epoch is
     * assigned with them ([[x_semanticIncremental]]/s21 never retrain,
     * by design and by pin). That staleness has a cost the family
     * previously had NO operator to see: a drifted epoch's vectors land
@@ -1492,7 +1495,9 @@ object VectorOps {
     * counterfactual full-corpus retrain restores) and a no-shift
     * control.
     *
-    * Scale (100 TB): training reads the bounded √n sample; the census
+    * Scale (100 TB): the model read is one k-row parquet fetch of the
+    * STANDING artifact (no training — the memo was paid at build time,
+    * once, by the index's own lifecycle); the census
     * is ONE pure-map corpus scan (native TopCells + one broadcast
     * k-row join + one fused dot) into a four-row aggregate — the
     * cheapest observability the index owner can buy, schedulable with
@@ -1506,15 +1511,18 @@ object VectorOps {
     val r = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
     if (r.isNullAt(0)) return empty
     val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // quartile census boundaries (b32 floor-consistent): epochs 0-1
+    // are the standing model's training half (bounds(1) IS the memo's
+    // mid), epochs 2-3 the arrivals it serves stale — the gap trend of
+    // 2-3 against the 0-1 band is the retrain signal
     val bounds = (1 to 3).map(i => lo + (hi - lo) * i / 4)
-    val base = emb.filter(col("vec_id").isNull || col("vec_id") <= bounds(0))
-    // k from the BASE census (parquet-footer count — control state)
-    val nBase = base.count()
-    val k = math.max(SemAnnMinCells, math.min(SemAnnMaxCells,
-      (SemAnnCellsPerSqrtN * math.sqrt(nBase.toDouble)).toLong)).toInt
-    val cents = Extras.ivfCentroidsK(spark, base, k, seedByLabel = false,
-      trainCap = math.max(1024, 16 * k), lloydIters = SemAnnLloydIters)
-    if (cents.isEmpty) return empty
+    val memo = semanticIndexDir(spark, d, emb, bounds(1)) match {
+      case None => return empty
+      case Some(p) => p
+    }
+    val cents = spark.read.parquet(s"$memo/model.parquet").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("cents")
+      .map(_.toArray).toArray
     semDriftCensus(spark, emb, cents, bounds)
   }
 
@@ -1912,7 +1920,7 @@ object VectorOps {
         |  SELECT MIN(vec_id) + (MAX(vec_id) - MIN(vec_id)) // 2 AS mid FROM embeddings),
         |kept AS (SELECT e.* FROM embeddings e, bound
         |         WHERE e.vec_id IS NULL
-        |            OR NOT (e.vec_id <= bound.mid AND e.vec_id % $SemDeleteMod = $SemDeleteRes)),
+        |            OR NOT (e.vec_id <= bound.mid AND ((e.vec_id % $SemDeleteMod) + $SemDeleteMod) % $SemDeleteMod = $SemDeleteRes)),
         |un AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS dot,

@@ -83,14 +83,22 @@ object BenchDecade {
         if (!java.lang.Double.isFinite(tS) || !java.lang.Double.isFinite(tB)) Double.NaN
         else math.log(tB / tS) / math.log(factor.toDouble)
       val ceil = Ceilings.getOrElse(name, DefaultCeiling)
-      val flag = exp > ceil
+      // a crashed/OOMed sample is the WORST scale regression, not a
+      // skippable one: NaN > ceil is false, so without the explicit
+      // finiteness check a query that dies at x8 would read unflagged
+      // and the breadth check would pass vacuously (round-19 ADVICE)
+      val flag = !java.lang.Double.isFinite(tS) ||
+        !java.lang.Double.isFinite(tB) || exp > ceil
       println(f"[decade-bench] $name%-28s t$small=$tS%8.2f tX$factor=$tB%8.2f exp=$exp%6.2f ceil=$ceil%4.2f ${if (flag) "FLAG" else ""}")
       (name, tS, tB, exp, ceil, flag)
     }
     def j(x: Double) =
       if (java.lang.Double.isFinite(x)) "%.4f".formatLocal(java.util.Locale.ROOT, x) else "null"
     val json = rows.map { case (n, tS, tB, e, c, f) =>
-      s"""  "$n": {"t_sf01": ${j(tS)}, "t_x$factor": ${j(tB)}, "exp": ${j(e)}, "ceil": $c, "flag": $f}"""
+      // failure-mode marker: a null timing means both samples at that
+      // scale threw — the flag above already fires for it
+      val failed = !java.lang.Double.isFinite(tS) || !java.lang.Double.isFinite(tB)
+      s"""  "$n": {"t_sf01": ${j(tS)}, "t_x$factor": ${j(tB)}, "exp": ${j(e)}, "ceil": $c, "flag": $f, "failed": $failed}"""
     }.mkString("{\n", ",\n", "\n}")
     val artifact = if (only.isEmpty) s"decade_bench_x$factor.json"
                    else s"decade_bench_x${factor}_subset.json"
