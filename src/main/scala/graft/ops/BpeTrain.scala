@@ -57,18 +57,42 @@ object BpeTrain {
     */
   val BpeMerges = 256
 
-  /** The bounded word-frequency census — distributed, one shuffle, the
-    * cut deterministic under ties via the word tie-break.
+  /** The DISTRIBUTED word-frequency census of a document frame —
+    * (w, c) rows, one shuffle, map-side combined. This is the foldable
+    * quantity the whole family stands on: word counts are additive
+    * over any row partition of the corpus (the exact
+    * [[CorpusOps.lmUpdateCounts]] lemma, one word at a time instead of
+    * a bigram), so census(base) ⊕ census(delta) ≡ census(base ∪ delta)
+    * EXACTLY — which is what gives the trainer an update and an
+    * erasure path that never re-scan the lake.
     */
-  private[graft] def wordCensus(spark: SparkSession, d: String): Array[(String, Long)] =
-    Tables.documents(spark, d)
-      .select(explode(split(col("text"), " ")).as("w"))
+  private[graft] def wordCountsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
+
+  /** The TRAIN-TIME cap over a full census: the trainer sees the
+    * [[WordCap]] most frequent words, cut deterministically under ties
+    * via the word tie-break (TakeOrderedAndProject — bounded driver
+    * model state). The cap is deliberately NOT part of the standing
+    * artifact: a capped census is not additive (a word cut by the base
+    * cap could re-enter the top-WordCap after a delta), so the
+    * artifact stores the FULL census — vocabulary-sized, the LM pair
+    * table's scale posture — and every trainer invocation caps the
+    * CURRENT generation. cap ∘ fold ≡ cap ∘ census(union), because the
+    * cap is a pure deterministic function of the census.
+    */
+  private[graft] def cappedCensus(census: DataFrame): Array[(String, Long)] =
+    census.orderBy(col("c").desc, col("w"))
       .limit(WordCap)
       .collect() // model state: ≤ WordCap (word, freq) rows
       .map(r => (r.getString(0), r.getLong(1)))
+
+  /** The bounded one-shot census [[x_bpeTrain]]/[[x_bpeCoverage]]
+    * consume: full distributed census, train-time cap.
+    */
+  private[graft] def wordCensus(spark: SparkSession, d: String): Array[(String, Long)] =
+    cappedCensus(wordCountsOf(Tables.documents(spark, d)))
 
   /** One learned rule: merge (left, right) → left+right, with the
     * weighted pair count at selection time.
@@ -172,12 +196,129 @@ object BpeTrain {
     * reproduces an iterative trainer), exactness pinned in scalatest
     * on hand-computable corpora.
     */
-  def x_bpeTrain(spark: SparkSession, d: String): DataFrame = {
+  def x_bpeTrain(spark: SparkSession, d: String): DataFrame =
+    mergeTableDf(spark, wordCensus(spark, d))
+
+  /** The merge table as a DataFrame — ONE rendering shared by the
+    * one-shot trainer and the update/erasure rungs, so the three
+    * cannot drift in schema or ordering.
+    */
+  private[graft] def mergeTableDf(spark: SparkSession,
+      census: Array[(String, Long)]): DataFrame = {
     import spark.implicits._
-    trainMerges(wordCensus(spark, d))
+    trainMerges(census)
       .map(r => (r.rank.toLong, r.left, r.right, r.left + r.right, r.count))
       .toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy(col("rank"))
+  }
+
+  /** The MEMOIZED standing word-census artifact for a dataset — the
+    * full (w, c) table over the [[CorpusOps.LmTrainSource]] shard (the
+    * same past-epoch convention as [[CorpusOps]]' standing LM: in
+    * production this is the census the tokenizer's LAST training run
+    * persisted; rebuilding it inside every fold/erasure invocation
+    * would double-count the base text-touch in BENCH and hide the
+    * maintenance step's marginal cost). Consumers read it strictly
+    * READ-ONLY — folds and decrements write their next generation into
+    * their own scratch area.
+    */
+  private[graft] def standingCensusDir(spark: SparkSession, d: String): String =
+    Tables.memoDir("bpe_census", d) { p =>
+      wordCountsOf(Tables.documents(spark, d)
+          .filter(col("source") === CorpusOps.LmTrainSource))
+        .write.mode("overwrite").parquet(s"$p/census.parquet")
+    }
+
+  /** The census FOLD: standing (w, c) table ⊕ the delta documents' own
+    * census → the next artifact generation — [[CorpusOps
+    * .lmUpdateCounts]]' shape at word grain (full_outer merge, both
+    * sides vocabulary-sized; the delta census is map-side combined
+    * before it reaches the join).
+    */
+  private[graft] def bpeFoldCounts(base: DataFrame, deltaDocs: DataFrame): DataFrame =
+    base.join(wordCountsOf(deltaDocs).withColumnRenamed("c", "cd"),
+        Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("cd"), lit(0L))).as("c"))
+
+  /** The census DECREMENT: standing table ⊖ the deleted documents' own
+    * census, zero rows dropped — [[bpeFoldCounts]] run BACKWARDS (the
+    * [[CorpusOps.lmDeleteCounts]] precedent at word grain). A left
+    * join suffices (the deleted docs were ingested, so their words are
+    * a subset of the standing vocabulary), and the deleted census
+    * BROADCASTS — a request slice's vocabulary against the full
+    * artifact.
+    */
+  private[graft] def bpeDeleteCounts(base: DataFrame, deletedDocs: DataFrame): DataFrame =
+    base.join(broadcast(wordCountsOf(deletedDocs).withColumnRenamed("c", "cd")),
+        Seq("w"), "left")
+      .select(col("w"), (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
+      .filter(col("c") > 0)
+
+  /** x_bpe_update: the tokenizer lifecycle's FOLD rung — the update
+    * path the BPE family was the last standing artifact without
+    * (round-19 verdict): a new corpus epoch previously forced a full
+    * re-census to refresh the tokenizer. Word counts are additive over
+    * any row partition ([[wordCountsOf]]'s lemma), so the rung
+    * censuses the DELTA alone (every non-[[CorpusOps.LmTrainSource]]
+    * doc — the x_lm_update epoch convention), folds it into the
+    * standing artifact ([[bpeFoldCounts]]), persists the next
+    * generation, and retrains the merges from the folded census's
+    * train-time cap. Because fold ≡ census(union) exactly and the
+    * trainer is a deterministic function of the capped census, the
+    * output merge table is BYTE-EQUAL to [[x_bpeTrain]]'s from-scratch
+    * run over the full corpus — the fold-≡-retrain identity BpeSpec
+    * pins (rows-only in the driver gate, the trainer-family contract).
+    *
+    * Scale (100 TB): the daily cost is one scan of the DELTA (its word
+    * census map-side combined) + a vocabulary-sized full_outer merge +
+    * a vocabulary-sized artifact write + the WordCap-bounded trainer —
+    * never a corpus re-scan. The same growth caveat as the LM fold:
+    * the standing vocabulary only grows, so a production cadence
+    * interleaves folds with the erasure/prune cut.
+    */
+  def x_bpeUpdate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val dir = Tables.scratchDir("bpe_update", d)
+    val memo = standingCensusDir(spark, d)
+    bpeFoldCounts(spark.read.parquet(s"$memo/census.parquet"),
+        docs.filter(!(col("source") <=> lit(CorpusOps.LmTrainSource))))
+      .write.mode("overwrite").parquet(s"$dir/census_v2.parquet")
+    mergeTableDf(spark, cappedCensus(spark.read.parquet(s"$dir/census_v2.parquet")))
+  }
+
+  /** x_bpe_delete: the tokenizer's ERASURE rung — [[x_bpeUpdate]]'s
+    * lemma run backwards (the [[CorpusOps.x_lmDelete]] precedent): a
+    * retention request (train-shard docs with doc_id ≡
+    * [[CorpusOps.LmDeleteRes]] mod [[CorpusOps.LmDeleteMod]] —
+    * id-addressed, so null-id docs never match) is erased by ONE scan
+    * of the deleted docs + a vocabulary-sized decrement merge
+    * ([[bpeDeleteCounts]]): census the deleted docs' words, subtract
+    * from the standing table, drop zeros, persist the next generation,
+    * retrain the merges from its cap. By count additivity the
+    * decremented census IS the census over the surviving train docs,
+    * so the output merge table equals a from-scratch train on the
+    * survivors — never-ingested semantics for the tokenizer itself
+    * (the merges a deleted document's words induced are gone, not
+    * tombstoned), pinned in BpeSpec both ways (decrement ≡ retrain on
+    * survivors; fold ∘ delete round-trips to the standing census).
+    * Rows-only in the driver gate (trainer-family contract).
+    *
+    * Scale (100 TB): the deleted-docs census is one scan of the
+    * REQUEST SLICE only (map-side combined, broadcast into the
+    * decrement); the merge is vocabulary-sized; the corpus is never
+    * re-scanned — the census-additive design paying off at erasure
+    * time, exactly as it does for the LM.
+    */
+  def x_bpeDelete(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val dir = Tables.scratchDir("bpe_delete", d)
+    val memo = standingCensusDir(spark, d)
+    bpeDeleteCounts(spark.read.parquet(s"$memo/census.parquet"),
+        docs.filter(col("source") === CorpusOps.LmTrainSource &&
+          pmod(col("doc_id"), lit(CorpusOps.LmDeleteMod)) === CorpusOps.LmDeleteRes))
+      .write.mode("overwrite").parquet(s"$dir/census_v2.parquet")
+    mergeTableDf(spark, cappedCensus(spark.read.parquet(s"$dir/census_v2.parquet")))
   }
 
   /** x_bpe_coverage: per-document budget under the TRAINED vocabulary —
@@ -213,5 +354,7 @@ object BpeTrain {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_bpe_train"    -> x_bpeTrain _,
     "x_bpe_coverage" -> x_bpeCoverage _,
+    "x_bpe_update"   -> x_bpeUpdate _,
+    "x_bpe_delete"   -> x_bpeDelete _,
   )
 }

@@ -87,6 +87,54 @@ class BpeSpec extends SparkSpec {
     assert(BpeTrain.x_bpeCoverage(spark, d).collect().isEmpty)
   }
 
+  test("x_bpe_update: census fold ≡ from-scratch census; folded merge table ≡ x_bpe_train") {
+    import graft.ops.{BpeTrain => B, Tables, CorpusOps}
+    val docs = Tables.documents(spark, sf0001)
+    val base = docs.filter(col("source") === CorpusOps.LmTrainSource)
+    val delta = docs.filter(!(col("source") <=> lit(CorpusOps.LmTrainSource)))
+    // the additivity lemma at the census level (three arms: base census,
+    // delta docs, from-scratch census over the union)
+    val folded = B.bpeFoldCounts(B.wordCountsOf(base), delta)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val scratch = B.wordCountsOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(delta.limit(1).count() === 1L, "fixture must have a non-train delta")
+    assert(folded === scratch)
+    // fold-≡-retrain: the registered rung's merge table is byte-equal
+    // to the one-shot trainer over the full corpus
+    assert(B.x_bpeUpdate(spark, sf0001).collect().map(_.toSeq).toSeq ===
+      B.x_bpeTrain(spark, sf0001).collect().map(_.toSeq).toSeq)
+  }
+
+  test("x_bpe_delete: decrement ≡ retrain on survivors; fold ∘ delete round-trips") {
+    import graft.ops.{BpeTrain => B, Tables, CorpusOps}
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter(col("source") === CorpusOps.LmTrainSource)
+    val hit = pmod(col("doc_id"), lit(CorpusOps.LmDeleteMod)) === CorpusOps.LmDeleteRes
+    val deleted = train.filter(hit)
+    val survivors = train.filter(col("doc_id").isNull || !hit)
+    assert(deleted.limit(1).count() === 1L, "the request slice must be non-empty")
+    val baseCensus = B.wordCountsOf(train)
+    val baseSet = baseCensus.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // decrement ≡ retrain on survivors, at the census level
+    val dec = B.bpeDeleteCounts(baseCensus, deleted)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val retrain = B.wordCountsOf(survivors)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dec === retrain)
+    assert(dec !== baseSet, "erasure must bite: the deleted docs carry words")
+    // the registered rung's merge table ≡ a from-scratch train on the
+    // surviving train docs (never-ingested semantics for the tokenizer)
+    assert(B.x_bpeDelete(spark, sf0001).collect().map(_.toSeq).toSeq ===
+      B.mergeTableDf(spark, B.cappedCensus(B.wordCountsOf(survivors)))
+        .collect().map(_.toSeq).toSeq)
+    // fold ∘ delete round-trips to the standing census (NewOpsSpec's
+    // round-trip shape at word grain)
+    val rt = B.bpeFoldCounts(B.bpeDeleteCounts(baseCensus, deleted), deleted)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rt === baseSet)
+  }
+
   test("trainer invariants on the fixture: ranks dense, merges reconstruct, census bounded") {
     val rules = BpeTrain.x_bpeTrain(spark, sf0001).collect()
     assert(rules.nonEmpty)

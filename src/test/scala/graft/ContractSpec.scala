@@ -37,7 +37,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the twenty-three declared sketch/ANN/trainer variants") {
+  test("the rows-only set is exactly the twenty-five declared sketch/ANN/trainer variants") {
     // The other four x_* variants (x_asof_bucketed, x_stratified_prefilter,
     // x_corpus_from_clusters, x_pack_twophase) are byte-equal to their
     // oracled twins (scalatest-pinned), so they carry the twin's oracle
@@ -52,7 +52,7 @@ class ContractSpec extends AnyFunSuite {
       "x_ann_drift", "x_ann_rebuild", "x_ann_delete", "s20_stream_ann_ingest", "x_semantic_ann",
       "x_semantic_drift", "s26_stream_ann_retention",
       "x_approx_percentiles", "x_hll_rollup", "s8_stream_hll_rollup",
-      "x_bpe_train", "x_bpe_coverage"),
+      "x_bpe_train", "x_bpe_coverage", "x_bpe_update", "x_bpe_delete"),
       "a query lost its oracle (or a new one shipped without one): " + rowsOnly)
   }
 
@@ -138,11 +138,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the inventory holds all SURVEY §2 queries") {
-    // round-19 retention/maintenance ladder: 145 + x_lm_delete +
-    // x_semantic_delete + x_corpus_retention + x_semantic_compact +
-    // x_semantic_drift (the one rows-only addition) +
-    // s23_stream_semantic_retention (x_semantic_delete's arrival twin)
-    assert(SparkEntry.queries.size === 155)
+    // round-20 additions: the tokenizer lifecycle rungs (x_bpe_update +
+    // x_bpe_delete, rows-only trainer contract) on top of round-19's 155
+    assert(SparkEntry.queries.size === 157)
     assert(SparkEntry.oracleSql.size === 132)
   }
 

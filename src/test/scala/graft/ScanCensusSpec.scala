@@ -352,6 +352,11 @@ class ScanCensusSpec extends SparkSpec {
     // x_bpe_coverage: one corpus scan through explode + the broadcast
     // piece-table join (the piece table is parallelized model state)
     "x_bpe_coverage" -> ((1, 0)),
+    // x_bpe_update / x_bpe_delete: the fold/decrement write their next
+    // census generation eagerly; the returned merge table is driver
+    // model state parallelized, like x_bpe_train
+    "x_bpe_update" -> ((0, 0)),
+    "x_bpe_delete" -> ((0, 0)),
     // s10 censuses the flagged-containment sink read-back (the streamed
     // audit has its own per-micro-batch plans): one scan of the sink
     "s10_stream_contamination" -> ((1, 0)),
