@@ -242,6 +242,74 @@ object CorpusOps {
   val MinTok = 5L
   val MaxTok = 5000L
 
+  /** Mixture denominator for [[c36_mixtureSample]]: the manifest
+    * targets 1/[[MixTotalDen]] of the corpus's total token mass,
+    * redistributed across sources by the temperature rule.
+    */
+  val MixTotalDen = 2L
+
+  /** c36: token-budget-weighted SOURCE MIXING — the curation stage
+    * between selection (x_select_by_rarity) and packing (c14/c28)
+    * that every production pretraining pipeline runs (the Pile/Dolma
+    * mixing recipe): re-weight the corpus's sources to target
+    * proportions and emit the per-source manifest that samples each
+    * source to its token budget deterministically.
+    *
+    * Weights are the α = 0.5 TEMPERATURE rule (the multilingual
+    * standard since mBERT/XLM-R: budget_s ∝ √mass_s, which upsamples
+    * small sources relative to their share and flattens the head).
+    * All budget arithmetic is EXACT-INTEGER so both engines agree to
+    * the row: w_s = floor(√m_s) (an integer from a correctly-rounded
+    * double sqrt — identical in Spark and DuckDB), W = Σ w_s,
+    * T = Σ m_s / [[MixTotalDen]], and
+    *   budget_s = floor(T·w_s / W)
+    *            = w_s·(T div W) + (w_s·(T mod W)) div W
+    * — the right-hand form never materializes T·w_s, which could
+    * overflow int64 at lake scale (T ~ 10¹³ tokens × w ~ 10⁶).
+    *
+    * Within a source, docs are taken in md5-rank order (c14's
+    * order_key — deterministic, engine-independent, rerun-stable) while
+    * the RUNNING SUM BEFORE the doc is under budget, so each source's
+    * sampled token mass lands within one document of its budget
+    * (NewOpsSpec pins exactly that). Null-source docs are excluded up
+    * front in both engines — an unattributed document cannot obey a
+    * per-source weight.
+    *
+    * Scale (100 TB): the mass census is one map-side-combined agg to
+    * ≤ #sources rows (broadcast back as the budget table); the sample
+    * is ONE shuffle on source + one streaming window sort (sum +
+    * row_number share the partition/order, so WindowExec runs once) —
+    * c13's census-then-filter economics at token grain. Skew note: a
+    * dominant source's window sorts spill, and the same c13 escalation
+    * (hash pre-filter at ~Safety×budget/mass) bounds the sort input if
+    * one source out-sizes a task's spill budget.
+    */
+  def c36_mixtureSample(spark: SparkSession, d: String): DataFrame = {
+    val sized = sizeDocs(Tables.documents(spark, d))
+      .filter(col("source").isNotNull)
+    val mass = sized.groupBy(col("source")).agg(sum(col("n_tok")).as("m"))
+      .withColumn("w", floor(sqrt(col("m").cast("double"))).cast("long"))
+    // two scalar controls: corpus mass and the weight norm
+    val r = mass.agg(coalesce(sum(col("m")), lit(0L)),
+      coalesce(sum(col("w")), lit(0L))).head()
+    val (tm, tw) = (r.getLong(0), r.getLong(1))
+    if (tw == 0L)
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), col("id").as("n_tok"), col("id").as("rnk"))
+    val t = tm / MixTotalDen
+    val budgets = broadcast(mass.select(col("source"),
+      expr(s"w * ${t / tw} + (w * ${t % tw}) DIV $tw").as("budget")))
+    val ord = Window.partitionBy(col("source")).orderBy(col("order_key"), col("doc_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("tok_end", sum(col("n_tok")).over(cum))
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .join(budgets, Seq("source"))
+      .filter(col("tok_end") - col("n_tok") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** c16: the corpus-prep pipeline END-TO-END — what a user of this
     * library actually runs to turn a raw document lake into a training
     * manifest: exact dedup (keep the min-id doc per sha256 digest,
@@ -1264,6 +1332,8 @@ object CorpusOps {
     "c14_pack_sequences" -> C14Sql,
     "x_pack_twophase" -> C14Sql,
     "c16_corpus_pipeline" -> C16Sql,
+    // c36: temperature source mixing — exact-integer budgets both sides
+    "c36_mixture_sample" -> C36Sql,
     "x_corpus_from_clusters" -> C16Sql,
     // x_corpus_retention: the identical pipeline over the kept docs —
     // the restriction IS the oracle (the x_neardup_delete pattern)
@@ -1381,6 +1451,39 @@ object CorpusOps {
         |  FROM documents)
         |WHERE rnk <= 100 ORDER BY lang, rnk""".stripMargin
 
+  /** c36's twin: the identical exact-integer temperature-budget
+    * arithmetic (w = floor(sqrt(mass)), the overflow-free
+    * w·(T div W) + (w·(T mod W)) div W budget form) over the same
+    * md5-rank order. DuckDB's SUM promotes to HUGEINT, which the
+    * integer div/mod identities survive unchanged.
+    */
+  private lazy val C36Sql =
+      s"""WITH sized AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE CAST(len(str_split(text, ' ')) AS BIGINT) END AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS order_key
+        |  FROM documents WHERE source IS NOT NULL),
+        |mass AS (
+        |  SELECT source, SUM(n_tok) AS m,
+        |    CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM sized GROUP BY source),
+        |tot AS (SELECT SUM(m) // $MixTotalDen AS t, SUM(w) AS tw FROM mass),
+        |budgets AS (
+        |  SELECT source, w * (t // tw) + (w * (t % tw)) // tw AS budget
+        |  FROM mass, tot WHERE tw > 0),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY order_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS tok_end,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY order_key, doc_id) AS BIGINT) AS rnk
+        |  FROM sized)
+        |SELECT c.doc_id, c.source, c.n_tok, c.rnk
+        |FROM cum c JOIN budgets b ON c.source = b.source
+        |WHERE c.tok_end - c.n_tok < b.budget
+        |ORDER BY c.source, c.rnk""".stripMargin
+
   private lazy val C14Sql =
       """WITH sized AS (
         |  SELECT doc_id, source,
@@ -1481,6 +1584,7 @@ object CorpusOps {
     "c14_pack_sequences"  -> c14_packSequences _,
     "c28_pack_bpe"        -> c28_packBpe _,
     "c16_corpus_pipeline" -> c16_corpusPipeline _,
+    "c36_mixture_sample"  -> c36_mixtureSample _,
     "x_stratified_prefilter" -> x_stratifiedPrefilter _,
     "x_corpus_from_clusters" -> x_corpusFromClusters _,
     "x_corpus_retention"  -> x_corpusRetention _,

@@ -139,9 +139,10 @@ class ContractSpec extends AnyFunSuite {
 
   test("the inventory holds all SURVEY §2 queries") {
     // round-20 additions: the tokenizer lifecycle rungs (x_bpe_update +
-    // x_bpe_delete, rows-only trainer contract) on top of round-19's 155
-    assert(SparkEntry.queries.size === 157)
-    assert(SparkEntry.oracleSql.size === 132)
+    // x_bpe_delete, rows-only trainer contract) and c36_mixture_sample
+    // (oracled) on top of round-19's 155
+    assert(SparkEntry.queries.size === 158)
+    assert(SparkEntry.oracleSql.size === 133)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

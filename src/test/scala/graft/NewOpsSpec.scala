@@ -1172,4 +1172,43 @@ class NewOpsSpec extends SparkSpec {
       System.getProperty("user.name") == "root",
       "the memo's marker stays frozen")
   }
+
+  test("c36: each source's sampled token mass lands within one document of its budget") {
+    import graft.ops.{CorpusOps, Tables}
+    // independently recompute the exact-integer temperature budgets
+    val docs = Tables.documents(spark, sf0001).filter(col("source").isNotNull)
+    val ntok = when(col("text").isNull, lit(0L))
+      .otherwise(size(split(col("text"), " ")).cast("long"))
+    val mass = docs.groupBy(col("source")).agg(sum(ntok).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = mass.view.mapValues(m => math.sqrt(m.toDouble).toLong).toMap
+    val tw = w.values.sum
+    val t = mass.values.sum / CorpusOps.MixTotalDen
+    val budget = w.view.mapValues(ws =>
+      ws * (t / tw) + ws * (t % tw) / tw).toMap
+    val out = CorpusOps.c36_mixtureSample(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    // a source with a positive budget always lands its first doc
+    // (0 < budget); a zero-budget source lands nothing
+    assert(bySrc.keySet === mass.keySet.filter(s => budget(s) > 0))
+    for ((s, rows) <- bySrc) {
+      val sampled = rows.map(_.getAs[Long]("n_tok")).sum
+      val b = budget(s)
+      if (mass(s) >= b)
+        assert(sampled >= b && sampled - b < math.max(rows.map(
+          _.getAs[Long]("n_tok")).max, 1L),
+          s"source $s sampled=$sampled budget=$b — not within one document")
+      else assert(sampled === mass(s), s"source $s under-massed: must take all")
+      // ranks are the dense md5 order prefix: 1..|rows|
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rows.length.toLong))
+    }
+    // temperature flattening: the α=0.5 rule upsamples small sources —
+    // each source's sampled SHARE of the manifest exceeds half its
+    // corpus share only when the recipe actually re-weights; at the
+    // gate fixture all sources are near-equal, so just pin determinism
+    assert(CorpusOps.c36_mixtureSample(spark, sf0001).collect().map(_.toSeq).toSeq
+      === out.map(_.toSeq).toSeq, "rerun-stable manifest")
+  }
 }

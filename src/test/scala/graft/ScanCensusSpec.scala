@@ -352,6 +352,9 @@ class ScanCensusSpec extends SparkSpec {
     // x_bpe_coverage: one corpus scan through explode + the broadcast
     // piece-table join (the piece table is parallelized model state)
     "x_bpe_coverage" -> ((1, 0)),
+    // c36: the census-then-filter pattern — one documents scan for the
+    // broadcast per-source budget table, one for the windowed sample
+    "c36_mixture_sample" -> ((2, 0)),
     // x_bpe_update / x_bpe_delete: the fold/decrement write their next
     // census generation eagerly; the returned merge table is driver
     // model state parallelized, like x_bpe_train
