@@ -1465,17 +1465,18 @@ object CorpusOps {
         |    md5(CAST(doc_id AS VARCHAR)) AS order_key
         |  FROM documents WHERE source IS NOT NULL),
         |mass AS (
-        |  SELECT source, SUM(n_tok) AS m,
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m,
         |    CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
         |  FROM sized GROUP BY source),
-        |tot AS (SELECT SUM(m) // $MixTotalDen AS t, SUM(w) AS tw FROM mass),
+        |tot AS (SELECT CAST(SUM(m) // $MixTotalDen AS BIGINT) AS t,
+        |               CAST(SUM(w) AS BIGINT) AS tw FROM mass),
         |budgets AS (
         |  SELECT source, w * (t // tw) + (w * (t % tw)) // tw AS budget
         |  FROM mass, tot WHERE tw > 0),
         |cum AS (
         |  SELECT doc_id, source, n_tok,
-        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY order_key, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS tok_end,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY order_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end,
         |    CAST(row_number() OVER (PARTITION BY source
         |      ORDER BY order_key, doc_id) AS BIGINT) AS rnk
         |  FROM sized)
