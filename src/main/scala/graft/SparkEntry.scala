@@ -20,7 +20,8 @@ object SparkEntry {
       Extras.queries ++ RangeJoin.queries ++ BloomJoin.queries ++
       CorpusOps.queries ++ TextOps.queries ++ BpeTrain.queries ++
       VectorOps.queries ++ Simhash.queries ++ TextQuality.queries ++
-      Multimodal.queries ++ graft.streaming.StreamOps.queries
+      Multimodal.queries ++ RetentionAudit.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       Extras.oracles ++ RangeJoin.oracles ++ BloomJoin.oracles ++
       CorpusOps.oracles ++ TextOps.oracles ++ BpeTrain.oracles ++
       VectorOps.oracles ++ Simhash.oracles ++ TextQuality.oracles ++
-      Multimodal.oracles ++ graft.streaming.StreamOps.oracles
+      Multimodal.oracles ++ RetentionAudit.oracles ++
+      graft.streaming.StreamOps.oracles
 }

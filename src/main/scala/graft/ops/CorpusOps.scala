@@ -498,6 +498,17 @@ object CorpusOps {
     val dir = Tables.scratchDir(tag, d)
     val memo = corpusStateDir(spark, d)
     Tables.linkTree(s"$memo/state.parquet", s"$dir/state.parquet")
+    corpusStateDelete(spark, dir, req)
+    corpusCutFrame(spark.read.parquet(s"$dir/state.parquet"))
+  }
+
+  /** The state-rewrite half of [[corpusRetentionRun]] — split out so
+    * the compliance sweep ([[RetentionAudit]]) erases through the SAME
+    * body the retention rung ships: one broadcast anti-join over the
+    * slim state rows, write-new → rm-old → rename.
+    */
+  private[graft] def corpusStateDelete(spark: SparkSession, dir: String,
+      req: DataFrame): Unit = {
     spark.read.parquet(s"$dir/state.parquet")
       .join(broadcast(req.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$dir/state_next.parquet")
@@ -505,7 +516,6 @@ object CorpusOps {
     java.nio.file.Files.move(
       java.nio.file.Paths.get(s"$dir/state_next.parquet"),
       java.nio.file.Paths.get(s"$dir/state.parquet"))
-    corpusCutFrame(spark.read.parquet(s"$dir/state.parquet"))
   }
 
   /** x: c16 with the cluster table MATERIALIZED — writes c15's labels

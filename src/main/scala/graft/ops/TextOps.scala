@@ -1587,6 +1587,85 @@ object TextOps {
 
   private val WinnowFpsSql: String = winnowFpsSqlFrom("documents")
 
+  /** x_retention_audit's oracle — lives here because the posting-index
+    * census instantiates [[winnowFpsSqlFrom]] (the one winnow CTE
+    * body). Each artifact's n_rows is recomputed INDEPENDENTLY from
+    * the raw tables under never-ingested semantics (kept-docs winnow
+    * census, kept-train bigram census, the exact pair CTE over kept
+    * base vectors — [[graft.ops.VectorOps]]' SemanticDeleteOracle
+    * conventions — and plain kept counts for code/state rows); every
+    * n_surviving is the audit's contract, zero. A Spark-side leftover
+    * row breaks the hash through n_surviving; a wrong erasure breaks
+    * it through n_rows. sem_postings counts DISTINCT indexed vectors
+    * under the Spark side's exact similarity domain (positive finite
+    * norm, double accumulation).
+    */
+  private[graft] lazy val RetentionAuditOracle: String = {
+    val nM = NdDeleteMod; val nR = NdDeleteRes
+    val aM = VectorOps.AnnDeleteMod; val aR = VectorOps.AnnDeleteRes
+    val sM = VectorOps.SemDeleteMod; val sR = VectorOps.SemDeleteRes
+    val lM = CorpusOps.LmDeleteMod; val lR = CorpusOps.LmDeleteRes
+    val cM = CorpusOps.CorpusDeleteMod; val cR = CorpusOps.CorpusDeleteRes
+    val sq = "list_aggregate(list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+    s"""WITH dbound AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS mid FROM documents),
+       |ebound AS (SELECT MIN(vec_id) + (MAX(vec_id) - MIN(vec_id)) // 2 AS mid FROM embeddings),
+       |nd_kept AS (SELECT d.* FROM documents d, dbound
+       |            WHERE (d.doc_id IS NULL OR d.doc_id <= dbound.mid)
+       |              AND (d.doc_id IS NULL OR ((d.doc_id % $nM) + $nM) % $nM <> $nR)),
+       |${winnowFpsSqlFrom("nd_kept")},
+       |toks AS (
+       |  SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+       |  WHERE len(str_split(text, ' ')) >= 2),
+       |bi AS (
+       |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) r(i)),
+       |tb AS (SELECT w1, w2 FROM bi
+       |       WHERE source = '${CorpusOps.LmTrainSource}'
+       |         AND (doc_id IS NULL OR ((doc_id % $lM) + $lM) % $lM <> $lR)),
+       |ann_kept AS (SELECT e.vec_id FROM embeddings e
+       |             WHERE e.vec_id IS NULL OR ((e.vec_id % $aM) + $aM) % $aM <> $aR),
+       |sem_kept AS (SELECT e.* FROM embeddings e, ebound
+       |             WHERE (e.vec_id IS NULL OR e.vec_id <= ebound.mid)
+       |               AND (e.vec_id IS NULL OR ((e.vec_id % $sM) + $sM) % $sM <> $sR)),
+       |sem_fin AS (SELECT vec_id FROM sem_kept
+       |            WHERE sqrt(COALESCE($sq, 0.0)) > 0
+       |              AND isfinite(sqrt(COALESCE($sq, 0.0)))),
+       |un AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS dot,
+       |         SUM(CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(a.embedding, i) AS DOUBLE)) AS na,
+       |         SUM(CAST(list_extract(b.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)) AS nb
+       |       FROM sem_kept a JOIN sem_kept b ON a.vec_id < b.vec_id,
+       |            unnest(range(1, 65)) AS r(i)
+       |       GROUP BY 1, 2),
+       |verified AS (SELECT a_id, b_id FROM un
+       |             WHERE FLOOR(dot / (sqrt(na) * sqrt(nb)) * 1e6) >= 400000)
+       |SELECT artifact, n_rows, n_surviving FROM (
+       |  SELECT 'ann_codes' AS artifact,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ann_kept) AS n_rows,
+       |    CAST(0 AS BIGINT) AS n_surviving
+       |  UNION ALL SELECT 'corpus_state',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |     WHERE doc_id IS NULL OR ((doc_id % $cM) + $cM) % $cM <> $cR),
+       |    CAST(0 AS BIGINT)
+       |  UNION ALL SELECT 'lm_counts',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT w1, w2 FROM tb GROUP BY 1, 2)),
+       |    CAST(0 AS BIGINT)
+       |  UNION ALL SELECT 'nd_df',
+       |    (SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) FROM fps),
+       |    CAST(0 AS BIGINT)
+       |  UNION ALL SELECT 'nd_postings',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fps),
+       |    CAST(0 AS BIGINT)
+       |  UNION ALL SELECT 'sem_pairs',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM verified),
+       |    CAST(0 AS BIGINT)
+       |  UNION ALL SELECT 'sem_postings',
+       |    (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM sem_fin),
+       |    CAST(0 AS BIGINT)
+       |) ORDER BY artifact""".stripMargin
+  }
+
   /** c25's oracle — one instance shared with x_neardup_bucketed
     * (byte-equal twin, the ContractSpec `eq` contract). */
   private val C25Oracle: String =

@@ -22,7 +22,9 @@ class ContractSpec extends AnyFunSuite {
     "TextOps" -> TextOps.queries, "BpeTrain" -> BpeTrain.queries,
     "VectorOps" -> VectorOps.queries,
     "Simhash" -> Simhash.queries, "TextQuality" -> TextQuality.queries,
-    "Multimodal" -> Multimodal.queries, "StreamOps" -> StreamOps.queries)
+    "Multimodal" -> Multimodal.queries,
+    "RetentionAudit" -> RetentionAudit.queries,
+    "StreamOps" -> StreamOps.queries)
 
   test("no query name is defined by two modules (++ would silently shadow one)") {
     val all = moduleQueries.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
@@ -139,10 +141,11 @@ class ContractSpec extends AnyFunSuite {
 
   test("the inventory holds all SURVEY §2 queries") {
     // round-20 additions: the tokenizer lifecycle rungs (x_bpe_update +
-    // x_bpe_delete, rows-only trainer contract) and c36_mixture_sample
-    // (oracled) on top of round-19's 155
-    assert(SparkEntry.queries.size === 158)
-    assert(SparkEntry.oracleSql.size === 133)
+    // x_bpe_delete, rows-only trainer contract), c36_mixture_sample
+    // (oracled) and x_retention_audit (oracled compliance sweep) on top
+    // of round-19's 155
+    assert(SparkEntry.queries.size === 159)
+    assert(SparkEntry.oracleSql.size === 134)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

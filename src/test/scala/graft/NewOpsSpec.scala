@@ -1173,6 +1173,43 @@ class NewOpsSpec extends SparkSpec {
       "the memo's marker stays frozen")
   }
 
+  test("x_retention_audit: zero survivors post-erasure; the probes bite on non-erased state") {
+    import graft.ops.{RetentionAudit, Tables, TextOps}
+    val out = RetentionAudit.x_retentionAudit(spark, sf0001).collect()
+    assert(out.map(_.getAs[String]("artifact")).toSeq === Seq("ann_codes",
+      "corpus_state", "lm_counts", "nd_df", "nd_postings", "sem_pairs",
+      "sem_postings"))
+    assert(out.forall(_.getAs[Long]("n_surviving") === 0L),
+      s"survivors: ${out.mkString(", ")}")
+    assert(out.forall(_.getAs[Long]("n_rows") > 0L),
+      "every artifact carries kept state on the fixture")
+    // negative control 1: the same id probe against the PRE-delete
+    // standing index reports surviving traces — the audit bites
+    val docs = Tables.documents(spark, sf0001)
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = Tables.memoDir("nd_del_base", sf0001) { p =>
+      TextOps.neardupIndexBuild(spark, sf0001, p, mid)
+    }
+    val req = docs.filter(col("doc_id") <= mid &&
+        pmod(col("doc_id"), lit(TextOps.NdDeleteMod)) === TextOps.NdDeleteRes)
+      .select(col("doc_id"))
+    val pre = RetentionAudit.idProbe("nd_postings",
+      spark.read.parquet(s"$memo/postings.parquet"), "doc_id", req).head()
+    assert(pre.getAs[Long]("n_surviving") > 0L,
+      "pre-delete postings must show surviving traces")
+    // negative control 2: a census row one count off trips the exact
+    // df cross-check (a missed decrement is a surviving trace)
+    val dfTab = spark.read.parquet(s"$memo/df.parquet")
+    val minFp = dfTab.agg(min(col("fp"))).head().getLong(0)
+    val corrupted = dfTab.withColumn("df_old",
+      when(col("fp") === minFp, col("df_old") + 1L).otherwise(col("df_old")))
+    val bad = RetentionAudit.dfProbe("nd_df", corrupted,
+      spark.read.parquet(s"$memo/postings.parquet")).head()
+    assert(bad.getAs[Long]("n_surviving") === 1L,
+      "the corrupted census row must be the one surviving trace")
+  }
+
   test("c36: each source's sampled token mass lands within one document of its budget") {
     import graft.ops.{CorpusOps, Tables}
     // independently recompute the exact-integer temperature budgets

@@ -355,6 +355,12 @@ class ScanCensusSpec extends SparkSpec {
     // c36: the census-then-filter pattern — one documents scan for the
     // broadcast per-source budget table, one for the windowed sample
     "c36_mixture_sample" -> ((2, 0)),
+    // x_retention_audit: the union of per-artifact probes — slim scans
+    // of the post-erasure artifact tables (postings ×2 for the df
+    // recount, pre+post LM counts) plus the broadcast request slices
+    // (documents ×3, embeddings ×2) and the deleted-docs census; the
+    // reuses are the shared request-slice exchanges
+    "x_retention_audit" -> ((15, 2)),
     // x_bpe_update / x_bpe_delete: the fold/decrement write their next
     // census generation eagerly; the returned merge table is driver
     // model state parallelized, like x_bpe_train
