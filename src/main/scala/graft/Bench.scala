@@ -71,9 +71,32 @@ object Bench {
     // on several queries, breaking second-smallest-of-5; 7 survives 5
     // stalls. BENCH_NOTES.md carries the evidence.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "7").toInt
+    // Calibration probe (round-19 brief №5): a FIXED synthetic workload
+    // — data-independent shuffle + agg + sort through the same noop
+    // sink — measured once per rep, interleaved with the suite so it
+    // samples the same box state. Same-code cross-round totals swing
+    // ±20% on this VM (BENCH_NOTES (bx)), so every cross-round claim
+    // used to cost a worktree A/B; dividing a query's headline by
+    // calib_s yields a box-speed-normalized number whose cross-round
+    // delta carries signal without the A/B tax.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8L * 1000 * 1000)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .orderBy("k")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to reps; (name, fn) <- names)
-      samples(name) = once(fn) :: samples.getOrElse(name, Nil)
+    val calibSamples = scala.collection.mutable.ListBuffer.empty[Double]
+    for (_ <- 1 to reps) {
+      calibSamples += calibOnce()
+      for ((name, fn) <- names)
+        samples(name) = once(fn) :: samples.getOrElse(name, Nil)
+    }
+    // same estimator as the queries: second-smallest of reps
+    val calibS = calibSamples.sorted.apply(math.min(1, reps - 1))
     val results = names.map { case (name, _) =>
       name -> samples(name).sorted.apply(math.min(1, reps - 1)) // 2nd-smallest
     }.toMap
@@ -114,7 +137,8 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""#bench-part ${i + 1}/$n {"queries":$part,"total_s":${j(total)},"n_queries":${names.size}}""")
     }
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":${j(total)},"n_queries":${names.size}}""")
+    println(s"""#bench-calib {"calib_s":${j(calibS)},"raw":${calibSamples.map(j).mkString("[", ",", "]")}}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_s":${j(total)},"n_queries":${names.size},"calib_s":${j(calibS)}}""")
     // The repo-artifact copy (round-13 brief item 2): BENCH_r10/r11/r13
     // all lost part of the stdout map to driver-side tail truncation,
     // so the builder's own full per-query map is ALSO written to a
@@ -138,6 +162,8 @@ object Bench {
            |  "n_queries": ${names.size},
            |  "total_s": ${j(total)},
            |  "estimator": "second-smallest of reps (see Bench.scala)",
+           |  "calib_s": ${j(calibS)},
+           |  "calib_raw": ${calibSamples.map(j).mkString("[", ", ", "]")},
            |  "queries": $head,
            |  "medians": $med
            |}
