@@ -284,30 +284,160 @@ object CorpusOps {
     * (hash pre-filter at ~Safety×budget/mass) bounds the sort input if
     * one source out-sizes a task's spill budget.
     */
-  def c36_mixtureSample(spark: SparkSession, d: String): DataFrame = {
+  def c36_mixtureSample(spark: SparkSession, d: String): DataFrame =
+    mixtureSampled(spark, d)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+
+  /** The sampled-manifest FRAME behind [[c36_mixtureSample]] (and
+    * [[c37_mixturePack]], which packs it): kept rows carrying
+    * (doc_id, source, n_tok, order_key, rnk) — the order key rides
+    * along so downstream packing chunks in the SAME md5 order the
+    * sample was drawn in.
+    */
+  private[ops] def mixtureSampled(spark: SparkSession, d: String): DataFrame = {
     val sized = sizeDocs(Tables.documents(spark, d))
       .filter(col("source").isNotNull)
-    val mass = sized.groupBy(col("source")).agg(sum(col("n_tok")).as("m"))
-      .withColumn("w", floor(sqrt(col("m").cast("double"))).cast("long"))
-    // two scalar controls: corpus mass and the weight norm
-    val r = mass.agg(coalesce(sum(col("m")), lit(0L)),
-      coalesce(sum(col("w")), lit(0L))).head()
-    val (tm, tw) = (r.getLong(0), r.getLong(1))
+    val (tm, tw, mass) = mixtureMass(sized)
     if (tw == 0L)
       return spark.range(0).select(col("id").as("doc_id"),
-        lit("").as("source"), col("id").as("n_tok"), col("id").as("rnk"))
-    val t = tm / MixTotalDen
-    val budgets = broadcast(mass.select(col("source"),
-      expr(s"w * ${t / tw} + (w * ${t % tw}) DIV $tw").as("budget")))
+        lit("").as("source"), col("id").as("n_tok"),
+        lit("").as("order_key"), col("id").as("rnk"))
     val ord = Window.partitionBy(col("source")).orderBy(col("order_key"), col("doc_id"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sized
       .withColumn("tok_end", sum(col("n_tok")).over(cum))
       .withColumn("rnk", row_number().over(ord).cast("long"))
-      .join(budgets, Seq("source"))
+      .join(mixtureBudgets(mass, tm, tw), Seq("source"))
+      .filter(col("tok_end") - col("n_tok") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("order_key"), col("rnk"))
+  }
+
+  /** The per-source mass census + the two scalar controls (corpus
+    * mass, weight norm) — shared by the exact sample and the
+    * prefilter scale path so the budget arithmetic has one home.
+    */
+  private[ops] def mixtureMass(sized: DataFrame): (Long, Long, DataFrame) = {
+    val mass = sized.groupBy(col("source")).agg(sum(col("n_tok")).as("m"))
+      .withColumn("w", floor(sqrt(col("m").cast("double"))).cast("long"))
+    val r = mass.agg(coalesce(sum(col("m")), lit(0L)),
+      coalesce(sum(col("w")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), mass)
+  }
+
+  /** The broadcast per-source budget table under the exact-integer
+    * temperature rule — see [[c36_mixtureSample]]'s scaladoc for the
+    * overflow-free form.
+    */
+  private[ops] def mixtureBudgets(mass: DataFrame, tm: Long, tw: Long): DataFrame = {
+    val t = tm / MixTotalDen
+    broadcast(mass.select(col("source"), col("m"),
+      expr(s"w * ${t / tw} + (w * ${t % tw}) DIV $tw").as("budget")))
+  }
+
+  /** c37: the MIXED-AND-PACKED manifest — [[c36_mixtureSample]]'s
+    * sampled set fed straight through [[packSized]] (c14's per-source
+    * running-sum chunker, same [[SeqBudget]], same md5 order): the
+    * actual end product a pretraining run consumes — "give me a
+    * temperature-balanced mix at token budget T, packed into
+    * fixed-length sequences" as ONE registered query. The sample's
+    * order key rides into the packer, so sequences chunk in the exact
+    * order the sample was drawn — deterministic end to end.
+    *
+    * Scale (100 TB): the sample's window and the packer's window share
+    * the source partitioning AND the (order_key, doc_id) sort order,
+    * so the composition costs ONE shuffle + one sort, with the pack
+    * cum-sum streaming over the sample's survivors. Hash-checked: the
+    * oracle composes the c36 CTEs with c14's pack CTE over the kept
+    * set.
+    */
+  def c37_mixturePack(spark: SparkSession, d: String): DataFrame =
+    packSized(mixtureSampled(spark, d)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("order_key")))
+
+  /** Pre-filter safety factor for [[x_mixturePrefilter]] — the rate
+    * keeps ~Safety× the budget's token mass per source, and the
+    * PREFIX-EXACT guard (see below) makes the cut provably lossless
+    * rather than probabilistically so.
+    */
+  val MixPrefilterSafety = 4.0
+
+  /** x: c36's 100 TB path — census-then-filter, the
+    * [[x_stratifiedPrefilter]] pattern at token grain: a source whose
+    * corpus out-sizes one task's spill budget makes the exact window
+    * sort the bottleneck, so first keep only rows whose uniform md5
+    * fraction falls inside Safety × budget/mass, THEN run the exact
+    * cum-sum window on the survivors — sort input bounded by
+    * ~Safety× the budget's mass, independent of source size.
+    *
+    * Sharper than c13's variant, the cut here is PREFIX-EXACT, not
+    * just Chernoff-safe: a key threshold keeps exactly a PREFIX of the
+    * md5 order, and the mixture's kept set is itself a prefix (docs
+    * while cum < budget), so the variant equals c36 IFF the surviving
+    * prefix carries the full budget — a condition the runtime guard
+    * asserts per source (survivor mass ≥ budget, or the source kept
+    * whole). A failed guard aborts loudly with the source named
+    * instead of shipping a silently-short mix (assert_true, the
+    * guardStrata convention; firing pinned in NewOpsSpec). Because the
+    * row_number of a prefix row equals its row_number in the full
+    * source, ranks survive the cut unchanged — byte-equal to c36,
+    * sharing its oracle string by reference.
+    */
+  def x_mixturePrefilter(spark: SparkSession, d: String): DataFrame = {
+    val sized = sizeDocs(Tables.documents(spark, d))
+      .filter(col("source").isNotNull)
+    val (tm, tw, mass) = mixtureMass(sized)
+    if (tw == 0L)
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), col("id").as("n_tok"), col("id").as("rnk"))
+    // uniform [0,1] fraction from the leading 8 hex digits of the md5
+    // order key (the x_stratifiedPrefilter machinery)
+    val frac = conv(substring(col("order_key"), 1, 8), 16, 10)
+      .cast("double") / lit(4294967295.0)
+    val rate = least(lit(1.0),
+      lit(MixPrefilterSafety) * col("budget").cast("double") /
+        greatest(col("m").cast("double"), lit(1.0)))
+    val pre = sized.join(mixtureBudgets(mass, tm, tw), Seq("source"))
+      .filter(frac <= rate)
+    // the prefix-exactness guard: survivors carry the budget, or the
+    // source survived whole (n_kept = its doc count, broadcast back)
+    val nDocs = broadcast(sized.groupBy(col("source").as("source_n"))
+      .agg(count(lit(1)).as("n_docs")))
+    val guarded = guardMixture(pre
+        .join(nDocs, col("source") <=> col("source_n"), "left"))
+      .drop("n_docs", "source_n")
+    val ord = Window.partitionBy(col("source")).orderBy(col("order_key"), col("doc_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    guarded
+      .withColumn("tok_end", sum(col("n_tok")).over(cum))
+      .withColumn("rnk", row_number().over(ord).cast("long"))
       .filter(col("tok_end") - col("n_tok") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("rnk"))
       .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Runtime guard on [[x_mixturePrefilter]]'s key-threshold cut —
+    * the [[guardStrata]] convention at token grain, but EXACT rather
+    * than probabilistic: the cut keeps a PREFIX of the md5 order, so
+    * the variant equals c36 iff each source's surviving prefix carries
+    * its full budget (or the source survived whole). assert_true is
+    * NULL when satisfied; an undersized source fails the job with the
+    * source named instead of shipping a silently-short mix (firing
+    * pinned in NewOpsSpec). Expects (source, n_tok, budget, n_docs)
+    * columns; both windows ride the source partitioning the exact
+    * window downstream needs anyway.
+    */
+  private[graft] def guardMixture(pre: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    pre
+      .withColumn("surv_mass", sum(col("n_tok")).over(w))
+      .withColumn("surv_n", count(lit(1)).over(w))
+      .filter(assert_true(
+        col("surv_mass") >= col("budget") || col("surv_n") === col("n_docs"),
+        concat(lit("mixture prefilter cut below the budget in source "),
+          col("source"))).isNull)
+      .drop("surv_mass", "surv_n")
   }
 
   /** c16: the corpus-prep pipeline END-TO-END — what a user of this
@@ -1344,6 +1474,11 @@ object CorpusOps {
     "c16_corpus_pipeline" -> C16Sql,
     // c36: temperature source mixing — exact-integer budgets both sides
     "c36_mixture_sample" -> C36Sql,
+    // the prefix-exact census-then-filter scale path is byte-equal to
+    // c36 (guard-enforced), so it shares the oracle STRING by reference
+    "x_mixture_prefilter" -> C36Sql,
+    // c37: the mixed-and-packed manifest — c36 ∘ c14 composed
+    "c37_mixture_pack" -> C37Sql,
     "x_corpus_from_clusters" -> C16Sql,
     // x_corpus_retention: the identical pipeline over the kept docs —
     // the restriction IS the oracle (the x_neardup_delete pattern)
@@ -1495,6 +1630,44 @@ object CorpusOps {
         |WHERE c.tok_end - c.n_tok < b.budget
         |ORDER BY c.source, c.rnk""".stripMargin
 
+  /** c37's twin: the c36 CTEs composed with c14's pack arithmetic over
+    * the kept set — the same order key carries from sample to pack.
+    */
+  private lazy val C37Sql =
+      s"""WITH sized AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE CAST(len(str_split(text, ' ')) AS BIGINT) END AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS order_key
+        |  FROM documents WHERE source IS NOT NULL),
+        |mass AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m,
+        |    CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM sized GROUP BY source),
+        |tot AS (SELECT CAST(SUM(m) // $MixTotalDen AS BIGINT) AS t,
+        |               CAST(SUM(w) AS BIGINT) AS tw FROM mass),
+        |budgets AS (
+        |  SELECT source, w * (t // tw) + (w * (t % tw)) // tw AS budget
+        |  FROM mass, tot WHERE tw > 0),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok, order_key,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY order_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        |  FROM sized),
+        |kept AS (
+        |  SELECT c.doc_id, c.source, c.n_tok, c.order_key
+        |  FROM cum c JOIN budgets b ON c.source = b.source
+        |  WHERE c.tok_end - c.n_tok < b.budget),
+        |pcum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY order_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        |  FROM kept)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((tok_end - n_tok) // $SeqBudget AS BIGINT) AS seq_id,
+        |  CAST((tok_end - n_tok) % $SeqBudget AS BIGINT) AS offset
+        |FROM pcum ORDER BY source, seq_id, "offset", doc_id""".stripMargin
+
   private lazy val C14Sql =
       """WITH sized AS (
         |  SELECT doc_id, source,
@@ -1596,6 +1769,8 @@ object CorpusOps {
     "c28_pack_bpe"        -> c28_packBpe _,
     "c16_corpus_pipeline" -> c16_corpusPipeline _,
     "c36_mixture_sample"  -> c36_mixtureSample _,
+    "c37_mixture_pack"    -> c37_mixturePack _,
+    "x_mixture_prefilter" -> x_mixturePrefilter _,
     "x_stratified_prefilter" -> x_stratifiedPrefilter _,
     "x_corpus_from_clusters" -> x_corpusFromClusters _,
     "x_corpus_retention"  -> x_corpusRetention _,

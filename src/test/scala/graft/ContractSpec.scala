@@ -62,6 +62,8 @@ class ContractSpec extends AnyFunSuite {
     val twins = Seq(
       "x_asof_bucketed" -> "b7_asof_join",
       "x_stratified_prefilter" -> "c13_stratified_sample",
+      // prefix-exact census-then-filter (guard-enforced) ≡ c36
+      "x_mixture_prefilter" -> "c36_mixture_sample",
       "x_corpus_from_clusters" -> "c16_corpus_pipeline",
       "x_pack_twophase" -> "c14_pack_sequences",
       // stream ≡ batch for the stateless classifier (s9 is c23's
@@ -141,11 +143,12 @@ class ContractSpec extends AnyFunSuite {
 
   test("the inventory holds all SURVEY §2 queries") {
     // round-20 additions: the tokenizer lifecycle rungs (x_bpe_update +
-    // x_bpe_delete, rows-only trainer contract), c36_mixture_sample
-    // (oracled) and x_retention_audit (oracled compliance sweep) on top
+    // x_bpe_delete, rows-only trainer contract), the mixture family
+    // (c36_mixture_sample + c37_mixture_pack + x_mixture_prefilter, all
+    // oracled) and x_retention_audit (oracled compliance sweep) on top
     // of round-19's 155
-    assert(SparkEntry.queries.size === 159)
-    assert(SparkEntry.oracleSql.size === 134)
+    assert(SparkEntry.queries.size === 161)
+    assert(SparkEntry.oracleSql.size === 136)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

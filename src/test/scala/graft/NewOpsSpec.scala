@@ -1173,6 +1173,45 @@ class NewOpsSpec extends SparkSpec {
       "the memo's marker stays frozen")
   }
 
+  test("x_mixture_prefilter ≡ c36 byte-for-byte; the prefix guard fires when undersized") {
+    import graft.ops.CorpusOps
+    assert(CorpusOps.x_mixturePrefilter(spark, sf0001).collect().map(_.toSeq).toSeq
+      === CorpusOps.c36_mixtureSample(spark, sf0001).collect().map(_.toSeq).toSeq)
+    // guard firing: survivors carry less than the budget AND the
+    // source was not kept whole → loud abort naming the source
+    val bad = Seq(("web", 3L, 100L, 5L), ("web", 4L, 100L, 5L))
+      .toDF("source", "n_tok", "budget", "n_docs")
+    val e = intercept[Exception] { CorpusOps.guardMixture(bad).collect() }
+    assert(e.getMessage.contains("source web"))
+    // healthy prefixes pass through: budget carried, or source whole
+    val okMass = Seq(("web", 60L, 100L, 5L), ("web", 50L, 100L, 5L))
+      .toDF("source", "n_tok", "budget", "n_docs")
+    assert(CorpusOps.guardMixture(okMass).count() === 2)
+    val okWhole = Seq(("web", 3L, 100L, 2L), ("web", 4L, 100L, 2L))
+      .toDF("source", "n_tok", "budget", "n_docs")
+    assert(CorpusOps.guardMixture(okWhole).count() === 2)
+  }
+
+  test("c37: packs exactly c36's kept docs, offsets dense within the seq budget") {
+    import graft.ops.CorpusOps
+    val packed = CorpusOps.c37_mixturePack(spark, sf0001).collect()
+    val sampled = CorpusOps.c36_mixtureSample(spark, sf0001).collect()
+    assert(packed.map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      sampled.map(_.getAs[Long]("doc_id")).sorted.toSeq,
+      "the packed manifest is the sampled set, nothing more or less")
+    packed.foreach { r =>
+      val off = r.getAs[Long]("offset")
+      assert(off >= 0L && off < CorpusOps.SeqBudget)
+      assert(r.getAs[Long]("seq_id") >= 0L)
+    }
+    // each source's pack starts at (seq 0, offset 0) — the running sum
+    // restarts per source exactly as c14's does
+    for ((_, rows) <- packed.groupBy(_.getAs[String]("source"))) {
+      val first = rows.minBy(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("offset")))
+      assert(first.getAs[Long]("seq_id") === 0L && first.getAs[Long]("offset") === 0L)
+    }
+  }
+
   test("x_retention_audit: zero survivors post-erasure; the probes bite on non-erased state") {
     import graft.ops.{RetentionAudit, Tables, TextOps}
     val out = RetentionAudit.x_retentionAudit(spark, sf0001).collect()

@@ -355,6 +355,12 @@ class ScanCensusSpec extends SparkSpec {
     // c36: the census-then-filter pattern — one documents scan for the
     // broadcast per-source budget table, one for the windowed sample
     "c36_mixture_sample" -> ((2, 0)),
+    // c37: the sample's window and the packer's share one shuffle+sort,
+    // so the composition adds no scan over c36
+    "c37_mixture_pack" -> ((2, 0)),
+    // x_mixture_prefilter: budget census + n_docs census + the guarded
+    // windowed sample
+    "x_mixture_prefilter" -> ((3, 0)),
     // x_retention_audit: the union of per-artifact probes — slim scans
     // of the post-erasure artifact tables (postings ×2 for the df
     // recount, pre+post LM counts) plus the broadcast request slices
