@@ -850,6 +850,48 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the two hour-grain exchanges, both under the join:\n$p")
   }
 
+  test("x_retention_audit: the id probes broadcast the request — state never shuffles for its own audit") {
+    // the sweep's cost contract: a probe is ONE slim scan of the
+    // artifact with the KB request list broadcast in. An unhinted
+    // join could sort-merge the lake-sized posting table just to
+    // count survivors (the semDeleteFrames lesson, at audit time).
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax, lit, pmod}
+    import graft.ops.{Tables, TextOps, RetentionAudit}
+    val docs = Tables.documents(spark, sf0001)
+    val r = docs.agg(fmin(col("doc_id")), fmax(col("doc_id"))).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val memo = Tables.memoDir("nd_del_base", sf0001) { p =>
+      TextOps.neardupIndexBuild(spark, sf0001, p, mid)
+    }
+    val req = docs.filter(col("doc_id") <= mid &&
+        pmod(col("doc_id"), lit(TextOps.NdDeleteMod)) === TextOps.NdDeleteRes)
+      .select(col("doc_id"))
+    val p = plan(RetentionAudit.idProbe("nd_postings",
+      spark.read.parquet(s"$memo/postings.parquet"), "doc_id", req))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the request list must broadcast into the probe join:\n$p")
+    // the only permitted hash exchange is the request slice's own
+    // dedup INSIDE the broadcast branch (a KB list); the state branch
+    // (printed before BroadcastExchange) must hold none
+    val bx = p.indexOf("BroadcastExchange")
+    val firstHashEx = p.indexOf("Exchange hashpartitioning")
+    assert(!p.contains("SortMergeJoin") &&
+      (firstHashEx == -1 || (bx >= 0 && firstHashEx > bx)),
+      s"the audited state must not shuffle for its own probe:\n$p")
+  }
+
+  test("c37: the pack composition adds no exchange over the sample — one shuffle, shared sort") {
+    import graft.ops.CorpusOps
+    val p = plan(CorpusOps.c37_mixturePack(spark, sf0001))
+    // hashpartitioning exchanges in the composed plan: the mass census's
+    // partial-agg exchange + the ONE source-partition window exchange
+    // that the sample cum-sum, rank and pack cum-sum all ride
+    val n = "Exchange hashpartitioning".r.findAllIn(p).matchData.size
+    assert(n <= 2, s"expected ≤ 2 hash exchanges (census + one shared window), got $n:\n$p")
+    val sorts = "\\bSort\\b".r.findAllIn(p).matchData.size
+    assert(sorts <= 3, s"window sorts should be shared/minimal, got $sorts:\n$p")
+  }
+
   test("b27: the bloom probe filters the orders scan inside codegen") {
     val p = plan(BloomJoin.b27_bloomJoin(spark, sf0001))
     assert(p.contains("bloom_might_contain"), s"probe missing from the plan:\n$p")
