@@ -134,7 +134,22 @@ class EdgeCaseSpec extends SparkSpec {
     // s22: the retention stream over dirty/empty corpora — requests
     // are id-addressed (null ids never match); empty drains to an
     // empty audit
-    "s22_stream_retention")
+    "s22_stream_retention",
+    // the round-19 retention/maintenance ladder: erasure rewrites over
+    // dirty state (requests id-addressed; ragged/NaN vectors already
+    // outside the similarity domain), untrainable/empty early-returns
+    "x_semantic_delete", "x_semantic_compact", "x_semantic_rebuild",
+    "x_semantic_drift", "x_lm_delete", "x_corpus_retention",
+    "s23_stream_semantic_retention", "s24_stream_lm_retention",
+    "s25_stream_corpus_retention", "s26_stream_ann_retention",
+    // the round-20 tokenizer lifecycle: the dirty corpus has NO src0
+    // shard, so the standing census is empty — fold(∅, delta) and
+    // delete(∅, ∅) must both degrade cleanly
+    "x_bpe_update", "x_bpe_delete",
+    // the mixture family: null sources are excluded up front, null
+    // text sizes to 0 tokens, and the prefix guard must hold on every
+    // real source
+    "c36_mixture_sample", "c37_mixture_pack", "x_mixture_prefilter")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {
@@ -163,6 +178,20 @@ class EdgeCaseSpec extends SparkSpec {
     test(s"$name returns empty from an empty corpus") {
       assert(SparkEntry.queries(name)(spark, emptyDir).collect().isEmpty)
     }
+  }
+
+  test("x_retention_audit reports all-zero artifacts on dirty and empty corpora, never dies") {
+    // the audit is the one query whose EMPTY-corpus contract is NOT an
+    // empty frame: its oracle's UNION ALL always emits the 7 artifact
+    // rows, with every census 0 — an auditor reports "nothing stands",
+    // not nothing
+    val dirty = SparkEntry.queries("x_retention_audit")(spark, dir).collect()
+    assert(dirty.length === 7)
+    assert(dirty.forall(_.getAs[Long]("n_surviving") === 0L))
+    val empty = SparkEntry.queries("x_retention_audit")(spark, emptyDir).collect()
+    assert(empty.length === 7)
+    assert(empty.forall(r => r.getAs[Long]("n_rows") === 0L &&
+      r.getAs[Long]("n_surviving") === 0L))
   }
 
   test("c8 invariants on the dirty corpus") {
