@@ -214,7 +214,7 @@ object CorpusOps {
     * count (null text packs as 0 tokens) and the deterministic md5
     * shard order key.
     */
-  private[ops] def sizeDocs(docs: DataFrame): DataFrame = {
+  private[graft] def sizeDocs(docs: DataFrame): DataFrame = {
     val ntok = when(col("text").isNull, lit(0L))
       .otherwise(size(split(col("text"), " ")).cast("long"))
     docs.select(col("doc_id"), col("source"), ntok.as("n_tok"),
@@ -285,9 +285,7 @@ object CorpusOps {
     * one source out-sizes a task's spill budget.
     */
   def c36_mixtureSample(spark: SparkSession, d: String): DataFrame =
-    mixtureSampled(spark, d)
-      .select(col("doc_id"), col("source"), col("n_tok"), col("rnk"))
-      .orderBy(col("source"), col("rnk"))
+    mixtureManifest(mixtureSampled(spark, d))
 
   /** The sampled-manifest FRAME behind [[c36_mixtureSample]] (and
     * [[c37_mixturePack]], which packs it): kept rows carrying
@@ -295,9 +293,20 @@ object CorpusOps {
     * along so downstream packing chunks in the SAME md5 order the
     * sample was drawn in.
     */
-  private[ops] def mixtureSampled(spark: SparkSession, d: String): DataFrame = {
-    val sized = sizeDocs(Tables.documents(spark, d))
-      .filter(col("source").isNotNull)
+  private[ops] def mixtureSampled(spark: SparkSession, d: String): DataFrame =
+    mixtureCut(spark, sizeDocs(Tables.documents(spark, d))
+      .filter(col("source").isNotNull))
+
+  /** The temperature cut over ANY sized frame (doc_id, source, n_tok,
+    * order_key; null sources already excluded) — the close-time tail
+    * shared by the batch sample and its arrival twin (s27, which reads
+    * the frame back from its per-batch state sink): ONE body so the
+    * twins cannot drift. The cut is retroactive by construction — a
+    * later-arriving smaller-key doc enters the prefix and displaces
+    * the budget boundary — which is exactly why the arrival form cuts
+    * at close, never per batch.
+    */
+  private[graft] def mixtureCut(spark: SparkSession, sized: DataFrame): DataFrame = {
     val (tm, tw, mass) = mixtureMass(sized)
     if (tw == 0L)
       return spark.range(0).select(col("id").as("doc_id"),
@@ -313,6 +322,13 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("order_key"), col("rnk"))
   }
+
+  /** c36's output projection — shared with s27 so the manifest shape
+    * has one home.
+    */
+  private[graft] def mixtureManifest(cut: DataFrame): DataFrame =
+    cut.select(col("doc_id"), col("source"), col("n_tok"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
 
   /** The per-source mass census + the two scalar controls (corpus
     * mass, weight norm) — shared by the exact sample and the

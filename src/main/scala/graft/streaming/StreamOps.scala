@@ -1238,6 +1238,51 @@ object StreamOps {
   def s19_streamCorpusPipeline(spark: SparkSession, d: String): DataFrame =
     s19At(spark, d, maxFilesPerTrigger = None)
 
+  /** s27: the MIXTURE's arrival form — the s19 cadence for the
+    * temperature-balanced sample: each arriving batch is sized ONCE
+    * (doc_id, source, n_tok, order_key — one text-touch per document,
+    * the same per-row projection c36 starts from) into a batchId-keyed
+    * replay-idempotent state sink, and the cut runs at drain close
+    * over the union through [[graft.ops.CorpusOps.mixtureCut]] — c36's
+    * own body. Close placement is semantic, not just cheap: budgets
+    * derive from the FULL per-source masses, and the md5 prefix is
+    * retroactive (a later-arriving smaller-key doc displaces the
+    * boundary), so a per-batch cut would ship manifests the next batch
+    * invalidates. Sizing is a pure per-row function, so the union of
+    * batch states ≡ sizing the whole corpus — s27 is byte-equal to
+    * c36 however batches tile and carries its oracle VERBATIM,
+    * hash-checked (StreamingSpec pins single- and forced multi-batch
+    * drains row-for-row).
+    *
+    * Scale (100 TB): per batch one slim sized-projection write (text
+    * read once, on arrival); at close one mass census + one windowed
+    * cut over ~50 B/doc state — text is never re-read at close.
+    */
+  def s27_streamMixture(spark: SparkSession, d: String): DataFrame =
+    s27At(spark, d, maxFilesPerTrigger = None)
+
+  private[graft] def s27At(spark: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.ops.CorpusOps
+    val (_, chk, base) = sinkDirsWithBase("s27", d)
+    val state = s"$base/state"
+    val arriving = stagedFileStream(spark, d, "documents", maxFilesPerTrigger)
+    val q = arriving.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        CorpusOps.sizeDocs(batch).filter(col("source").isNotNull)
+          .write.mode("overwrite").parquet(s"$state/bid=$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val stateSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, n_tok BIGINT, order_key STRING")
+    CorpusOps.mixtureManifest(CorpusOps.mixtureCut(spark,
+      readSink(spark, state, stateSchema)
+        .select(stateSchema.fieldNames.map(col).toIndexedSeq: _*)))
+  }
+
   /** The trigger-cadence-parameterized form: the registered query
     * drains with AvailableNow's natural batching — the extraction is
     * STATELESS per row, so batch size is semantics-free and forcing
@@ -1880,6 +1925,10 @@ object StreamOps {
     // state lands whole in one batch; every reduce is over the union):
     // c16's oracle verbatim
     "s19_stream_corpus_pipeline" -> graft.ops.CorpusOps.oracles("c16_corpus_pipeline"),
+    // size-on-arrival + cut-at-close ≡ the batch sample (sizing is
+    // per-row; the cut is retroactive over the union) — c36's oracle
+    // string BY REFERENCE
+    "s27_stream_mixture" -> graft.ops.CorpusOps.oracles("c36_mixture_sample"),
     // x_corpus_epochs: the final close's manifest is the batch pipeline
     // over the full corpus (state extends across drains, the cut is
     // retroactive) — c16's oracle verbatim, by reference
@@ -1970,6 +2019,7 @@ object StreamOps {
     "s17_stream_lm_heldout" -> s17_streamLmHeldout _,
     "s18_stream_lm_update"  -> s18_streamLmUpdate _,
     "s19_stream_corpus_pipeline" -> s19_streamCorpusPipeline _,
+    "s27_stream_mixture" -> s27_streamMixture _,
     "x_corpus_epochs" -> x_corpusEpochs _,
     "s20_stream_ann_ingest" -> s20_streamAnnIngest _,
     "s21_stream_semantic_ingest" -> s21_streamSemanticIngest _,

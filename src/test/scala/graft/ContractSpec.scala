@@ -135,7 +135,10 @@ class ContractSpec extends AnyFunSuite {
       // union-of-batches decrement ≡ the batch delete (additivity)
       "s24_stream_lm_retention" -> "x_lm_delete",
       // one close-time rewrite + re-cut over the union ≡ the batch rung
-      "s25_stream_corpus_retention" -> "x_corpus_retention")
+      "s25_stream_corpus_retention" -> "x_corpus_retention",
+      // size-on-arrival + cut-at-close ≡ the batch sample (per-row
+      // sizing; retroactive prefix cut over the union)
+      "s27_stream_mixture" -> "c36_mixture_sample")
     for ((x, twin) <- twins)
       assert(SparkEntry.oracleSql(x) eq SparkEntry.oracleSql(twin),
         s"$x must share $twin's oracle string (same object — no drift)")
@@ -147,8 +150,9 @@ class ContractSpec extends AnyFunSuite {
     // (c36_mixture_sample + c37_mixture_pack + x_mixture_prefilter, all
     // oracled) and x_retention_audit (oracled compliance sweep) on top
     // of round-19's 155
-    assert(SparkEntry.queries.size === 161)
-    assert(SparkEntry.oracleSql.size === 136)
+    // + s27_stream_mixture (c36's arrival twin)
+    assert(SparkEntry.queries.size === 162)
+    assert(SparkEntry.oracleSql.size === 137)
   }
 
   /** Round-13 ADVICE lint: every scratch path an operator writes must

@@ -149,7 +149,10 @@ class EdgeCaseSpec extends SparkSpec {
     // the mixture family: null sources are excluded up front, null
     // text sizes to 0 tokens, and the prefix guard must hold on every
     // real source
-    "c36_mixture_sample", "c37_mixture_pack", "x_mixture_prefilter")
+    "c36_mixture_sample", "c37_mixture_pack", "x_mixture_prefilter",
+    // s27: the mixture's arrival twin — dirty sizing per batch, cut at
+    // close; empty corpora drain (possibly zero batches) to an empty mix
+    "s27_stream_mixture")
 
   corpusQueries.foreach { name =>
     test(s"$name survives the dirty corpus") {

@@ -361,6 +361,9 @@ class ScanCensusSpec extends SparkSpec {
     // x_mixture_prefilter: budget census + n_docs census + the guarded
     // windowed sample
     "x_mixture_prefilter" -> ((3, 0)),
+    // s27: the close-time cut reads the sized-state sink (mass census +
+    // windowed sample, like c36's two documents scans but over state)
+    "s27_stream_mixture" -> ((2, 0)),
     // x_retention_audit: the union of per-artifact probes — slim scans
     // of the post-erasure artifact tables (postings ×2 for the df
     // recount, pre+post LM counts) plus the broadcast request slices

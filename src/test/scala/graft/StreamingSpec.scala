@@ -545,6 +545,35 @@ class StreamingSpec extends SparkSpec {
       "multi-batch arrival state must cut the one-shot manifest exactly")
   }
 
+  test("s27 semantics: the mixture on arrival ≡ the batch c36, row-for-row") {
+    val streamed = graft.streaming.StreamOps
+      .s27_streamMixture(spark, sf0001).collect()
+    val batch = graft.ops.CorpusOps.c36_mixtureSample(spark, sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "the arrival-sized mixture must equal the batch sample exactly")
+  }
+
+  test("s27 tiling: batch-by-batch arrival still cuts the batch mixture (retroactive prefix)") {
+    // several part files → several micro-batches → per-batch sized
+    // state; budgets derive from the FULL masses and the md5 prefix is
+    // retroactive, so only a close-time cut over the union can match —
+    // a per-batch cut would ship since-invalidated manifests (the
+    // property this pin would catch if the cut ever moved into the
+    // foreachBatch body)
+    val dir = s"${graft.ops.Tables.scratch}/s27_multifile"
+    graft.ops.Tables.rmrf(dir)
+    graft.ops.Tables.documents(spark, sf0001)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamOps
+      .s27At(spark, dir, maxFilesPerTrigger = Some(1)).collect()
+    val oneShot = graft.ops.CorpusOps.c36_mixtureSample(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === oneShot.toSeq,
+      "multi-batch sized state must cut the one-shot mixture exactly")
+  }
+
   test("s22 semantics: retention on arrival ≡ the batch x_neardup_delete, row-for-row") {
     val streamed = graft.streaming.StreamOps
       .s22_streamRetention(spark, sf0001).collect()
