@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   *    distinct vec_id — because rows-per-vector is min(nprobe, k),
   *    an engine-specific model property the oracle cannot see).
   *  - `sem_pairs`: pair rows touching a requested id on either side.
-  *  - `lm_counts`: nonpositive count rows, plus deleted-census bigrams
+  *  - `lm_counts` / `bpe_census`: nonpositive count rows, plus
+  *    deleted-census bigrams (words)
   *    where post ≠ pre − deleted (the decrement verified bigram by
   *    bigram against the deleted docs' own census — one request-slice
   *    scan, the delete's own economics).
@@ -148,6 +149,28 @@ object RetentionAudit {
         (col("n_nonpos") + col("n_bad")).as("n_surviving"))
   }
 
+  /** The BPE-census decrement probe — [[lmProbe]]'s shape at word
+    * grain: post ≡ pre − deleted-census for every word the deleted
+    * docs carried, and no nonpositive survivor.
+    */
+  private[graft] def bpeProbe(name: String, pre: DataFrame, post: DataFrame,
+      deleted: DataFrame): DataFrame = {
+    val delCensus = BpeTrain.wordCountsOf(deleted)
+      .groupBy(col("w")).agg(sum(col("c")).as("nd"))
+    val bad = delCensus
+      .join(pre.select(col("w"), col("c").as("c_pre")), Seq("w"), "left")
+      .join(post.select(col("w"), col("c").as("c_post")), Seq("w"), "left")
+      .agg(coalesce(sum(when(coalesce(col("c_post"), lit(0L)) =!=
+          coalesce(col("c_pre"), lit(0L)) - col("nd"), 1L).otherwise(0L)),
+        lit(0L)).as("n_bad"))
+    post.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("c") <= 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_nonpos"))
+      .crossJoin(broadcast(bad))
+      .select(lit(name).as("artifact"), col("n_rows"),
+        (col("n_nonpos") + col("n_bad")).as("n_surviving"))
+  }
+
   def x_retentionAudit(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -233,6 +256,19 @@ object RetentionAudit {
         spark.read.parquet(s"$dir/counts_v2.parquet"), deleted)
     }
 
+    // ---- standing BPE word census (x_bpe_delete's slice) ----
+    val bpePart: DataFrame = {
+      val memo = BpeTrain.standingCensusDir(spark, d)
+      val dir = Tables.scratchDir("audit_bpe", d)
+      val deleted = docs.filter(col("source") === CorpusOps.LmTrainSource &&
+        pmod(col("doc_id"), lit(CorpusOps.LmDeleteMod)) === CorpusOps.LmDeleteRes)
+      val pre = spark.read.parquet(s"$memo/census.parquet")
+      BpeTrain.bpeDeleteCounts(pre, deleted)
+        .write.mode("overwrite").parquet(s"$dir/census_v2.parquet")
+      bpeProbe("bpe_census", pre,
+        spark.read.parquet(s"$dir/census_v2.parquet"), deleted)
+    }
+
     // ---- corpus build state (x_corpus_retention's slice) ----
     val corpPart: DataFrame = {
       val memo = CorpusOps.corpusStateDir(spark, d)
@@ -246,7 +282,7 @@ object RetentionAudit {
         "doc_id", req)
     }
 
-    (ndParts ++ Seq(annPart) ++ semParts ++ Seq(lmPart, corpPart))
+    (ndParts ++ Seq(annPart) ++ semParts ++ Seq(lmPart, bpePart, corpPart))
       .reduce(_ unionByName _)
       .orderBy(col("artifact"))
   }

@@ -1623,6 +1623,11 @@ object TextOps {
        |tb AS (SELECT w1, w2 FROM bi
        |       WHERE source = '${CorpusOps.LmTrainSource}'
        |         AND (doc_id IS NULL OR ((doc_id % $lM) + $lM) % $lM <> $lR)),
+       |wtoks AS (SELECT doc_id, source, unnest(str_split(text, ' ')) AS w
+       |          FROM documents WHERE text IS NOT NULL),
+       |wtb AS (SELECT w FROM wtoks
+       |        WHERE source = '${CorpusOps.LmTrainSource}' AND len(w) > 0
+       |          AND (doc_id IS NULL OR ((doc_id % $lM) + $lM) % $lM <> $lR)),
        |ann_kept AS (SELECT e.vec_id FROM embeddings e
        |             WHERE e.vec_id IS NULL OR ((e.vec_id % $aM) + $aM) % $aM <> $aR),
        |sem_kept AS (SELECT e.* FROM embeddings e, ebound
@@ -1644,6 +1649,9 @@ object TextOps {
        |  SELECT 'ann_codes' AS artifact,
        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ann_kept) AS n_rows,
        |    CAST(0 AS BIGINT) AS n_surviving
+       |  UNION ALL SELECT 'bpe_census',
+       |    (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM wtb),
+       |    CAST(0 AS BIGINT)
        |  UNION ALL SELECT 'corpus_state',
        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
        |     WHERE doc_id IS NULL OR ((doc_id % $cM) + $cM) % $cM <> $cR),

@@ -185,14 +185,14 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("x_retention_audit reports all-zero artifacts on dirty and empty corpora, never dies") {
     // the audit is the one query whose EMPTY-corpus contract is NOT an
-    // empty frame: its oracle's UNION ALL always emits the 7 artifact
+    // empty frame: its oracle's UNION ALL always emits the 8 artifact
     // rows, with every census 0 — an auditor reports "nothing stands",
     // not nothing
     val dirty = SparkEntry.queries("x_retention_audit")(spark, dir).collect()
-    assert(dirty.length === 7)
+    assert(dirty.length === 8)
     assert(dirty.forall(_.getAs[Long]("n_surviving") === 0L))
     val empty = SparkEntry.queries("x_retention_audit")(spark, emptyDir).collect()
-    assert(empty.length === 7)
+    assert(empty.length === 8)
     assert(empty.forall(r => r.getAs[Long]("n_rows") === 0L &&
       r.getAs[Long]("n_surviving") === 0L))
   }

@@ -1216,8 +1216,8 @@ class NewOpsSpec extends SparkSpec {
     import graft.ops.{RetentionAudit, Tables, TextOps}
     val out = RetentionAudit.x_retentionAudit(spark, sf0001).collect()
     assert(out.map(_.getAs[String]("artifact")).toSeq === Seq("ann_codes",
-      "corpus_state", "lm_counts", "nd_df", "nd_postings", "sem_pairs",
-      "sem_postings"))
+      "bpe_census", "corpus_state", "lm_counts", "nd_df", "nd_postings",
+      "sem_pairs", "sem_postings"))
     assert(out.forall(_.getAs[Long]("n_surviving") === 0L),
       s"survivors: ${out.mkString(", ")}")
     assert(out.forall(_.getAs[Long]("n_rows") > 0L),

@@ -366,10 +366,10 @@ class ScanCensusSpec extends SparkSpec {
     "s27_stream_mixture" -> ((2, 0)),
     // x_retention_audit: the union of per-artifact probes — slim scans
     // of the post-erasure artifact tables (postings ×2 for the df
-    // recount, pre+post LM counts) plus the broadcast request slices
-    // (documents ×3, embeddings ×2) and the deleted-docs census; the
-    // reuses are the shared request-slice exchanges
-    "x_retention_audit" -> ((15, 2)),
+    // recount, pre+post LM counts, pre+post BPE census) plus the
+    // broadcast request slices (documents ×4, embeddings ×2) and the
+    // deleted-docs censuses; the reuses are shared request exchanges
+    "x_retention_audit" -> ((19, 2)),
     // x_bpe_update / x_bpe_delete: the fold/decrement write their next
     // census generation eagerly; the returned merge table is driver
     // model state parallelized, like x_bpe_train
