@@ -383,62 +383,130 @@ object TextOps {
     * the fallback branch still needs integration coverage).
     */
   private[graft] def clustersOf(pairList: DataFrame, maxIters: Int): DataFrame = {
-    val pairs = pairList.select(col("a_id"), col("b_id"))
-    val edges = pairs
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint()
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).localCheckpoint()
-    // one min-label propagation hop over (id, lab, prev) — prev rides
-    // through untouched so the convergence check after a multi-hop
-    // round still compares against the round's STARTING labels
-    def hop(ls: DataFrame): DataFrame = {
-      val nmin = edges
-        .join(ls.select(col("id").as("b_id"), col("lab").as("nl")), "b_id")
-        .groupBy(col("a_id")).agg(min(col("nl")).as("nmin"))
-      ls.join(nmin.select(col("a_id").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
-          col("prev"))
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = pairList.sparkSession
+    // The loop runs at the RDD altitude, not DataFrame — the one place
+    // in the engine where that is the right call: an ITERATIVE graph
+    // loop in the frame API re-analyzes, re-optimizes and re-compiles a
+    // fresh Catalyst plan per round and re-exchanges the edge list in
+    // every sweep — measured ~0.3-0.8 s of per-round fixed cost
+    // (planning + AQE per-exchange stage-jobs) on label-sized (16 B/row)
+    // state, the bulk of every cluster cut's wall time at fixture scale
+    // and a per-round edge re-shuffle at any scale. Keyed RDDs
+    // hash-partition the edge list ONCE and every per-round join is
+    // co-partitioned (narrow), so a round is exactly one slim
+    // reduceByKey exchange inside one scheduled job, with no per-round
+    // driver planning at all — the standard Spark idiom for iterative
+    // graph algorithms (GraphX's own altitude).
+    //
+    // The corpus-sized pair lineage executes ONCE here, under the
+    // caller's full configuration; everything after is (id, id) state.
+    val raw = pairList.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .queryExecution.toRdd.mapPartitions(_.flatMap { r =>
+        // null-keyed pairs cannot join/propagate in the frame form
+        // either — dropped, never labeled (every pair family emits
+        // non-null ids: pairs come from equi-joins with a < b residuals)
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val a = r.getLong(0); val b = r.getLong(1)
+          Iterator((a, b), (b, a))
+        }
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
+    val part = new HashPartitioner(ccParts(spark, nEdges))
+    // bidirectional edges keyed by the NEIGHBOR (the side whose label a
+    // hop reads), partitioned once; materialized BEFORE raw unpersists
+    // so the pair-generation lineage is never re-paid
+    val edges = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    raw.unpersist(false)
+    // node universe with identity labels: reduceByKey over the already-
+    // partitioned edges is shuffle-free, and preservesPartitioning
+    // keeps the co-partitioning for every round below
+    var labels: RDD[(Long, Long)] = edges.mapValues(_ => 0L)
+      .reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (id, _) => (id, id) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one min-label propagation hop: each node takes the min of its own
+    // label and its neighbors' labels — semantics identical to the old
+    // frame form's join + groupBy(min) + least(coalesce) round
+    def hop(ls: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val nmin = edges.join(ls, part) // co-partitioned: no edge shuffle
+        .map { case (_, (tgt, nl)) => (tgt, nl) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the round's ONE exchange
+      ls.leftOuterJoin(nmin, part) // co-partitioned
+        .mapValues { case (lab, m) => math.min(lab, m.getOrElse(lab)) }
     }
     var sweep = 0
-    var done = labels.isEmpty
+    var done = labels.isEmpty()
     while (!done && sweep < maxIters) {
-      val start = labels.select(col("id"), col("lab"), col("lab").as("prev"))
+      val start = labels
       val stepped =
         if (sweep < PlainCcSweeps) hop(start)
         else
           // escalated round: two hops, then the pointer-jumping
           // shortcut lab ← startLab(lab). Labels are always node ids
-          // with lab(x) ≤ x (init lab = id; hop takes least with the
-          // own label), so the lookup join is total and the update
+          // with lab(x) ≤ x (init lab = id; hop takes min with the own
+          // label), so the dereference join is total and the update
           // monotone non-increasing; the composition roughly DOUBLES
-          // the covered pointer depth per round. Dereferencing the
-          // round-START labels — already checkpointed — instead of the
-          // fresh hop output means no subplan is ever self-joined
-          // un-materialized (round-15 ADVICE: that re-executed both
-          // hop passes per join side) and the round needs ONE
-          // checkpoint, not two. A fixpoint of the composed operator
-          // is a hop-fixpoint (every operator only lowers labels),
-          // i.e. exactly the component-minimum labeling.
+          // the covered pointer depth per round. A fixpoint of the
+          // composed operator is a hop-fixpoint (every operator only
+          // lowers labels), i.e. exactly the component-minimum
+          // labeling.
           hop(hop(start))
-            .join(labels.select(col("id").as("lab"), col("lab").as("lab2")),
-              Seq("lab"))
-            .select(col("id"), col("lab2").as("lab"), col("prev"))
-      val next = stepped.localCheckpoint()
-      done = next.filter(col("lab") =!= col("prev")).isEmpty
-      labels = next.select(col("id"), col("lab"))
+            .map { case (id, lab) => (lab, id) }
+            .join(start, part)
+            .map { case (_, (id, lab2)) => (id, lab2) }
+            .partitionBy(part)
+      val next = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // convergence check against the round-START labels; the count
+      // fills `next`'s persisted blocks inside the same job, so a round
+      // is one scheduled job end to end (the old frame form paid a
+      // checkpoint job + an isEmpty job + per-exchange AQE stage-jobs)
+      done = next.join(start, part)
+        .filter { case (_, (nl, ol)) => nl != ol }
+        .count() == 0L
+      start.unpersist(false)
+      labels = next
       sweep += 1
     }
-    if (!done)
-      // the optimistic path hit the valve: component diameter exceeds
-      // MaxCcIters, so per-sweep propagation would need O(diameter)
-      // more rounds. Switch to the O(log n)-round alternating-star
-      // algorithm on the SAME checkpointed edge list — the expensive
-      // pair-generation lineage is not re-paid, and the caller gets
-      // correct labels instead of an abort.
-      labels = starLabels(edges)
-    finishClusters(labels)
+    val labelsDf =
+      if (done)
+        spark.createDataFrame(
+          labels.map { case (id, lab) => Row(id, lab) },
+          StructType(Seq(StructField("id", LongType), StructField("lab", LongType))))
+      else
+        // the optimistic path hit the valve: component diameter exceeds
+        // MaxCcIters, so per-sweep propagation would need O(diameter)
+        // more rounds. Switch to the O(log n)-round alternating-star
+        // algorithm over the SAME materialized edge blocks — the
+        // expensive pair-generation lineage is not re-paid, and the
+        // caller gets correct labels instead of an abort.
+        starLabels(spark.createDataFrame(
+          edges.map { case (nbr, tgt) => Row(tgt, nbr) },
+          StructType(Seq(StructField("a_id", LongType), StructField("b_id", LongType))))
+          .localCheckpoint())
+    finishClusters(labelsDf)
+  }
+
+  /** Partition sizing for the CC loop's keyed state: label/edge rows
+    * are 16 B, so ~2M rows per partition keeps every exchange in the
+    * tens-of-MB band whatever the corpus size — scale-adaptive (derived
+    * from the measured edge count, never a constant), with the caller
+    * session's own shuffle-partition setting as the CEILING (the
+    * deployment sized that for corpus-scale exchanges, and CC's slim
+    * state never needs more).
+    */
+  private def ccParts(spark: SparkSession, nEdges: Long): Int = {
+    val ceilParts =
+      try math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      catch { case _: NumberFormatException => 200 }
+    math.max(1L, math.min(ceilParts.toLong, (nEdges + 1999999L) / 2000000L)).toInt
   }
 
   private def finishClusters(labels: DataFrame): DataFrame =
