@@ -150,16 +150,24 @@ object TextOps {
     * the doc's distinct shingle-hash set, or null when the doc emits
     * none (null id, or under 3 tokens; explode then drops it exactly
     * like the row form's filters). This is what lets s19's arrival
-    * sink carry the whole per-document state in ONE projection. The
-    * repeated split() calls collapse under Project subexpression
-    * elimination in codegen.
+    * sink carry the whole per-document state in ONE projection.
+    *
+    * The token array is bound ONCE as a lambda variable (`transform`
+    * over the singleton `array(split(...))`): higher-order functions
+    * evaluate their lambdas interpreted, with NO subexpression
+    * elimination inside the lambda body, so the earlier form — which
+    * inlined `split(text, ' ')` into every element access — re-split
+    * the whole document per shingle index, O(tokens²) splits per
+    * document (measured 5× the whole extraction projection's cost at
+    * sf0.1; opt guide §4: no interpreted re-work in the hot path).
+    * The singleton-array binding evaluates split exactly once per row
+    * and flatten restores the shape — output byte-identical.
     */
   private[graft] def docShinglesCol: org.apache.spark.sql.Column =
     when(col("doc_id").isNotNull && size(split(col("text"), " ")) >= 3,
-      expr("filter(array_distinct(transform(" +
-        "sequence(0, size(split(text, ' ')) - 3), " +
-        "i -> xxhash64(split(text, ' ')[i], split(text, ' ')[i + 1], " +
-        "split(text, ' ')[i + 2]))), x -> x IS NOT NULL)"))
+      expr("filter(array_distinct(flatten(transform(array(split(text, ' ')), " +
+        "t -> transform(sequence(0, size(t) - 3), " +
+        "i -> xxhash64(t[i], t[i + 1], t[i + 2]))))), x -> x IS NOT NULL)"))
 
   /** Shared-shingle pair counts → exact Jaccard ≥ 0.5, deterministic
     * order — the common tail of c2 and x_minhash's verification.
