@@ -179,9 +179,24 @@ object RetentionAudit {
     def zero(name: String): DataFrame =
       Seq((name, 0L, 0L)).toDF("artifact", "n_rows", "n_surviving")
 
+    // The six families' erase-then-probe preludes are INDEPENDENT: each
+    // clones its own standing memo into its own scratch dir and mutates
+    // only that clone. Run serially they left the box idle between each
+    // family's small maintenance jobs (the driver-side gaps dominate —
+    // measured jobSum ≈ 2× wall headroom); overlapping them from a
+    // small thread pool back-fills those gaps (opt guide §2.6 —
+    // independent jobs from driver threads; job groups are thread-local
+    // so the UI stays readable). Futures return each family's probe
+    // frames; the union below keeps the original fixed order, and the
+    // final orderBy makes output order independent of completion order.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    def probed(body: => Seq[DataFrame]): Future[Seq[DataFrame]] = Future(body)
+
     // ---- posting index + df census (x_neardup_delete's slice) ----
     val dr = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-    val ndParts: Seq[DataFrame] =
+    val ndPartsF: Future[Seq[DataFrame]] = probed {
       if (dr.isNullAt(0)) Seq(zero("nd_postings"), zero("nd_df"))
       else {
         val mid = dr.getLong(0) + (dr.getLong(1) - dr.getLong(0)) / 2
@@ -200,12 +215,13 @@ object RetentionAudit {
         Seq(idProbe("nd_postings", postings, "doc_id", req),
           dfProbe("nd_df", spark.read.parquet(s"$dir/df.parquet"), postings))
       }
+    }
 
     // ---- vector index codes (x_ann_delete's slice, base ∪ delta) ----
     val er = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
     val emid = if (er.isNullAt(0)) 0L
                else er.getLong(0) + (er.getLong(1) - er.getLong(0)) / 2
-    val annPart: DataFrame =
+    val annPartF: Future[Seq[DataFrame]] = probed { Seq(
       if (er.isNullAt(0)) zero("ann_codes")
       else VectorOps.standingAnnIndex(spark, d, emb, emid) match {
         case None => zero("ann_codes")
@@ -220,10 +236,11 @@ object RetentionAudit {
           VectorOps.annIndexDelete(spark, dir, req)
           idProbe("ann_codes", spark.read.parquet(s"$dir/codes.parquet"),
             "vec_id", req)
-      }
+      })
+    }
 
     // ---- semantic postings + pairs (x_semantic_delete's slice) ----
-    val semParts: Seq[DataFrame] =
+    val semPartsF: Future[Seq[DataFrame]] = probed {
       if (er.isNullAt(0)) Seq(zero("sem_postings"), zero("sem_pairs"))
       else VectorOps.semanticIndexDir(spark, d, emb, emid) match {
         case None => Seq(zero("sem_postings"), zero("sem_pairs"))
@@ -242,9 +259,10 @@ object RetentionAudit {
             pairProbe("sem_pairs",
               spark.read.parquet(s"$dir/pairs.parquet"), req))
       }
+    }
 
     // ---- standing LM pair table (x_lm_delete's slice) ----
-    val lmPart: DataFrame = {
+    val lmPartF: Future[Seq[DataFrame]] = probed { Seq({
       val lmDir = CorpusOps.standingTrainLmDir(spark, d)
       val dir = Tables.scratchDir("audit_lm", d)
       val deleted = docs.filter(col("source") === CorpusOps.LmTrainSource &&
@@ -254,10 +272,10 @@ object RetentionAudit {
         .write.mode("overwrite").parquet(s"$dir/counts_v2.parquet")
       lmProbe("lm_counts", pre,
         spark.read.parquet(s"$dir/counts_v2.parquet"), deleted)
-    }
+    }) }
 
     // ---- standing BPE word census (x_bpe_delete's slice) ----
-    val bpePart: DataFrame = {
+    val bpePartF: Future[Seq[DataFrame]] = probed { Seq({
       val memo = BpeTrain.standingCensusDir(spark, d)
       val dir = Tables.scratchDir("audit_bpe", d)
       val deleted = docs.filter(col("source") === CorpusOps.LmTrainSource &&
@@ -267,10 +285,10 @@ object RetentionAudit {
         .write.mode("overwrite").parquet(s"$dir/census_v2.parquet")
       bpeProbe("bpe_census", pre,
         spark.read.parquet(s"$dir/census_v2.parquet"), deleted)
-    }
+    }) }
 
     // ---- corpus build state (x_corpus_retention's slice) ----
-    val corpPart: DataFrame = {
+    val corpPartF: Future[Seq[DataFrame]] = probed { Seq({
       val memo = CorpusOps.corpusStateDir(spark, d)
       val dir = Tables.scratchDir("audit_corpus", d)
       Tables.linkTree(s"$memo/state.parquet", s"$dir/state.parquet")
@@ -280,10 +298,16 @@ object RetentionAudit {
       CorpusOps.corpusStateDelete(spark, dir, req)
       idProbe("corpus_state", spark.read.parquet(s"$dir/state.parquet"),
         "doc_id", req)
-    }
+    }) }
 
-    (ndParts ++ Seq(annPart) ++ semParts ++ Seq(lmPart, bpePart, corpPart))
-      .reduce(_ unionByName _)
+    // await in the original fixed order; shut the pool down either way
+    val parts =
+      try {
+        import scala.concurrent.duration.Duration
+        Seq(ndPartsF, annPartF, semPartsF, lmPartF, bpePartF, corpPartF)
+          .map(Await.result(_, Duration.Inf)).flatten
+      } finally pool.shutdown()
+    parts.reduce(_ unionByName _)
       .orderBy(col("artifact"))
   }
 
