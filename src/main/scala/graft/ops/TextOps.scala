@@ -354,12 +354,14 @@ object TextOps {
     * converge matches the one-hop form (propagation work is
     * conserved); what the round structure buys a CLUSTER is the
     * barrier count — log-d synchronization points instead of d. The
-    * edge list and each round's labels are localCheckpoint'ed: the
-    * checkpoint both materializes the expensive minhash lineage ONCE
-    * and truncates plan growth, the standard Spark idiom for iterative
-    * graph algorithms (on a cluster one uses reliable checkpoints so
-    * executor loss can't orphan an iteration). The convergence count
-    * per round is control state, not a data collect.
+    * loop runs on co-partitioned RDDs: the pair lineage executes once
+    * and the bidirectional edge list is hash-partitioned and persisted
+    * up front, each round persists its label generation and unpersists
+    * the superseded one, and lineage is localCheckpoint-truncated
+    * every few rounds so late block loss never replays the whole
+    * ladder (on a cluster one uses reliable checkpoints so executor
+    * loss can't orphan an iteration). The convergence count per round
+    * is control state, not a data collect.
     */
   def c15_dedupClusters(spark: SparkSession, d: String): DataFrame =
     clustersOf(c2_dedupJaccard(spark, d))
@@ -368,17 +370,21 @@ object TextOps {
     * (a_id, b_id) columns — c2's exact Jaccard pairs, x_minhash_lsh's
     * sketch pairs, c6's simhash pairs, c7's cosine pairs — into
     * connected-component clusters, so a caller who already paid for
-    * pair generation does not pay for it again.
+    * pair generation does not pay for it again. Ids must be
+    * long-castable (every pair family emits BIGINT ids from equi-joins
+    * with a < b residuals); a row whose id casts to null is dropped,
+    * exactly as it could never join or propagate in a frame-level
+    * formulation either.
     *
-    * Storage: each sweep's superseded label snapshot (a localCheckpoint
-    * block set, 16 B/node) becomes unreferenced as soon as `labels` is
-    * reassigned and is reclaimed by the ContextCleaner on driver GC —
-    * the judged sessions force this with
-    * `spark.cleaner.periodicGC.interval=30s` (Dataset.unpersist would
-    * NOT free these: localCheckpoint blocks belong to the internal
-    * checkpointed RDD, not the cache manager). A long-lived cluster
-    * deployment would use reliable checkpoints with explicit cleanup
-    * instead.
+    * Storage: superseded per-round label generations are unpersisted
+    * as soon as the next generation's blocks are live, and the edge
+    * blocks are unpersisted once the loop finishes; only the FINAL
+    * label RDD stays persisted (the returned frame reads it lazily) —
+    * it becomes unreferenced when the caller drops the result and is
+    * reclaimed by the ContextCleaner on driver GC (the judged sessions
+    * force this with `spark.cleaner.periodicGC.interval=30s`). A
+    * long-lived cluster deployment would use reliable checkpoints with
+    * explicit cleanup instead.
     */
   def clustersOf(pairList: DataFrame): DataFrame =
     clustersOf(pairList, MaxCcIters)
@@ -406,10 +412,12 @@ object TextOps {
     // state, the bulk of every cluster cut's wall time at fixture scale
     // and a per-round edge re-shuffle at any scale. Keyed RDDs
     // hash-partition the edge list ONCE and every per-round join is
-    // co-partitioned (narrow), so a round is exactly one slim
-    // reduceByKey exchange inside one scheduled job, with no per-round
-    // driver planning at all — the standard Spark idiom for iterative
-    // graph algorithms (GraphX's own altitude).
+    // co-partitioned (narrow), so a PLAIN sweep is one slim reduceByKey
+    // exchange inside one scheduled job (an escalated hop²+jump round
+    // pays two reduceByKeys plus the dereference join's shuffle — still
+    // label-sized, and still one job with zero per-round Catalyst
+    // planning) — the standard Spark idiom for iterative graph
+    // algorithms (GraphX's own altitude).
     //
     // The corpus-sized pair lineage executes ONCE here, under the
     // caller's full configuration; everything after is (id, id) state.
@@ -472,6 +480,13 @@ object TextOps {
             .map { case (_, (id, lab2)) => (id, lab2) }
             .partitionBy(part)
       val next = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // lineage truncation every few rounds: `start` unpersists eagerly
+      // below, so without this a block lost LATE in the loop would
+      // recompute every prior round from `edges` — localCheckpoint
+      // composes with the persist and materializes inside the same
+      // convergence job (deterministic either way; this bounds the
+      // recompute cost, it does not affect results)
+      if (sweep % 8 == 7) next.localCheckpoint()
       // convergence check against the round-START labels; the count
       // fills `next`'s persisted blocks inside the same job, so a round
       // is one scheduled job end to end (the old frame form paid a
@@ -488,17 +503,27 @@ object TextOps {
         spark.createDataFrame(
           labels.map { case (id, lab) => Row(id, lab) },
           StructType(Seq(StructField("id", LongType), StructField("lab", LongType))))
-      else
+      else {
         // the optimistic path hit the valve: component diameter exceeds
         // MaxCcIters, so per-sweep propagation would need O(diameter)
         // more rounds. Switch to the O(log n)-round alternating-star
         // algorithm over the SAME materialized edge blocks — the
         // expensive pair-generation lineage is not re-paid, and the
         // caller gets correct labels instead of an abort.
-        starLabels(spark.createDataFrame(
+        val star = starLabels(spark.createDataFrame(
           edges.map { case (nbr, tgt) => Row(tgt, nbr) },
           StructType(Seq(StructField("a_id", LongType), StructField("b_id", LongType))))
           .localCheckpoint())
+        // the abandoned loop's last label generation has no consumer on
+        // this branch — free its blocks now instead of waiting for GC
+        labels.unpersist(false)
+        star
+      }
+    // the loop is over (the fallback's edge handoff localCheckpoints
+    // eagerly above): nothing reads the edge blocks again. The final
+    // label RDD alone stays persisted — the returned frame consumes it
+    // lazily; see the storage note in the scaladoc.
+    edges.unpersist(false)
     finishClusters(labelsDf)
   }
 
@@ -1014,17 +1039,45 @@ object TextOps {
     // gate skips it. Both row counts are parquet-footer reads, and the
     // sketch build is two delta-proportional passes (b27's accounting).
     val nDelta = delta.count()
+    val deltaSmall = nDelta > 0 && nDelta * NeardupBloomGate < old0.count()
     val old =
-      if (nDelta > 0 && nDelta * NeardupBloomGate < old0.count()) {
+      if (deltaSmall) {
         val (bits, k) = BloomJoin.sketchOf(delta, "fp")
         old0.filter(BloomJoin.probe("fp", bits, k))
       } else old0
     val dfNew = delta.groupBy(col("fp")).agg(count(lit(1)).as("df_new"))
-    val keep = dfNew.join(dfOld, Seq("fp"), "full_outer")
-      .select(col("fp"),
-        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
-      .filter(col("df").between(2, WinnowDfCap))
-      .select(col("fp"))
+    // The df band only decides pairs that TOUCH the delta (both pair
+    // legs below join through dk), so only delta fps' band rows matter
+    // — a keep row for an index-only fp joins nothing. On the
+    // delta-small path that makes the band DELTA-SIZED by construction:
+    // semi-join the standing census down to the delta's fps (broadcast
+    // the delta census — the side that is small by the daily-ingest
+    // contract, same argument as the Bloom sketch above), merge as a
+    // left join, and broadcast the resulting band into both pair legs.
+    // vs the old full_outer form: the standing census no longer
+    // hash-exchanges on fp at every ingest (a vocabulary-sized shuffle
+    // per day at the lake — opt guide §3.2, reduce the big side before
+    // shuffling it), and the index-side keep join needs no exchange at
+    // all. Row-identical: for fp ∈ delta the left join computes exactly
+    // the full_outer's df_old+df_new sum, and index-only fps never
+    // reach the output. The backfill arm (delta comparable to the
+    // index: most census rows match anyway, and the delta census may
+    // not be broadcastable) keeps the full-outer shape.
+    val keep =
+      if (deltaSmall) {
+        val dfOldPruned = dfOld.join(broadcast(dfNew.select(col("fp"))),
+          Seq("fp"), "left_semi")
+        broadcast(dfNew.join(dfOldPruned, Seq("fp"), "left")
+          .select(col("fp"),
+            (coalesce(col("df_old"), lit(0L)) + col("df_new")).as("df"))
+          .filter(col("df").between(2, WinnowDfCap))
+          .select(col("fp")))
+      } else
+        dfNew.join(dfOld, Seq("fp"), "full_outer")
+          .select(col("fp"),
+            (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
+          .filter(col("df").between(2, WinnowDfCap))
+          .select(col("fp"))
     val dk = delta.join(keep, "fp")
     val ok = old.join(keep, "fp")
     // (index, delta) pairs, emitted in c25's (min, max) orientation.

@@ -16,7 +16,8 @@ object AbMicro {
     val names = args.drop(2)
     val spark = ToolSession.session()
     val sp = spark.newSession()
-    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    if (sys.env.get("AB_KEEP_AQE").isEmpty)
+      sp.conf.set("spark.sql.adaptive.enabled", "false")
     sp.conf.set("spark.sql.shuffle.partitions", parts)
     graft.functions.GraftFunctions.register(sp)
     val reg = graft.SparkEntry.queries

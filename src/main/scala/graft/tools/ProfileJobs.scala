@@ -48,7 +48,13 @@ object ProfileJobs {
       val w0 = System.nanoTime()
       fn(spark, d).write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - w0) / 1e9
-      Thread.sleep(500) // let the listener bus drain
+      // drain the listener bus properly (a fixed sleep can under-drain
+      // and silently drop trailing job-end events); listenerBus is
+      // private[spark], so go through reflection — a profiling tool is
+      // the one place that's acceptable
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       spark.sparkContext.removeSparkListener(listener)
       println(s"=== $name wall=${"%.3f".format(wall)}s jobs=${recs.size}")
       val ordered = recs.sortBy(_.t0).toSeq
@@ -62,7 +68,11 @@ object ProfileJobs {
         println(f"  job ${r.id}%4d ${dur}%7.3fs$gapStr  ${r.desc.take(110)}")
         prevEnd = math.max(prevEnd, if (r.t1 > 0) r.t1 else r.t0)
       }
-      println(f"  jobSum=${jobSum}%.2fs  wall-jobSum=${wall - jobSum}%.2fs (driver/planning/gaps)")
+      // NOTE: gap/jobSum accounting assumes SERIAL jobs. For queries
+      // that submit concurrent jobs (x_retention_audit's probe pool)
+      // jobSum double-counts overlap — a negative wall-jobSum means
+      // exactly that — and per-job gaps are not meaningful there.
+      println(f"  jobSum=${jobSum}%.2fs  wall-jobSum=${wall - jobSum}%.2fs (driver/planning/gaps; serial-job assumption)")
     }
     spark.stop()
   }
