@@ -288,7 +288,17 @@ object Tables {
           .foreach(_ => spark.sql(s"DROP TABLE IF EXISTS $n"))
       }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    df.write.bucketBy(buckets, bucketCol).sortBy(sortCols.head, sortCols.tail: _*)
+    // repartition by the bucket column into exactly `buckets` partitions
+    // BEFORE the bucketed write: DataFrame hash partitioning and bucket
+    // id use the same Murmur3 pmod, so each write task then holds
+    // exactly one bucket and emits ONE file. Without it each input
+    // partition writes a file per bucket it touches — up to
+    // inputPartitions × buckets small files at lake scale (the fixture
+    // inputs are 1-partition scans, which HID the blow-up locally; opt
+    // guide §6, small files hurt twice). One slim exchange of the
+    // posting rows, paid at index build where it amortizes.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.bucketBy(buckets, bucketCol).sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", s"$dir/${tag}_b").saveAsTable(tbl)
     tbl
   }
